@@ -1,0 +1,168 @@
+"""Configuration layer for the TPU-native parallel-tempering sampler.
+
+The reference has no config system — hyperparameters are hardcoded constants
+inside ``main()`` (multicore-pt-classification/pt_classification.py:1036-1045;
+multicore-pt-regression/pt_timeseries_regression.py:915-955) and CLI args are
+dead (pt_classification.py:1039). This dataclass replaces that; the presets
+below reproduce each reference configuration verbatim (SURVEY.md §5 "Config").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    # Problem
+    task: str  # "classification" | "regression"
+    topology: Tuple[int, int, int]  # (n_in, n_hidden, n_out)
+
+    # Sampling budget. ``num_samples`` is the TOTAL across chains; each chain
+    # draws num_samples // num_chains (pt_classification.py:514).
+    num_samples: int = 50_000
+    num_chains: int = 10
+
+    # Temperature ladder (pt_classification.py:537-645).
+    maxtemp: float = 10.0
+    geometric_ladder: bool = True
+
+    # Replica exchange. ``swap_interval`` in steps; the reference derives it
+    # as int(swap_ratio * num_samples / num_chains) (pt_classification.py:1040).
+    swap_interval: int = 100
+    # Cadence convention: classification swaps after steps with
+    # (i+1) % interval == 0 (pt_classification.py:438); regression after steps
+    # with i % interval == 0 and i != 0 (pt_timeseries_regression.py:427).
+    swap_offset: int = 1  # 1 = classification convention, 0 = regression
+    # Payload the swap rule compares (SURVEY.md §2.1 inconsistency note):
+    # "tempered"        — classification enqueues lhood/adapttemp (:439)
+    # "tempered_times_T"— regression enqueues (lhood/adapttemp)*T (:430)
+    # "untempered"      — clean fix mode (not reference behavior)
+    swap_payload: str = "tempered"
+    # After a swap the reference chain keeps its pre-swap likelihood/prior
+    # (stale, self-correcting at the next MH step — pt_classification.py:448).
+    stale_likelihood_after_swap: bool = True
+
+    # Proposals.
+    use_langevin_gradients: bool = False
+    langevin_prob: float = 0.5  # l_prob (pt_classification.py:192)
+    learn_rate: float = 0.01
+    step_w: float = 0.025  # RW std (pt_classification.py:267)
+    step_eta: float = 0.2  # noise-variance RW std (pt_timeseries_regression.py:260)
+    drift_mode: str = "sequential"  # "sequential" (parity) | "batch" (fast)
+    drift_unroll: int = 8
+
+    # Priors (pt_classification.py:274-276).
+    sigma_sq: float = 25.0
+    nu_1: float = 0.0
+    nu_2: float = 0.0
+
+    # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
+    # with a likelihood rescale (pt_classification.py:302,317-324). The
+    # reference's switch only fires when 0.6*samples is integral; mirrored in
+    # ``temper_switch_step``.
+    pt_phase_frac: float = 0.6
+
+    # Burn-in fraction dropped in result aggregation (pt_classification.py:782).
+    burn_in: float = 0.5
+
+    # Runtime knobs (no reference equivalent).
+    record_w: bool = True  # record full pos_w trace (the posterior)
+    chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
+
+    # ------------------------------------------------------------------
+    @property
+    def samples_per_chain(self) -> int:
+        return int(self.num_samples / self.num_chains)
+
+    @property
+    def n_steps(self) -> int:
+        """MCMC iterations per chain: the reference loops range(samples-1)
+        (pt_classification.py:313); trace row 0 is the untouched init row."""
+        return self.samples_per_chain - 1
+
+    @property
+    def temper_switch_step(self) -> int:
+        """Step index at which adapttemp switches to 1, or n_steps+1 (never)
+        when 0.6*samples is non-integral — mirroring the reference's exact
+        ``i == samples*0.6`` comparison (pt_classification.py:320)."""
+        pt = self.samples_per_chain * self.pt_phase_frac
+        if float(pt).is_integer():
+            return int(pt)
+        return self.n_steps + 1
+
+    @property
+    def w_size(self) -> int:
+        i, h, o = self.topology
+        return i * h + h * o + h + o
+
+    def validate(self) -> "PTConfig":
+        if self.task not in ("classification", "regression"):
+            raise ValueError(f"unknown task {self.task!r}")
+        if self.swap_payload not in ("tempered", "tempered_times_T", "untempered"):
+            raise ValueError(f"unknown swap_payload {self.swap_payload!r}")
+        if self.drift_mode not in ("sequential", "batch"):
+            raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
+        if self.num_chains < 2:
+            raise ValueError("need at least 2 chains for parallel tempering")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Presets reproducing the reference experiment drivers.
+
+
+def classification_preset(
+    topology: Tuple[int, int, int],
+    num_samples: int = 50_000,
+    use_langevin_gradients: bool = False,
+    learn_rate: float = 0.01,
+    num_chains: int = 10,
+    swap_ratio: float = 0.02,
+    maxtemp: float = 10.0,
+) -> PTConfig:
+    """Hyperparameter block of pt_classification.py:1036-1045."""
+    swap_interval = int(swap_ratio * num_samples / num_chains)
+    return PTConfig(
+        task="classification",
+        topology=topology,
+        num_samples=num_samples,
+        num_chains=num_chains,
+        maxtemp=maxtemp,
+        swap_interval=swap_interval,
+        swap_offset=1,
+        swap_payload="tempered",
+        use_langevin_gradients=use_langevin_gradients,
+        langevin_prob=0.5,
+        learn_rate=learn_rate,
+        burn_in=0.5,
+    ).validate()
+
+
+def regression_preset(
+    topology: Tuple[int, int, int] = (4, 10, 1),
+    num_samples: int = 100_000,
+    use_langevin_gradients: bool = True,
+    langevin_prob: float = 0.5,
+    learn_rate: float = 0.1,
+    num_chains: int = 10,
+    swap_ratio: float = 0.01,
+    maxtemp: float = 2.0,
+) -> PTConfig:
+    """Hyperparameter block of pt_timeseries_regression.py:915-955."""
+    swap_interval = int(swap_ratio * num_samples / num_chains)
+    return PTConfig(
+        task="regression",
+        topology=topology,
+        num_samples=num_samples,
+        num_chains=num_chains,
+        maxtemp=maxtemp,
+        swap_interval=swap_interval,
+        swap_offset=0,
+        swap_payload="tempered_times_T",
+        use_langevin_gradients=use_langevin_gradients,
+        langevin_prob=langevin_prob,
+        learn_rate=learn_rate,
+        burn_in=0.5,
+    ).validate()

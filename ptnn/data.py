@@ -1,0 +1,186 @@
+"""Dataset loaders and preprocessing.
+
+Bundles the reference's problem suite (SURVEY.md §L7). Regression sets are the
+4-lag Takens-embedding one-step-ahead series
+(multicore-pt-regression/Data_OneStepAhead/*/{train,test}.txt, rows =
+``[x1..x4, y]``). Classification sets reproduce the per-problem blocks of
+``main()`` (multicore-pt-classification/pt_classification.py:899-1012):
+z-score normalization per feature and a random 70/30 split for the combined
+sets, with the same label transformations the reference's offline preprocess
+scripts apply (DATA/Cancer/preprocess_cancer.py, DATA/Ions/Ions/
+preprocess_ions.py, DATA/Bank/preprocess.py, DATA/TicTac/preprocess_ttt.py).
+
+Row format everywhere: ``[features..., label]`` float matrix.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import numpy as np
+
+_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+REGRESSION_SETS = (
+    "Lazer",
+    "Sunspot",
+    "Mackey",
+    "Lorenz",
+    "Rossler",
+    "Henon",
+    "ACFinance",
+)
+
+# topology blocks of pt_classification.py:899-995: name -> (ip, hidden, output)
+CLASSIFICATION_TOPOLOGIES: Dict[str, Tuple[int, int, int]] = {
+    "iris": (4, 12, 3),
+    "Ionosphere": (34, 50, 2),
+    "Cancer": (9, 12, 2),
+    "bank-additional": (51, 50, 2),
+    "PenDigit": (16, 30, 10),
+    "chess": (6, 25, 18),
+}
+
+REGRESSION_TOPOLOGY: Tuple[int, int, int] = (4, 10, 1)  # pt_timeseries_regression.py:915-917
+
+
+@dataclass
+class Problem:
+    name: str
+    task: str
+    topology: Tuple[int, int, int]
+    train: np.ndarray
+    test: np.ndarray
+
+
+def data_root() -> str:
+    return _ROOT
+
+
+def load_regression(name: str, root: str | None = None) -> Problem:
+    """One-step-ahead series (pt_timeseries_regression.py:877-909)."""
+    if name not in REGRESSION_SETS:
+        raise KeyError(f"unknown regression set {name!r}; have {REGRESSION_SETS}")
+    root = root or _ROOT
+    d = os.path.join(root, "Data_OneStepAhead", name)
+    train = np.loadtxt(os.path.join(d, "train.txt"))
+    test = np.loadtxt(os.path.join(d, "test.txt"))
+    return Problem(name, "regression", REGRESSION_TOPOLOGY, train, test)
+
+
+def zscore_and_split(
+    features: np.ndarray,
+    classes: np.ndarray,
+    rng: np.random.Generator,
+    train_ratio: float = 0.7,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-feature z-score + random 70/30 split (pt_classification.py:1003-1012)."""
+    feats = features.astype(np.float64).copy()
+    for k in range(feats.shape[1]):
+        dev = np.std(feats[:, k])
+        feats[:, k] = (feats[:, k] - np.mean(feats[:, k])) / dev
+    n = feats.shape[0]
+    idx = rng.permutation(n)
+    cut = int(train_ratio * n)
+    both = np.hstack([feats, classes.reshape(-1, 1)])
+    return both[idx[:cut]], both[idx[cut:]]
+
+
+def _bank_processed(root: str) -> np.ndarray:
+    """Reproduce DATA/Bank/preprocess.py: min-max scaled numerical columns +
+    one-hot categorical columns + binary label, from the raw bank.csv."""
+    import csv
+
+    path = os.path.join(root, "classification", "Bank", "bank.csv")
+    with open(path) as f:
+        reader = csv.reader(f, delimiter=";")
+        header = next(reader)
+        rows = list(reader)
+    cols = list(zip(*rows))
+    numerical, categorical = [], []
+    y = None
+    for name, col in zip(header, cols):
+        name = name.strip('"')
+        col = [c.strip('"') for c in col]
+        try:
+            vals = np.array([float(c) for c in col])
+            if name == "y":
+                raise ValueError
+            numerical.append(vals)
+        except ValueError:
+            if name == "y":
+                y = np.array([1.0 if c == "yes" else 0.0 for c in col])
+            else:
+                categorical.append(col)
+    X = np.stack(numerical, axis=1)
+    X = (X - X.min(axis=0)) / (X.max(axis=0) - X.min(axis=0))
+    onehots = []
+    for col in categorical:
+        levels = sorted(set(col))  # pandas.get_dummies orders levels sorted
+        lut = {v: i for i, v in enumerate(levels)}
+        oh = np.zeros((len(col), len(levels)))
+        oh[np.arange(len(col)), [lut[c] for c in col]] = 1.0
+        onehots.append(oh)
+    X = np.hstack([X] + onehots)
+    return np.hstack([X, y.reshape(-1, 1)])
+
+
+def load_classification(name: str, seed: int = 0, root: str | None = None) -> Problem:
+    """Classification problems as configured in pt_classification.py:899-1012."""
+    root = root or _ROOT
+    croot = os.path.join(root, "classification")
+    rng = np.random.default_rng(seed)
+
+    if name == "iris":  # problem 3
+        data = np.genfromtxt(os.path.join(croot, "iris.csv"), delimiter=";")
+        classes = data[:, 4] - 1  # labels 1..3 -> 0..2 (pt_classification.py:922)
+        train, test = zscore_and_split(data[:, 0:4], classes, rng)
+    elif name == "Ionosphere":  # problem 4 — pre-split ftrain/ftest csv
+        train = np.genfromtxt(
+            os.path.join(croot, "Ions", "ftrain.csv"), delimiter=","
+        )[:, :-1]
+        test = np.genfromtxt(os.path.join(croot, "Ions", "ftest.csv"), delimiter=",")[
+            :, :-1
+        ]
+    elif name == "Cancer":  # problem 5 — pre-split ftrain/ftest txt
+        train = np.genfromtxt(
+            os.path.join(croot, "Cancer", "ftrain.txt"), delimiter=" "
+        )[:, :-1]
+        test = np.genfromtxt(os.path.join(croot, "Cancer", "ftest.txt"), delimiter=" ")[
+            :, :-1
+        ]
+    elif name == "bank-additional":  # problem 6
+        data = _bank_processed(root)
+        ip = data.shape[1] - 1
+        train, test = zscore_and_split(data[:, :ip], data[:, ip], rng)
+    elif name == "PenDigit":  # problem 7 — pre-split, z-scored per file
+        train = np.genfromtxt(
+            os.path.join(croot, "PenDigit", "train.csv"), delimiter=","
+        )
+        test = np.genfromtxt(os.path.join(croot, "PenDigit", "test.csv"), delimiter=",")
+        for mat in (train, test):
+            for k in range(16):
+                mat[:, k] = (mat[:, k] - np.mean(mat[:, k])) / np.std(mat[:, k])
+    elif name == "chess":  # problem 8
+        data = np.genfromtxt(os.path.join(croot, "chess.data"), delimiter=";")
+        train, test = zscore_and_split(data[:, 0:6], data[:, 6], rng)
+    else:
+        raise KeyError(
+            f"unknown dataset {name!r}; classification sets: "
+            f"{sorted(CLASSIFICATION_TOPOLOGIES)}, regression sets: "
+            f"{list(REGRESSION_SETS)}"
+        )
+
+    if name == "bank-additional":
+        topo = (train.shape[1] - 1, 50, 2)
+    else:
+        topo = CLASSIFICATION_TOPOLOGIES[name]
+    return Problem(name, "classification", topo, train, test)
+
+
+def load(name: str, seed: int = 0, root: str | None = None) -> Problem:
+    if name in REGRESSION_SETS:
+        return load_regression(name, root)
+    return load_classification(name, seed, root)

@@ -1,0 +1,318 @@
+"""The per-step MCMC kernel, batched over the whole temperature ladder.
+
+TPU-native re-design of the reference's per-chain hot loop
+(``ptReplica.run``, multicore-pt-classification/pt_classification.py:313-448
+and multicore-pt-regression/pt_timeseries_regression.py:313-439). One call to
+the step function advances *all* chains by one Metropolis-Hastings step as a
+single XLA computation with a leading ``(chains,)`` axis: the reference's
+process-per-chain + queue rendezvous architecture disappears entirely
+(SURVEY.md §7 design stance).
+
+Semantics reproduced (per chain, per step):
+
+* Bernoulli(l_prob) choice between a Langevin-gradient proposal with MH
+  q-ratio correction (pt_classification.py:333-353) and a random-walk
+  Gaussian proposal N(w, step_w) (:357-359). The same Gaussian innovation is
+  used for both branches, exactly like the reference's single
+  ``np.random.normal`` draw centered on either ``w_gd`` or ``w``.
+* Regression additionally random-walks the log noise variance ``eta``
+  (pt_timeseries_regression.py:355-356).
+* Tempered MH accept: the chain carries the *untempered* train log-likelihood
+  and divides by the adaptive temperature at decision time — algebraically
+  identical to the reference's tempered carry plus its one-time re-tempering
+  at the 60% phase switch (pt_classification.py:317-324), but branch-free.
+* Trace rows follow the reference's write-on-accept convention: ``pos_w`` and
+  the rmse/acc traces copy the previous row on reject (pt_classification.py
+  :419-434), so the kernel carries "last accepted" values separately from the
+  live chain state (a swap updates the live ``w`` but NOT the trace row —
+  matching the reference, where a post-swap reject copies the pre-swap row).
+* Replica-exchange: after steps selected by the cadence mask, a sequential
+  bubbling sweep permutation over payload likelihoods (parallel/swap.py),
+  permuting only (w, eta) — the stale-likelihood semantics of
+  pt_classification.py:445-448 (configurable).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptnn.config import PTConfig
+from ptnn.models import fnn
+from ptnn.ops import drift, likelihood
+from ptnn.parallel import swap as swap_mod
+
+
+class ChainState(NamedTuple):
+    """Live sampler state for all chains (leading axis = chains)."""
+
+    w: jax.Array  # (C, W) current weights
+    eta: jax.Array  # (C,) log noise variance (junk for classification)
+    ll: jax.Array  # (C,) UNTEMPERED train log-likelihood of current w
+    prior: jax.Array  # (C,) log prior of current w
+    # Trace carries (write-on-accept):
+    w_last: jax.Array  # (C, W) last accepted proposal (pos_w row)
+    rmse_train: jax.Array  # (C,)
+    rmse_test: jax.Array  # (C,)
+    acc_train: jax.Array  # (C,)
+    acc_test: jax.Array  # (C,)
+    # Counters:
+    n_accept: jax.Array  # (C,) int32
+    n_langevin: jax.Array  # (C,) int32
+    n_swap_accepted: jax.Array  # () int32
+    n_swap_proposed: jax.Array  # () int32
+
+
+class Dataset(NamedTuple):
+    """Device-resident problem data (replicated across the mesh — KB scale)."""
+
+    x_train: jax.Array  # (N, I)
+    y_train: jax.Array  # (N,) labels (class index or regression target)
+    t_train: jax.Array  # (N, O) delta-rule targets (one-hot / scalar column)
+    x_test: jax.Array
+    y_test: jax.Array
+
+
+def init_state(key: jax.Array, cfg: PTConfig, data: Dataset) -> ChainState:
+    """Initial chain state (reference: master-side ``w = randn(num_param)``
+    pt_classification.py:658; regression eta init from the residual variance
+    of the initial prediction, pt_timeseries_regression.py:270-271)."""
+    c, w_dim = cfg.num_chains, cfg.w_size
+    topo = cfg.topology
+    kw, _ = jax.random.split(key)
+    w = jax.random.normal(kw, (c, w_dim), dtype=jnp.float32)
+
+    if cfg.task == "regression":
+        pred = jax.vmap(fnn.forward, in_axes=(0, None, None))(w, data.x_train, topo)[
+            :, :, 0
+        ]
+        eta = jnp.log(jnp.var(pred - data.y_train[None, :], axis=1))
+        tau = jnp.exp(eta)
+        ev = jax.vmap(likelihood.regression_eval, in_axes=(0, None, None, 0, None))(
+            w, data.x_train, data.y_train, tau, topo
+        )
+        ev_te = jax.vmap(likelihood.regression_eval, in_axes=(0, None, None, 0, None))(
+            w, data.x_test, data.y_test, tau, topo
+        )
+        ll = ev.loglik
+        prior = jax.vmap(
+            lambda wi, ti: likelihood.regression_log_prior(
+                wi, ti, topo, cfg.sigma_sq, cfg.nu_1, cfg.nu_2
+            )
+        )(w, tau)
+    else:
+        eta = jnp.zeros((c,), jnp.float32)
+        ev = jax.vmap(likelihood.classification_eval, in_axes=(0, None, None, None))(
+            w, data.x_train, data.y_train, topo
+        )
+        ll = ev.loglik
+        prior = jax.vmap(
+            lambda wi: likelihood.classification_log_prior(wi, topo, cfg.sigma_sq)
+        )(w)
+
+    def zero():
+        # fresh buffer per field — donation forbids aliased arguments
+        return jnp.zeros((c,), jnp.float32)
+
+    return ChainState(
+        w=w,
+        eta=eta,
+        ll=ll,
+        prior=prior,
+        w_last=jnp.ones_like(w),  # pos_w rows default to 1.0 (np.ones init,
+        # pt_classification.py:249) until first accept
+        rmse_train=zero(),
+        rmse_test=zero(),
+        acc_train=zero(),
+        acc_test=zero(),
+        n_accept=jnp.zeros((c,), jnp.int32),
+        n_langevin=jnp.zeros((c,), jnp.int32),
+        n_swap_accepted=jnp.zeros((), jnp.int32),
+        n_swap_proposed=jnp.zeros((), jnp.int32),
+    )
+
+
+def swap_due(cfg: PTConfig, i: jax.Array) -> jax.Array:
+    """Whether a replica-exchange sweep runs after step ``i``.
+
+    Classification: (i+1) % interval == 0 (pt_classification.py:438).
+    Regression: i % interval == 0 and i != 0 (pt_timeseries_regression.py:427).
+    Encoded via ``swap_offset`` (1 / 0 respectively).
+    """
+    si = cfg.swap_interval
+    if si <= 0 or si > cfg.n_steps:
+        return jnp.asarray(False)
+    k = i + cfg.swap_offset
+    return jnp.logical_and(k % si == 0, k > 0)
+
+
+def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
+    """Build the scanned step: ``(state, (i, key)) -> (state, trace_dict)``.
+
+    ``temps``: (C,) ladder temperatures, chain 0 at T=1.
+    """
+    cfg.validate()
+    topo = cfg.topology
+    c = cfg.num_chains
+    w_dim = cfg.w_size
+    switch_step = cfg.temper_switch_step
+    step_w = cfg.step_w
+    sigma_sq_w = step_w * step_w
+    is_regression = cfg.task == "regression"
+
+    if is_regression:
+        b_eval_tr = jax.vmap(
+            likelihood.regression_eval, in_axes=(0, None, None, 0, None)
+        )
+        b_eval_te = b_eval_tr
+        b_prior = jax.vmap(
+            lambda wi, ti: likelihood.regression_log_prior(
+                wi, ti, topo, cfg.sigma_sq, cfg.nu_1, cfg.nu_2
+            )
+        )
+    else:
+        b_eval = jax.vmap(
+            likelihood.classification_eval, in_axes=(0, None, None, None)
+        )
+        b_prior = jax.vmap(
+            lambda wi: likelihood.classification_log_prior(wi, topo, cfg.sigma_sq)
+        )
+
+    if cfg.use_langevin_gradients:
+        if cfg.drift_mode == "sequential":
+            drift_one = partial(
+                drift.sgd_epoch_sequential,
+                x=data.x_train,
+                t=data.t_train,
+                topo=topo,
+                lrate=cfg.learn_rate,
+                unroll=cfg.drift_unroll,
+            )
+        else:
+            drift_one = partial(
+                drift.sgd_epoch_batch,
+                x=data.x_train,
+                t=data.t_train,
+                topo=topo,
+                lrate=cfg.learn_rate,
+            )
+        b_drift = jax.vmap(lambda wi: drift_one(wi))
+
+    def propose(state: ChainState, i, kp, kl):
+        """Weight proposal + q-ratio correction + langevin counter."""
+        noise = jax.random.normal(kp, (c, w_dim), jnp.float32) * step_w
+        adapttemp = jnp.where(i < switch_step, temps, 1.0)
+        if not cfg.use_langevin_gradients:
+            return state.w + noise, jnp.zeros((c,), jnp.float32), state.n_langevin
+        lx = jax.random.uniform(kl, (c,))
+        use_l = lx < cfg.langevin_prob
+        w_gd = b_drift(state.w)
+        w_prop = jnp.where(use_l[:, None], w_gd + noise, state.w + noise)
+        w_prop_gd = b_drift(w_prop)
+        # Simplified log q-ratio (pt_classification.py:340-351).
+        first = -0.5 * jnp.sum(jnp.square(state.w - w_prop_gd), axis=-1) / sigma_sq_w
+        second = -0.5 * jnp.sum(jnp.square(w_prop - w_gd), axis=-1) / sigma_sq_w
+        diff_prop = jnp.where(use_l, (first - second) / adapttemp, 0.0)
+        return w_prop, diff_prop, state.n_langevin + use_l.astype(jnp.int32)
+
+    def do_swap(state: ChainState, i, ks) -> ChainState:
+        adapttemp = jnp.where(i < switch_step, temps, 1.0)
+        if cfg.swap_payload == "tempered":
+            payload = state.ll / adapttemp
+        elif cfg.swap_payload == "tempered_times_T":
+            payload = (state.ll / adapttemp) * temps
+        else:  # untempered
+            payload = state.ll
+        res = swap_mod.sweep_permutation(payload, ks)
+        w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
+        if cfg.stale_likelihood_after_swap:
+            ll, prior = state.ll, state.prior
+        else:
+            (ll, prior) = swap_mod.apply_permutation(res.perm, state.ll, state.prior)
+        return state._replace(
+            w=w,
+            eta=eta,
+            ll=ll,
+            prior=prior,
+            n_swap_accepted=state.n_swap_accepted + res.n_accepted,
+            n_swap_proposed=state.n_swap_proposed + res.n_proposed,
+        )
+
+    def step(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
+        i, key = xs
+        kp, kl, ke, ku, ks = jax.random.split(key, 5)
+        adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
+
+        w_prop, diff_prop, n_langevin = propose(state, i, kp, kl)
+
+        if is_regression:
+            eta_prop = state.eta + cfg.step_eta * jax.random.normal(ke, (c,))
+            tau_prop = jnp.exp(eta_prop)
+            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop, topo)
+            ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_prop, topo)
+            prior_prop = b_prior(w_prop, tau_prop)
+            acc_tr_prop = jnp.zeros((c,), jnp.float32)
+            acc_te_prop = jnp.zeros((c,), jnp.float32)
+            # Regression records the TEMPERED proposal likelihood
+            # (pt_timeseries_regression.py:391).
+            ll_record = ev_tr.loglik / adapttemp
+        else:
+            eta_prop = state.eta
+            ev_tr = b_eval(w_prop, data.x_train, data.y_train, topo)
+            ev_te = b_eval(w_prop, data.x_test, data.y_test, topo)
+            prior_prop = b_prior(w_prop)
+            acc_tr_prop = ev_tr.acc
+            acc_te_prop = ev_te.acc
+            # Classification records likelihood_proposal * adapttemp == the
+            # untempered value (pt_classification.py:404).
+            ll_record = ev_tr.loglik
+
+        ll_prop = ev_tr.loglik  # untempered
+        log_mh = (
+            (ll_prop - state.ll) / adapttemp
+            + (prior_prop - state.prior)
+            + diff_prop
+        )
+        u = jax.random.uniform(ku, (c,))
+        accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))  # = min(1, exp(log_mh))
+
+        trace = {
+            "ll": ll_record,
+            "rmse_train": jnp.where(accept, ev_tr.rmse, state.rmse_train),
+            "rmse_test": jnp.where(accept, ev_te.rmse, state.rmse_test),
+            "acc_train": jnp.where(accept, acc_tr_prop, state.acc_train),
+            "acc_test": jnp.where(accept, acc_te_prop, state.acc_test),
+            # accept_list[i+1] = count BEFORE this step's decision
+            # (pt_classification.py:391).
+            "accept_count": state.n_accept,
+        }
+
+        accept_w = accept[:, None]
+        new_state = state._replace(
+            w=jnp.where(accept_w, w_prop, state.w),
+            eta=jnp.where(accept, eta_prop, state.eta),
+            ll=jnp.where(accept, ll_prop, state.ll),
+            prior=jnp.where(accept, prior_prop, state.prior),
+            w_last=jnp.where(accept_w, w_prop, state.w_last),
+            rmse_train=trace["rmse_train"],
+            rmse_test=trace["rmse_test"],
+            acc_train=trace["acc_train"],
+            acc_test=trace["acc_test"],
+            n_accept=state.n_accept + accept.astype(jnp.int32),
+            n_langevin=n_langevin,
+        )
+        if cfg.record_w:
+            trace["w"] = new_state.w_last
+
+        new_state = jax.lax.cond(
+            swap_due(cfg, i),
+            lambda s: do_swap(s, i, ks),
+            lambda s: s,
+            new_state,
+        )
+        return new_state, trace
+
+    return step

@@ -1,0 +1,87 @@
+"""Replica-exchange swap as a compiled in-program permutation.
+
+The reference runs one master process that, every ``swap_interval`` steps,
+barriers all chain processes over ``multiprocessing.Event``s, then performs a
+*sequential adjacent-pair sweep* over the temperature ladder
+(multicore-pt-classification/pt_classification.py:668-698 and :747-755):
+pair (k, k+1) is considered in order, and because swapped parameter payloads
+are re-enqueued before pair (k+1, k+2) is examined, an accepted configuration
+can bubble several rungs up the ladder within a single sweep (SURVEY.md §3.4).
+
+Acceptance rule (pt_classification.py:683), kept verbatim including its
+nonstandard 0.5 prefactor and the exp-overflow clamp at 709:
+
+    accept  iff  u < min(1, 0.5 * exp(min(709, lhood2 - lhood1)))
+
+Here the whole sweep is a ``lax.scan`` over the C-1 adjacent pairs carrying
+(permutation, payload-likelihood vector); the resulting permutation is then
+applied to the (chains, ...) state arrays with ``jnp.take``. On a sharded
+chain axis XLA lowers that gather to the appropriate ICI collective — the
+entire master/queue/event choreography of the reference disappears into one
+deterministic collective step (SURVEY.md §2.3, §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EXP_CLAMP = 709.0  # reference's overflow guard (pt_classification.py:683)
+
+
+class SwapResult(NamedTuple):
+    perm: jax.Array  # (C,) int32 — new_state[i] = old_state[perm[i]]
+    n_accepted: jax.Array  # scalar int32 — accepted pair proposals this sweep
+    n_proposed: jax.Array  # scalar int32 — always C-1
+
+
+def sweep_permutation(payload_ll: jax.Array, key: jax.Array) -> SwapResult:
+    """One sequential bubbling sweep over adjacent pairs.
+
+    ``payload_ll``: (C,) likelihood payloads as each chain would enqueue them
+    (tempered or otherwise — the caller decides, mirroring the reference's
+    per-entry-point payload convention, see kernel.py).
+    """
+    c = payload_ll.shape[0]
+    perm0 = jnp.arange(c, dtype=jnp.int32)
+    us = jax.random.uniform(key, (c - 1,), dtype=payload_ll.dtype)
+
+    def pair(carry, inputs):
+        perm, ll = carry
+        k, u = inputs
+        lh1 = ll[k]
+        lh2 = ll[k + 1]
+        a = jnp.minimum(
+            1.0, 0.5 * jnp.exp(jnp.minimum(_EXP_CLAMP, lh2 - lh1))
+        )
+        swap = u < a
+        # Swap entries k and k+1 of both the permutation and the traveling
+        # payloads (the bubbling semantics: pair k+1 sees pair k's output).
+        pk, pk1 = perm[k], perm[k + 1]
+        perm = perm.at[k].set(jnp.where(swap, pk1, pk))
+        perm = perm.at[k + 1].set(jnp.where(swap, pk, pk1))
+        ll = ll.at[k].set(jnp.where(swap, lh2, lh1))
+        ll = ll.at[k + 1].set(jnp.where(swap, lh1, lh2))
+        return (perm, ll), swap
+
+    (perm, _), swaps = jax.lax.scan(
+        pair, (perm0, payload_ll), (jnp.arange(c - 1, dtype=jnp.int32), us)
+    )
+    return SwapResult(
+        perm=perm,
+        n_accepted=jnp.sum(swaps.astype(jnp.int32)),
+        n_proposed=jnp.asarray(c - 1, jnp.int32),
+    )
+
+
+def apply_permutation(perm: jax.Array, *arrays: jax.Array) -> Tuple[jax.Array, ...]:
+    """Gather chain-axis arrays through the sweep permutation.
+
+    Only the parameter payload travels between chains in the reference — the
+    chain's own likelihood/prior are deliberately NOT restored after a swap
+    (pt_classification.py:445-448, the commented-out line), so callers pass
+    only (w, eta) here under stale-likelihood parity semantics.
+    """
+    return tuple(jnp.take(a, perm, axis=0) for a in arrays)

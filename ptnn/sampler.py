@@ -1,0 +1,226 @@
+"""Sampling drivers: chunked streaming sampler and fused throughput runner.
+
+Replaces the reference's ``ParallelTempering.run_chains`` master loop
+(multicore-pt-classification/pt_classification.py:701-776): instead of forking
+processes and rendezvousing over queues, the whole run is a ``lax.scan`` over
+MCMC steps (kernel.py) executed in jitted chunks. Per-chunk traces are copied
+to the host while the next chunk runs on device (JAX async dispatch overlaps
+the D2H copy with compute), replacing the reference's end-of-run
+``np.savetxt`` persistence (pt_classification.py:465-492) with double-buffered
+streaming — and making every chunk boundary a natural checkpoint/resume point
+(SURVEY.md §5 checkpoint note).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptnn import kernel
+from ptnn.config import PTConfig
+from ptnn.models import fnn
+from ptnn.ops import drift as drift_mod
+from ptnn.ops import ladder
+from ptnn.parallel import mesh as mesh_mod
+
+
+@dataclass
+class SampleResult:
+    """Host-side result of a PT run.
+
+    Trace arrays have shape (samples_per_chain, num_chains, ...) with row 0
+    holding the reference's untouched init row (pos_w row of ones,
+    likelihood row of -100 — pt_classification.py:249,294).
+    """
+
+    traces: Dict[str, np.ndarray]
+    final_state: kernel.ChainState
+    temperatures: np.ndarray
+    accept_ratio_per_chain: np.ndarray  # percent, per chain
+    swap_percent: float
+    langevin_ratio_per_chain: np.ndarray
+    elapsed_s: float
+    chain_steps_per_sec: float
+    config: PTConfig = field(repr=False, default=None)
+
+
+def make_dataset(
+    cfg: PTConfig,
+    train: np.ndarray,
+    test: np.ndarray,
+) -> kernel.Dataset:
+    """Split raw ``[features..., label]`` matrices (reference row format,
+    SURVEY.md §L7) into a device-ready Dataset."""
+    i, _h, o = cfg.topology
+    x_tr = jnp.asarray(train[:, :i], jnp.float32)
+    y_tr = jnp.asarray(train[:, i], jnp.float32)
+    x_te = jnp.asarray(test[:, :i], jnp.float32)
+    y_te = jnp.asarray(test[:, i], jnp.float32)
+    t_tr = drift_mod.make_targets(y_tr, o, cfg.task)
+    return kernel.Dataset(
+        x_train=x_tr, y_train=y_tr, t_train=t_tr, x_test=x_te, y_test=y_te
+    )
+
+
+def _step_keys(base_key: jax.Array, start: jax.Array, length: int) -> jax.Array:
+    """Per-step keys derived from the absolute step index, so results are
+    invariant to chunking."""
+    return jax.vmap(lambda s: jax.random.fold_in(base_key, s))(
+        start + jnp.arange(length)
+    )
+
+
+def sample(
+    cfg: PTConfig,
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+    mesh=None,
+    init_state: Optional[kernel.ChainState] = None,
+) -> SampleResult:
+    """Run the full PT sampler, streaming traces to host chunk by chunk."""
+    cfg.validate()
+    data = make_dataset(cfg, train, test)
+    temps = jnp.asarray(
+        ladder.assign_temperatures(cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+
+    if mesh is not None:
+        data = mesh_mod.replicate_tree(data, mesh)
+        temps = mesh_mod.replicate_tree(temps, mesh)
+
+    state = init_state
+    if state is None:
+        state = kernel.init_state(k_init, cfg, data)
+    if mesh is not None:
+        state = mesh_mod.shard_chain_tree(state, mesh)
+
+    step = kernel.make_step_fn(cfg, data, temps)
+
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+    def run_chunk(st, start, length):
+        keys = _step_keys(k_run, start, length)
+        idx = start + jnp.arange(length)
+        return jax.lax.scan(step, st, (idx, keys))
+
+    n_steps = cfg.n_steps
+    chunk = max(1, min(cfg.chunk_steps, n_steps))
+    host_chunks = []
+    pending = None  # (device_traces) from previous chunk, fetched lazily
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        length = min(chunk, n_steps - done)
+        state, traces = run_chunk(state, jnp.asarray(done, jnp.int32), length)
+        if pending is not None:
+            host_chunks.append(jax.device_get(pending))  # overlaps with chunk
+        pending = traces
+        done += length
+    if pending is not None:
+        host_chunks.append(jax.device_get(pending))
+    state = jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    # Assemble (samples, C, ...) traces with the reference's init row 0.
+    merged: Dict[str, np.ndarray] = {}
+    for name in host_chunks[0]:
+        arr = np.concatenate([c[name] for c in host_chunks], axis=0)
+        if name == "w":
+            row0 = np.ones((1,) + arr.shape[1:], arr.dtype)
+        elif name == "ll":
+            row0 = np.full((1,) + arr.shape[1:], -100.0, arr.dtype)
+        else:
+            row0 = np.zeros((1,) + arr.shape[1:], arr.dtype)
+        merged[name] = np.concatenate([row0, arr], axis=0)
+
+    samples = cfg.samples_per_chain
+    n_acc = np.asarray(state.n_accept)
+    accept_ratio = n_acc * 100.0 / samples  # pt_classification.py:458
+    n_sw_prop = int(state.n_swap_proposed)
+    swap_pct = (
+        100.0 * int(state.n_swap_accepted) / n_sw_prop if n_sw_prop else 0.0
+    )  # pt_classification.py:774
+    langevin_ratio = np.asarray(state.n_langevin) * 100.0 / samples
+
+    return SampleResult(
+        traces=merged,
+        final_state=jax.device_get(state),
+        temperatures=np.asarray(temps),
+        accept_ratio_per_chain=accept_ratio,
+        swap_percent=swap_pct,
+        langevin_ratio_per_chain=langevin_ratio,
+        elapsed_s=elapsed,
+        chain_steps_per_sec=n_steps * cfg.num_chains / elapsed,
+        config=cfg,
+    )
+
+
+def throughput_run(
+    cfg: PTConfig,
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+    mesh=None,
+    warmup_steps: int = 64,
+) -> Dict[str, float]:
+    """Fused device-resident run for benchmarking: one jitted scan over all
+    steps, scalar traces kept on device, timed after a compile+warmup pass."""
+    cfg = cfg.validate()
+    cfg2 = cfg if not cfg.record_w else PTConfig(**{**cfg.__dict__, "record_w": False})
+    data = make_dataset(cfg2, train, test)
+    temps = jnp.asarray(
+        ladder.assign_temperatures(cfg2.num_chains, cfg2.maxtemp), jnp.float32
+    )
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if mesh is not None:
+        data = mesh_mod.replicate_tree(data, mesh)
+        temps = mesh_mod.replicate_tree(temps, mesh)
+    state0 = kernel.init_state(k_init, cfg2, data)
+    if mesh is not None:
+        state0 = mesh_mod.shard_chain_tree(state0, mesh)
+    step = kernel.make_step_fn(cfg2, data, temps)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run(st, start, length):
+        keys = _step_keys(k_run, start, length)
+        idx = start + jnp.arange(length)
+        st, traces = jax.lax.scan(step, st, (idx, keys))
+        # Reduce traces on device: mean scalar metrics only.
+        summary = {k: jnp.mean(v) for k, v in traces.items()}
+        return st, summary
+
+    n = cfg2.n_steps
+    wu = min(warmup_steps, n)
+    # Compile + warmup (same static length as the timed run when possible).
+    st, _ = run(state0, jnp.asarray(0, jnp.int32), n)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    st, summary = run(state0, jnp.asarray(0, jnp.int32), n)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    return {
+        "elapsed_s": dt,
+        "steps": float(n),
+        "chains": float(cfg2.num_chains),
+        "chain_steps_per_sec": n * cfg2.num_chains / dt,
+        "accept_pct": float(jnp.mean(st.n_accept) * 100.0 / cfg2.samples_per_chain),
+        "swap_pct": float(
+            jnp.where(
+                st.n_swap_proposed > 0,
+                100.0 * st.n_swap_accepted / jnp.maximum(st.n_swap_proposed, 1),
+                0.0,
+            )
+        ),
+        "final_rmse_test_cold": float(jax.device_get(st.rmse_test)[0]),
+    }

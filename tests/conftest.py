@@ -1,0 +1,27 @@
+"""Test harness: force an 8-virtual-device CPU backend BEFORE jax imports.
+
+Multi-chip sharding logic is validated on a virtual CPU mesh
+(``xla_force_host_platform_device_count=8``); the real-TPU path is exercised
+by bench.py / __graft_entry__.py.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the image pre-sets axon (TPU); force CPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,132 @@
+"""End-to-end sampler tests: shapes, determinism, chunk invariance, swaps."""
+
+import numpy as np
+import jax
+import pytest
+
+from ptnn import PTConfig, regression_preset, classification_preset, sample
+from ptnn.data import load_regression
+from ptnn.kernel import swap_due
+import dataclasses
+
+
+def small_reg_cfg(**kw):
+    base = dict(
+        task="regression",
+        topology=(4, 10, 1),
+        num_samples=4000,  # 500 per chain
+        num_chains=8,
+        maxtemp=2.0,
+        swap_interval=50,
+        swap_offset=0,
+        swap_payload="tempered_times_T",
+        use_langevin_gradients=False,
+        chunk_steps=200,
+    )
+    base.update(kw)
+    return PTConfig(**base).validate()
+
+
+@pytest.fixture(scope="module")
+def sunspot():
+    p = load_regression("Sunspot")
+    return p.train, p.test
+
+
+def test_smoke_regression_rw(sunspot):
+    cfg = small_reg_cfg()
+    res = sample(cfg, *sunspot, seed=0)
+    s, c = cfg.samples_per_chain, cfg.num_chains
+    assert res.traces["w"].shape == (s, c, cfg.w_size)
+    assert res.traces["ll"].shape == (s, c)
+    assert res.traces["rmse_train"].shape == (s, c)
+    # init rows follow the reference conventions
+    np.testing.assert_array_equal(res.traces["w"][0], 1.0)
+    np.testing.assert_array_equal(res.traces["ll"][0], -100.0)
+    np.testing.assert_array_equal(res.traces["rmse_train"][0], 0.0)
+    # finite traces after step 0
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    assert np.isfinite(res.traces["rmse_test"][1:]).all()
+    # some acceptance, not everything
+    assert 0.5 < res.accept_ratio_per_chain.mean() < 99.5
+    # swap accounting: sweeps happen and percentages are sane
+    assert 0.0 <= res.swap_percent <= 100.0
+    n_sweeps = int(res.final_state.n_swap_proposed) // (cfg.num_chains - 1)
+    expected_sweeps = sum(
+        bool(swap_due(cfg, i)) for i in range(cfg.n_steps)
+    )
+    assert n_sweeps == expected_sweeps
+    # temperatures: chain 0 cold
+    assert res.temperatures[0] == 1.0
+
+
+def test_chunk_invariance(sunspot):
+    """Traces must not depend on the host-streaming chunk size."""
+    cfg_a = small_reg_cfg(chunk_steps=499)
+    cfg_b = small_reg_cfg(chunk_steps=100)
+    ra = sample(cfg_a, *sunspot, seed=3)
+    rb = sample(cfg_b, *sunspot, seed=3)
+    for k in ra.traces:
+        np.testing.assert_allclose(ra.traces[k], rb.traces[k], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        ra.final_state.n_accept, rb.final_state.n_accept
+    )
+
+
+def test_seed_determinism_and_variation(sunspot):
+    cfg = small_reg_cfg(num_samples=1600)
+    r1 = sample(cfg, *sunspot, seed=11)
+    r2 = sample(cfg, *sunspot, seed=11)
+    r3 = sample(cfg, *sunspot, seed=12)
+    np.testing.assert_array_equal(r1.traces["ll"], r2.traces["ll"])
+    assert not np.array_equal(r1.traces["ll"], r3.traces["ll"])
+
+
+def test_langevin_regression_runs(sunspot):
+    cfg = small_reg_cfg(
+        num_samples=800,
+        use_langevin_gradients=True,
+        langevin_prob=0.5,
+        learn_rate=0.1,
+        drift_mode="sequential",
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    lrat = res.langevin_ratio_per_chain
+    assert 20.0 < lrat.mean() < 80.0  # ~50% of steps use the gradient
+    # Langevin run should make clear progress within 100 steps on Sunspot
+    assert res.traces["rmse_test"][-1].min() < 0.25
+
+
+def test_langevin_batch_mode_runs(sunspot):
+    cfg = small_reg_cfg(
+        num_samples=800,
+        use_langevin_gradients=True,
+        drift_mode="batch",
+        learn_rate=0.1,
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    assert np.isfinite(res.traces["ll"][1:]).all()
+
+
+def test_classification_smoke():
+    from ptnn.data import load_classification
+
+    p = load_classification("iris", seed=0)
+    cfg = dataclasses.replace(
+        classification_preset(p.topology, num_samples=2000, use_langevin_gradients=False),
+        chunk_steps=100,
+    )
+    res = sample(cfg, p.train, p.test, seed=0)
+    assert res.traces["acc_test"].shape == (200, 10)
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    assert (res.traces["acc_test"] <= 100.0).all()
+    # RW on iris mixes poorly but should accept plenty (ref: ~95%)
+    assert res.accept_ratio_per_chain.mean() > 30.0
+
+
+def test_record_w_off(sunspot):
+    cfg = small_reg_cfg(num_samples=800, record_w=False)
+    res = sample(cfg, *sunspot, seed=0)
+    assert "w" not in res.traces
+    assert res.traces["ll"].shape[0] == cfg.samples_per_chain
