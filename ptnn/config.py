@@ -40,9 +40,16 @@ class PTConfig:
     # "tempered_times_T"— regression enqueues (lhood/adapttemp)*T (:430)
     # "untempered"      — clean fix mode (not reference behavior)
     swap_payload: str = "tempered"
-    # After a swap the reference chain keeps its pre-swap likelihood/prior
-    # (stale, self-correcting at the next MH step — pt_classification.py:448).
-    stale_likelihood_after_swap: bool = True
+    # After a swap, the CURRENT reference entry points keep the chain's
+    # pre-swap likelihood (stale — pt_classification.py:448 comments out the
+    # restore), which freezes chains that swapped a good likelihood against a
+    # worse w until the 60% recompute. Every OLDER variant restores it
+    # (e.g. misc_code/pt_fnn_multi.py:294, Misc/ldpt_fnn_multi_fixed.py:327),
+    # and the committed Res_* baseline statistics (accept ~18%, RMSE 0.0239
+    # on Sunspot RW) are only reproducible with restore semantics — so False
+    # (restore: permute ll+prior with w) is the default; True mirrors the
+    # current entry points' literal behavior.
+    stale_likelihood_after_swap: bool = False
 
     # Proposals.
     use_langevin_gradients: bool = False

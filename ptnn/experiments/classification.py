@@ -1,0 +1,71 @@
+"""Classification experiment driver.
+
+Equivalent of multicore-pt-classification/pt_classification.py ``main()``
+(:899-1224): per-dataset topology blocks (:920-995), z-score + 70/30 split
+for the combined sets (in ptnn.data), the reference hyperparameter block
+(:1036-1045) as CLI defaults, auto-versioned output dirs, the 15-column
+master row (fmt %1.2f, :1140) and diagnostic plots.
+
+Examples:
+    python -m ptnn.experiments.classification --problem iris
+    python -m ptnn.experiments.classification --problem all --langevin
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ptnn.config import classification_preset
+from ptnn.data import CLASSIFICATION_TOPOLOGIES, load_classification
+from ptnn.experiments.runner import run_problem
+
+# reference problem loop order (problems 3..8, pt_classification.py:901)
+PROBLEM_ORDER = ["iris", "Ionosphere", "Cancer", "bank-additional", "PenDigit", "chess"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--problem", default="iris", help="dataset name or 'all'")
+    p.add_argument("--samples", type=int, default=50_000, help="total samples")
+    p.add_argument("--chains", type=int, default=10)
+    p.add_argument("--maxtemp", type=float, default=10.0)
+    p.add_argument("--swap-ratio", type=float, default=0.02)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--langevin", action="store_true", default=False)
+    p.add_argument("--drift-mode", choices=("sequential", "batch"), default="sequential")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-seed", type=int, default=0, help="train/test split seed")
+    p.add_argument("--out", default="results/classification")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--mesh", action="store_true", help="shard chains over devices")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    problems = PROBLEM_ORDER if args.problem == "all" else [args.problem]
+    for name in problems:
+        prob = load_classification(name, seed=args.data_seed)
+        cfg = classification_preset(
+            topology=prob.topology,
+            num_samples=args.samples,
+            num_chains=args.chains,
+            maxtemp=args.maxtemp,
+            swap_ratio=args.swap_ratio,
+            use_langevin_gradients=args.langevin,
+            learn_rate=args.lr,
+        )
+        cfg = cfg.__class__(**{**cfg.__dict__, "drift_mode": args.drift_mode})
+        run_problem(
+            prob,
+            cfg,
+            args.out,
+            seed=args.seed,
+            plots=not args.no_plots,
+            use_mesh=args.mesh,
+            master_fmt="%1.2f",
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Time-series regression experiment driver.
+
+Equivalent of multicore-pt-regression/pt_timeseries_regression.py ``main()``
+(:877-1154) with a real CLI instead of hardcoded constants (the reference's
+``sys.argv`` handling is dead code — pt_classification.py:1039). Defaults
+reproduce the reference hyperparameter block (:915-955); ``--lprob-sweep``
+reproduces its outer loop ``l_prob = i/10`` (:991).
+
+Examples:
+    python -m ptnn.experiments.regression --problem Sunspot
+    python -m ptnn.experiments.regression --problem all --no-langevin
+    python -m ptnn.experiments.regression --problem Lazer --lprob-sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ptnn.config import regression_preset
+from ptnn.data import REGRESSION_SETS, load_regression
+from ptnn.experiments.runner import run_problem
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--problem", default="Sunspot", help="dataset name or 'all'")
+    p.add_argument("--samples", type=int, default=100_000, help="total samples")
+    p.add_argument("--chains", type=int, default=10)
+    p.add_argument("--maxtemp", type=float, default=2.0)
+    p.add_argument("--swap-ratio", type=float, default=0.01)
+    p.add_argument("--lr", type=float, default=0.1)
+    langevin = p.add_mutually_exclusive_group()
+    langevin.add_argument("--langevin", dest="langevin", action="store_true")
+    langevin.add_argument("--no-langevin", dest="langevin", action="store_false")
+    p.set_defaults(langevin=True)
+    p.add_argument("--l-prob", type=float, default=0.5)
+    p.add_argument(
+        "--lprob-sweep",
+        action="store_true",
+        help="sweep l_prob over 0.1..0.8 (reference outer loop)",
+    )
+    p.add_argument("--drift-mode", choices=("sequential", "batch"), default="sequential")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="results/regression")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--mesh", action="store_true", help="shard chains over devices")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    problems = list(REGRESSION_SETS) if args.problem == "all" else [args.problem]
+    lprobs = [i / 10 for i in range(1, 9)] if args.lprob_sweep else [args.l_prob]
+    for name in problems:
+        prob = load_regression(name)
+        for lp in lprobs:
+            cfg = regression_preset(
+                num_samples=args.samples,
+                num_chains=args.chains,
+                maxtemp=args.maxtemp,
+                swap_ratio=args.swap_ratio,
+                use_langevin_gradients=args.langevin,
+                langevin_prob=lp,
+                learn_rate=args.lr,
+            )
+            cfg = cfg.__class__(**{**cfg.__dict__, "drift_mode": args.drift_mode})
+            run_problem(
+                prob,
+                cfg,
+                args.out,
+                seed=args.seed,
+                plots=not args.no_plots,
+                use_mesh=args.mesh,
+                master_fmt="%1.4f",
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -241,10 +241,35 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
             n_swap_proposed=state.n_swap_proposed + res.n_proposed,
         )
 
+    def recompute_ll(s: ChainState) -> ChainState:
+        """Refresh the carried log-likelihood from the CURRENT (w, eta).
+
+        The reference does this exactly once, at the 60% phase switch
+        (pt_classification.py:320-324) — and it matters: it clears the
+        stale-likelihood debt accumulated by swaps. Without it, a chain that
+        swapped a good likelihood value against a worse w rejects every
+        subsequent proposal and freezes. (Deviation note: the reference's
+        regression recompute uses the *last proposed* tau rather than the
+        accepted one — a one-step transient we replace with the accepted
+        eta, pt_timeseries_regression.py:322.)
+        """
+        if is_regression:
+            ev = b_eval_tr(
+                s.w, data.x_train, data.y_train, jnp.exp(s.eta), topo
+            )
+        else:
+            ev = b_eval(s.w, data.x_train, data.y_train, topo)
+        return s._replace(ll=ev.loglik)
+
     def step(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
         i, key = xs
         kp, kl, ke, ku, ks = jax.random.split(key, 5)
         adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
+
+        if switch_step <= cfg.n_steps:
+            state = jax.lax.cond(
+                i == switch_step, recompute_ll, lambda s: s, state
+            )
 
         w_prop, diff_prop, n_langevin = propose(state, i, kp, kl)
 

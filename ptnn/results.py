@@ -1,0 +1,268 @@
+"""Result aggregation and artifact persistence.
+
+Reproduces the reference's artifact surface (SURVEY.md §5 "Metrics"): the
+per-chain trace files written at chain exit (multicore-pt-classification/
+pt_classification.py:465-492), the pooled aggregation of ``show_results``
+(:780-893), the 15-column ``master_result_file.txt`` row (:1138; regression
+variant pt_timeseries_regression.py:1052), and the diagnostic plots
+(:1149-1199). One deliberate improvement: aggregation happens in memory from
+the streamed traces — the reference round-trips every trace through text
+files on disk and re-loads them (:802-839); the files here are written for
+parity/inspection, not as the aggregation medium.
+
+Known reference quirks kept so downstream tooling sees identical semantics:
+
+* classification's "max" columns use ``np.amax`` but regression's use
+  ``np.amin`` (best RMSE) — pt_timeseries_regression.py:1038,1042;
+* ``accept_per`` is the cross-chain mean of the final cumulative accept count
+  over samples (pt_classification.py:1098-1100);
+* pos_w row 0 is the untouched ``np.ones`` init row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from ptnn.config import PTConfig
+from ptnn.sampler import SampleResult
+
+
+@dataclass
+class Summary:
+    """The 15-column master row, named."""
+
+    problem: str
+    num_samples: int
+    maxtemp: float
+    swap_interval: int
+    proposal_col: float  # use_langevin (classification) / langevin_prob (regr.)
+    learn_rate: float
+    train_mean: float
+    train_std: float
+    train_best: float
+    test_mean: float
+    test_std: float
+    test_best: float
+    swap_perc: float
+    accept_per: float
+    time_min: float
+
+    def row(self) -> np.ndarray:
+        return np.asarray(
+            [
+                0.0,  # problem index slot; name carried separately
+                self.num_samples,
+                self.maxtemp,
+                self.swap_interval,
+                self.proposal_col,
+                self.learn_rate,
+                self.train_mean,
+                self.train_std,
+                self.train_best,
+                self.test_mean,
+                self.test_std,
+                self.test_best,
+                self.swap_perc,
+                self.accept_per,
+                self.time_min,
+            ]
+        )
+
+
+def summarize(res: SampleResult, problem: str) -> Summary:
+    """Pool post-burn-in traces across chains (show_results semantics)."""
+    cfg: PTConfig = res.config
+    burnin = int(cfg.samples_per_chain * cfg.burn_in)
+    is_reg = cfg.task == "regression"
+    key = "rmse" if is_reg else "acc"
+    tr = res.traces[f"{key}_train"][burnin:]  # (S-b, C)
+    te = res.traces[f"{key}_test"][burnin:]
+    best = np.amin if is_reg else np.amax  # reference quirk (see module doc)
+    # accept_per: mean over chains of final cumulative count / samples
+    # (pt_classification.py:1098-1100 with accept_list[-1] ≈ total accepted).
+    accept_per = float(
+        np.mean(res.traces["accept_count"][-1] / cfg.samples_per_chain) * 100.0
+    )
+    return Summary(
+        problem=problem,
+        num_samples=cfg.num_samples,
+        maxtemp=cfg.maxtemp,
+        swap_interval=cfg.swap_interval,
+        proposal_col=(
+            cfg.langevin_prob if is_reg else float(cfg.use_langevin_gradients)
+        ),
+        learn_rate=cfg.learn_rate,
+        train_mean=float(np.mean(tr)),
+        train_std=float(np.std(tr)),
+        train_best=float(best(tr)),
+        test_mean=float(np.mean(te)),
+        test_std=float(np.std(te)),
+        test_best=float(best(te)),
+        swap_perc=float(res.swap_percent),
+        accept_per=accept_per,
+        time_min=res.elapsed_s / 60.0,
+    )
+
+
+def pooled_posterior(res: SampleResult) -> np.ndarray:
+    """(num_param, chains * (samples - burnin)) pooled posterior
+    (pt_classification.py:847)."""
+    cfg = res.config
+    burnin = int(cfg.samples_per_chain * cfg.burn_in)
+    pos = res.traces["w"][burnin:]  # (S-b, C, W)
+    return pos.transpose(2, 1, 0).reshape(cfg.w_size, -1)
+
+
+def versioned_dir(base: str, name: str) -> str:
+    """Auto-versioned output directory ``<base>/<name>_<n>``
+    (pt_classification.py:1057-1071)."""
+    n = 0
+    while os.path.exists(os.path.join(base, f"{name}_{n}")):
+        n += 1
+    path = os.path.join(base, f"{name}_{n}")
+    os.makedirs(path)
+    return path
+
+
+def write_artifacts(
+    res: SampleResult,
+    path: str,
+    problem: str,
+    plots: bool = True,
+) -> Summary:
+    """Write the full reference artifact tree under ``path``."""
+    cfg: PTConfig = res.config
+    for d in (
+        "predictions",
+        "posterior/pos_w",
+        "posterior/pos_likelihood",
+        "posterior/accept_list",
+        "results",
+    ):
+        os.makedirs(os.path.join(path, d), exist_ok=True)
+
+    samples = cfg.samples_per_chain
+    temps = res.temperatures
+    likeh = np.zeros((samples, 2))
+    for ci in range(cfg.num_chains):
+        t_str = str(float(temps[ci]))
+        if "w" in res.traces:
+            np.savetxt(
+                os.path.join(path, "posterior", "pos_w", f"chain_{t_str}.txt"),
+                res.traces["w"][:, ci, :],
+            )
+        likeh[:, 0] = res.traces["ll"][:, ci]
+        likeh[0, :] = [-100.0, -100.0]
+        np.savetxt(
+            os.path.join(path, "posterior", "pos_likelihood", f"chain_{t_str}.txt"),
+            likeh,
+            fmt="%1.4f",
+        )
+        np.savetxt(
+            os.path.join(path, "posterior", "accept_list", f"chain_{t_str}.txt"),
+            res.traces["accept_count"][:, ci],
+            fmt="%1.4f",
+        )
+        np.savetxt(
+            os.path.join(
+                path, "posterior", "accept_list", f"chain_{t_str}_accept.txt"
+            ),
+            [res.accept_ratio_per_chain[ci]],
+            fmt="%1.4f",
+        )
+        for metric in ("rmse_test", "rmse_train", "acc_test", "acc_train"):
+            np.savetxt(
+                os.path.join(path, "predictions", f"{metric}_chain_{t_str}.txt"),
+                res.traces[metric][:, ci],
+                fmt="%1.2f",
+            )
+
+    burnin = int(samples * cfg.burn_in)
+    lik_vec = res.traces["ll"][burnin:].T.reshape(-1)  # (C*(S-b),)
+    np.savetxt(
+        os.path.join(path, "likelihood.txt"),
+        np.stack([lik_vec, np.zeros_like(lik_vec)], axis=1),
+        fmt="%1.5f",
+    )
+    np.savetxt(
+        os.path.join(path, "accept_list.txt"),
+        res.traces["accept_count"].T,
+        fmt="%1.2f",
+    )
+    summary = summarize(res, problem)
+    np.savetxt(
+        os.path.join(path, "acceptpercent.txt"), [summary.accept_per], fmt="%1.2f"
+    )
+
+    # Structured metrics (new capability — JSONL, SURVEY.md §5 observability).
+    with open(os.path.join(path, "metrics.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": time.time(),
+                    "problem": problem,
+                    "task": cfg.task,
+                    "chains": cfg.num_chains,
+                    "samples_per_chain": samples,
+                    "swap_percent": res.swap_percent,
+                    "accept_per": summary.accept_per,
+                    "test_mean": summary.test_mean,
+                    "test_best": summary.test_best,
+                    "elapsed_s": res.elapsed_s,
+                    "chain_steps_per_sec": res.chain_steps_per_sec,
+                }
+            )
+            + "\n"
+        )
+
+    if plots:
+        write_plots(res, path)
+    return summary
+
+
+def append_master_row(
+    master_path: str, summary: Summary, run_name: str, fmt: str = "%1.4f"
+) -> None:
+    """Append the 15-column row + run tag (pt_classification.py:1138-1147)."""
+    os.makedirs(os.path.dirname(master_path) or ".", exist_ok=True)
+    with open(master_path, "a+") as f:
+        np.savetxt(f, summary.row(), fmt=fmt, newline=" ")
+        np.savetxt(f, [run_name], fmt="%s", newline=" \n")
+
+
+def write_plots(res: SampleResult, path: str) -> None:
+    """Diagnostic figures (pt_classification.py:1149-1199)."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    cfg = res.config
+    is_reg = cfg.task == "regression"
+    key = "rmse" if is_reg else "acc"
+    tr = res.traces[f"{key}_train"].reshape(-1)
+    te = res.traces[f"{key}_test"].reshape(-1)
+
+    plt.plot(tr, ".", label="Train")
+    plt.plot(te, ".", label="Test")
+    plt.legend(loc="upper right")
+    plt.title(f"{'RMSE' if is_reg else 'Classification Acc.'} over samples")
+    plt.savefig(os.path.join(path, f"{key}_samples.png"))
+    plt.clf()
+
+    plt.plot(res.traces["ll"])  # (S, C): one line per chain
+    plt.title("Proposal log-likelihood per chain")
+    plt.savefig(os.path.join(path, "likelihood.png"))
+    plt.clf()
+
+    plt.plot(res.traces["accept_count"])
+    plt.title("Cumulative accepts per chain")
+    plt.savefig(os.path.join(path, "accept.png"))
+    plt.clf()
+    plt.close("all")

@@ -45,7 +45,7 @@ def test_sharded_matches_single_device(sunspot):
     r_mesh = sample(c, *sunspot, seed=7, mesh=m)
     for k in r_plain.traces:
         np.testing.assert_allclose(
-            r_plain.traces[k], r_mesh.traces[k], rtol=2e-5, atol=1e-5
+            r_plain.traces[k], r_mesh.traces[k], rtol=2e-4, atol=1e-4
         )
     np.testing.assert_array_equal(
         r_plain.final_state.n_accept, r_mesh.final_state.n_accept
