@@ -248,10 +248,13 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
         (pt_classification.py:320-324) — and it matters: it clears the
         stale-likelihood debt accumulated by swaps. Without it, a chain that
         swapped a good likelihood value against a worse w rejects every
-        subsequent proposal and freezes. (Deviation note: the reference's
-        regression recompute uses the *last proposed* tau rather than the
-        accepted one — a one-step transient we replace with the accepted
-        eta, pt_timeseries_regression.py:322.)
+        subsequent proposal and freezes. The switch index is STATIC, so the
+        sampler splits the scan there and calls this once between segments —
+        a per-step lax.cond costs ~15x in XLA compile time for the same
+        semantics. (Deviation note: the reference's regression recompute uses
+        the *last proposed* tau rather than the accepted one — a one-step
+        transient we replace with the accepted eta,
+        pt_timeseries_regression.py:322.)
         """
         if is_regression:
             ev = b_eval_tr(
@@ -265,11 +268,6 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
         i, key = xs
         kp, kl, ke, ku, ks = jax.random.split(key, 5)
         adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
-
-        if switch_step <= cfg.n_steps:
-            state = jax.lax.cond(
-                i == switch_step, recompute_ll, lambda s: s, state
-            )
 
         w_prop, diff_prop, n_langevin = propose(state, i, kp, kl)
 
@@ -340,4 +338,5 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
         )
         return new_state, trace
 
+    step.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
     return step

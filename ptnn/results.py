@@ -29,6 +29,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ptnn import native
 from ptnn.config import PTConfig
 from ptnn.sampler import SampleResult
 
@@ -153,47 +154,47 @@ def write_artifacts(
     for ci in range(cfg.num_chains):
         t_str = str(float(temps[ci]))
         if "w" in res.traces:
-            np.savetxt(
+            native.savetxt(
                 os.path.join(path, "posterior", "pos_w", f"chain_{t_str}.txt"),
                 res.traces["w"][:, ci, :],
             )
         likeh[:, 0] = res.traces["ll"][:, ci]
         likeh[0, :] = [-100.0, -100.0]
-        np.savetxt(
+        native.savetxt(
             os.path.join(path, "posterior", "pos_likelihood", f"chain_{t_str}.txt"),
             likeh,
-            fmt="%1.4f",
+            "%1.4f",
         )
-        np.savetxt(
+        native.savetxt(
             os.path.join(path, "posterior", "accept_list", f"chain_{t_str}.txt"),
             res.traces["accept_count"][:, ci],
-            fmt="%1.4f",
+            "%1.4f",
         )
-        np.savetxt(
+        native.savetxt(
             os.path.join(
                 path, "posterior", "accept_list", f"chain_{t_str}_accept.txt"
             ),
-            [res.accept_ratio_per_chain[ci]],
-            fmt="%1.4f",
+            np.asarray([res.accept_ratio_per_chain[ci]]),
+            "%1.4f",
         )
         for metric in ("rmse_test", "rmse_train", "acc_test", "acc_train"):
-            np.savetxt(
+            native.savetxt(
                 os.path.join(path, "predictions", f"{metric}_chain_{t_str}.txt"),
                 res.traces[metric][:, ci],
-                fmt="%1.2f",
+                "%1.2f",
             )
 
     burnin = int(samples * cfg.burn_in)
     lik_vec = res.traces["ll"][burnin:].T.reshape(-1)  # (C*(S-b),)
-    np.savetxt(
+    native.savetxt(
         os.path.join(path, "likelihood.txt"),
         np.stack([lik_vec, np.zeros_like(lik_vec)], axis=1),
-        fmt="%1.5f",
+        "%1.5f",
     )
-    np.savetxt(
+    native.savetxt(
         os.path.join(path, "accept_list.txt"),
         res.traces["accept_count"].T,
-        fmt="%1.2f",
+        "%1.2f",
     )
     summary = summarize(res, problem)
     np.savetxt(

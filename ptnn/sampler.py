@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptnn import kernel
+from ptnn.compat import fast_jit
 from ptnn.config import PTConfig
 from ptnn.models import fnn
 from ptnn.ops import drift as drift_mod
@@ -68,6 +69,23 @@ def make_dataset(
     )
 
 
+def _pick_chunk(n_steps: int, target: int) -> int:
+    """Largest divisor of ``n_steps`` not exceeding ~2x the target, so every
+    chunk shares one compiled executable (a trailing odd-sized chunk would
+    cost a second XLA compile, which dwarfs the compute at these sizes)."""
+    best = 1
+    for d in range(1, int(n_steps**0.5) + 1):
+        if n_steps % d == 0:
+            for cand in (d, n_steps // d):
+                if cand <= 2 * target and cand > best:
+                    best = cand
+    # n_steps prime (or no divisor near target): two compiles beat running
+    # thousands of tiny chunks.
+    if best < max(1, target // 8):
+        return target
+    return best
+
+
 def _step_keys(base_key: jax.Array, start: jax.Array, length: int) -> jax.Array:
     """Per-step keys derived from the absolute step index, so results are
     invariant to chunking."""
@@ -98,34 +116,58 @@ def sample(
         data = mesh_mod.replicate_tree(data, mesh)
         temps = mesh_mod.replicate_tree(temps, mesh)
 
+    # On the mesh path, plain jit preserves sharding; otherwise fast_jit
+    # works around slow lowering on tunneled TPU backends (compat.py).
+    jit_here = jax.jit if mesh is not None else fast_jit
+
     state = init_state
     if state is None:
-        state = kernel.init_state(k_init, cfg, data)
+        state = jit_here(lambda k: kernel.init_state(k, cfg, data))(k_init)
     if mesh is not None:
         state = mesh_mod.shard_chain_tree(state, mesh)
 
     step = kernel.make_step_fn(cfg, data, temps)
+    recompute = jit_here(step.recompute_ll)
 
-    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
-    def run_chunk(st, start, length):
+    def _run_chunk(st, start, length):
         keys = _step_keys(k_run, start, length)
         idx = start + jnp.arange(length)
         return jax.lax.scan(step, st, (idx, keys))
 
+    if mesh is not None:
+        run_chunk = jax.jit(
+            _run_chunk, static_argnames=("length",), donate_argnums=(0,)
+        )
+    else:
+        run_chunk = fast_jit(_run_chunk, static_argnames=("length",))
+
     n_steps = cfg.n_steps
-    chunk = max(1, min(cfg.chunk_steps, n_steps))
+    target = max(1, min(cfg.chunk_steps, n_steps))
+    # Scan segments split at the (static) temper-switch step, where the
+    # reference recomputes the carried likelihood (pt_classification.py:320-324).
+    switch = cfg.temper_switch_step
+    segments = (
+        [(0, switch), (switch, n_steps)] if 0 < switch < n_steps else [(0, n_steps)]
+    )
     host_chunks = []
     pending = None  # (device_traces) from previous chunk, fetched lazily
 
     t0 = time.perf_counter()
-    done = 0
-    while done < n_steps:
-        length = min(chunk, n_steps - done)
-        state, traces = run_chunk(state, jnp.asarray(done, jnp.int32), length)
-        if pending is not None:
-            host_chunks.append(jax.device_get(pending))  # overlaps with chunk
-        pending = traces
-        done += length
+    for si, (seg_start, seg_end) in enumerate(segments):
+        if si > 0:
+            state = recompute(state)
+        seg_len = seg_end - seg_start
+        chunk = _pick_chunk(seg_len, target)
+        done = seg_start
+        while done < seg_end:
+            length = min(chunk, seg_end - done)
+            state, traces = run_chunk(
+                state, jnp.asarray(done, jnp.int32), length=length
+            )
+            if pending is not None:
+                host_chunks.append(jax.device_get(pending))  # overlaps with chunk
+            pending = traces
+            done += length
     if pending is not None:
         host_chunks.append(jax.device_get(pending))
     state = jax.block_until_ready(state)
@@ -186,29 +228,37 @@ def throughput_run(
     if mesh is not None:
         data = mesh_mod.replicate_tree(data, mesh)
         temps = mesh_mod.replicate_tree(temps, mesh)
-    state0 = kernel.init_state(k_init, cfg2, data)
+    jit_here = jax.jit if mesh is not None else fast_jit
+    state0 = jit_here(lambda k: kernel.init_state(k, cfg2, data))(k_init)
     if mesh is not None:
         state0 = mesh_mod.shard_chain_tree(state0, mesh)
     step = kernel.make_step_fn(cfg2, data, temps)
 
-    @partial(jax.jit, static_argnames=("length",))
-    def run(st, start, length):
-        keys = _step_keys(k_run, start, length)
-        idx = start + jnp.arange(length)
-        st, traces = jax.lax.scan(step, st, (idx, keys))
-        # Reduce traces on device: mean scalar metrics only.
-        summary = {k: jnp.mean(v) for k, v in traces.items()}
+    @jit_here
+    def run(st):
+        # Two fused scans split at the static temper-switch step with the
+        # reference's one-time likelihood recompute between them.
+        switch = cfg2.temper_switch_step
+        n = cfg2.n_steps
+        bounds = [(0, switch), (switch, n)] if 0 < switch < n else [(0, n)]
+        summary = None
+        for bi, (a, b) in enumerate(bounds):
+            if bi > 0:
+                st = step.recompute_ll(st)
+            keys = _step_keys(k_run, jnp.asarray(a), b - a)
+            idx = a + jnp.arange(b - a)
+            st, traces = jax.lax.scan(step, st, (idx, keys))
+            summary = {k: jnp.mean(v) for k, v in traces.items()}
         return st, summary
 
-    n = cfg2.n_steps
-    wu = min(warmup_steps, n)
-    # Compile + warmup (same static length as the timed run when possible).
-    st, _ = run(state0, jnp.asarray(0, jnp.int32), n)
+    # Compile + warmup pass, then the timed run.
+    st, _ = run(state0)
     jax.block_until_ready(st)
     t0 = time.perf_counter()
-    st, summary = run(state0, jnp.asarray(0, jnp.int32), n)
+    st, summary = run(state0)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
+    n = cfg2.n_steps
     return {
         "elapsed_s": dt,
         "steps": float(n),
