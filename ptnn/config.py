@@ -40,6 +40,10 @@ class PTConfig:
     # "tempered_times_T"— regression enqueues (lhood/adapttemp)*T (:430)
     # "untempered"      — clean fix mode (not reference behavior)
     swap_payload: str = "tempered"
+    # Pair-acceptance rule: "half_exp" (reference, pt_classification.py:683),
+    # "unclamped" (older variants), "metropolis" (detailed-balance rule with
+    # untempered payloads — pairs with swap_payload="untempered").
+    swap_rule: str = "half_exp"
     # After a swap, the CURRENT reference entry points keep the chain's
     # pre-swap likelihood (stale — pt_classification.py:448 comments out the
     # restore), which freezes chains that swapped a good likelihood against a
@@ -76,6 +80,7 @@ class PTConfig:
 
     # Runtime knobs (no reference equivalent).
     record_w: bool = True  # record full pos_w trace (the posterior)
+    record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
 
     # ------------------------------------------------------------------
@@ -109,11 +114,22 @@ class PTConfig:
             raise ValueError(f"unknown task {self.task!r}")
         if self.swap_payload not in ("tempered", "tempered_times_T", "untempered"):
             raise ValueError(f"unknown swap_payload {self.swap_payload!r}")
+        if self.swap_rule not in ("half_exp", "unclamped", "metropolis"):
+            raise ValueError(f"unknown swap_rule {self.swap_rule!r}")
+        if self.swap_rule == "metropolis" and self.swap_payload != "untempered":
+            raise ValueError("metropolis swap rule requires untempered payloads")
         if self.drift_mode not in ("sequential", "batch"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
-        if self.num_chains < 2:
-            raise ValueError("need at least 2 chains for parallel tempering")
+        if self.num_chains < 2 and self.swaps_enabled:
+            raise ValueError(
+                "need at least 2 chains for parallel tempering (single-chain "
+                "MCMC: disable swapping with swap_interval=0)"
+            )
         return self
+
+    @property
+    def swaps_enabled(self) -> bool:
+        return 0 < self.swap_interval <= self.n_steps
 
 
 # ---------------------------------------------------------------------------

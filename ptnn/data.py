@@ -89,42 +89,22 @@ def zscore_and_split(
 
 
 def _bank_processed(root: str) -> np.ndarray:
-    """Reproduce DATA/Bank/preprocess.py: min-max scaled numerical columns +
-    one-hot categorical columns + binary label, from the raw bank.csv."""
-    import csv
+    """Reproduce DATA/Bank/preprocess.py exactly: min-max scaled numerical
+    columns + get_dummies one-hot categoricals + binary label, from raw
+    bank.csv."""
+    import pandas as pd
 
-    path = os.path.join(root, "classification", "Bank", "bank.csv")
-    with open(path) as f:
-        reader = csv.reader(f, delimiter=";")
-        header = next(reader)
-        rows = list(reader)
-    cols = list(zip(*rows))
-    numerical, categorical = [], []
-    y = None
-    for name, col in zip(header, cols):
-        name = name.strip('"')
-        col = [c.strip('"') for c in col]
-        try:
-            vals = np.array([float(c) for c in col])
-            if name == "y":
-                raise ValueError
-            numerical.append(vals)
-        except ValueError:
-            if name == "y":
-                y = np.array([1.0 if c == "yes" else 0.0 for c in col])
-            else:
-                categorical.append(col)
-    X = np.stack(numerical, axis=1)
+    df = pd.read_csv(os.path.join(root, "classification", "Bank", "bank.csv"), sep=";")
+    cols_numerical = list(df.select_dtypes(include="number").columns)
+    cols_categorical = [
+        c for c in df.columns if c not in cols_numerical and c != "y"
+    ]
+    y = pd.get_dummies(df["y"])["yes"].values.astype("float64")
+    X = df[cols_numerical]
     X = (X - X.min(axis=0)) / (X.max(axis=0) - X.min(axis=0))
-    onehots = []
-    for col in categorical:
-        levels = sorted(set(col))  # pandas.get_dummies orders levels sorted
-        lut = {v: i for i, v in enumerate(levels)}
-        oh = np.zeros((len(col), len(levels)))
-        oh[np.arange(len(col)), [lut[c] for c in col]] = 1.0
-        onehots.append(oh)
-    X = np.hstack([X] + onehots)
-    return np.hstack([X, y.reshape(-1, 1)])
+    for name in cols_categorical:
+        X = pd.concat((X, pd.get_dummies(df[name])), axis=1)
+    return np.hstack([X.values.astype("float64"), y.reshape(-1, 1)])
 
 
 def load_classification(name: str, seed: int = 0, root: str | None = None) -> Problem:
@@ -164,7 +144,32 @@ def load_classification(name: str, seed: int = 0, root: str | None = None) -> Pr
             for k in range(16):
                 mat[:, k] = (mat[:, k] - np.mean(mat[:, k])) / np.std(mat[:, k])
     elif name == "chess":  # problem 8
-        data = np.genfromtxt(os.path.join(croot, "chess.data"), delimiter=";")
+        # The reference loads a numeric 'DATA/chess.csv' that is NOT committed
+        # (pt_classification.py:986 would fail as shipped); we encode the raw
+        # UCI King-Rook-vs-King file the obvious way: file letters a..h -> 1..8,
+        # ranks as ints, and the 18 depth-of-win labels draw,zero..sixteen ->
+        # 0..17.
+        labels = [
+            "draw", "zero", "one", "two", "three", "four", "five", "six",
+            "seven", "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+            "fourteen", "fifteen", "sixteen",
+        ]
+        lut = {v: i for i, v in enumerate(labels)}
+        rows = []
+        with open(os.path.join(croot, "chess.data")) as f:
+            for line in f:
+                p = line.strip().split(",")
+                if len(p) != 7:
+                    continue
+                rows.append(
+                    [
+                        ord(p[0]) - ord("a") + 1.0, float(p[1]),
+                        ord(p[2]) - ord("a") + 1.0, float(p[3]),
+                        ord(p[4]) - ord("a") + 1.0, float(p[5]),
+                        float(lut[p[6]]),
+                    ]
+                )
+        data = np.asarray(rows)
         train, test = zscore_and_split(data[:, 0:6], data[:, 6], rng)
     else:
         raise KeyError(

@@ -35,7 +35,7 @@ Semantics reproduced (per chain, per step):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,9 @@ class ChainState(NamedTuple):
     rmse_test: jax.Array  # (C,)
     acc_train: jax.Array  # (C,)
     acc_test: jax.Array  # (C,)
+    # Optional posterior-predictive carries (None unless cfg.record_fx):
+    fx_train: Any  # (C, N_train) last accepted predictions, or None
+    fx_test: Any  # (C, N_test), or None
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -117,6 +120,12 @@ def init_state(key: jax.Array, cfg: PTConfig, data: Dataset) -> ChainState:
         # fresh buffer per field — donation forbids aliased arguments
         return jnp.zeros((c,), jnp.float32)
 
+    if cfg.record_fx:
+        fx_train = jnp.zeros((c, data.x_train.shape[0]), jnp.float32)
+        fx_test = jnp.zeros((c, data.x_test.shape[0]), jnp.float32)
+    else:
+        fx_train = fx_test = None
+
     return ChainState(
         w=w,
         eta=eta,
@@ -128,6 +137,8 @@ def init_state(key: jax.Array, cfg: PTConfig, data: Dataset) -> ChainState:
         rmse_test=zero(),
         acc_train=zero(),
         acc_test=zero(),
+        fx_train=fx_train,
+        fx_test=fx_test,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -226,7 +237,9 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
             payload = (state.ll / adapttemp) * temps
         else:  # untempered
             payload = state.ll
-        res = swap_mod.sweep_permutation(payload, ks)
+        res = swap_mod.sweep_permutation(
+            payload, ks, rule=cfg.swap_rule, betas=1.0 / temps
+        )
         w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
         if cfg.stale_likelihood_after_swap:
             ll, prior = state.ll, state.prior
@@ -327,6 +340,15 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
             n_accept=state.n_accept + accept.astype(jnp.int32),
             n_langevin=n_langevin,
         )
+        if cfg.record_fx:
+            # posterior-predictive carries (ldmcmc.py fx_train/fx_test
+            # samples, Misc/Misc_code/ldmcmc.py:357-366)
+            new_state = new_state._replace(
+                fx_train=jnp.where(accept_w, ev_tr.fx, state.fx_train),
+                fx_test=jnp.where(accept_w, ev_te.fx, state.fx_test),
+            )
+            trace["fx_train"] = new_state.fx_train
+            trace["fx_test"] = new_state.fx_test
         if cfg.record_w:
             trace["w"] = new_state.w_last
 

@@ -66,6 +66,8 @@ def assign_temperatures(
 ) -> np.ndarray:
     """Temperatures for the ladder, chain 0 coldest at T = 1
     (pt_classification.py:624-645)."""
+    if num_chains == 1:
+        return np.asarray([1.0])  # single-chain MCMC: T = 1
     if geometric:
         betas = default_beta_ladder(2, ntemps=num_chains, Tmax=maxtemp)
         temps = np.where(betas == 0.0, np.inf, 1.0 / np.where(betas == 0.0, 1.0, betas))

@@ -35,11 +35,13 @@ class ClassEval(NamedTuple):
     loglik: jax.Array  # scalar, untempered
     rmse: jax.Array  # scalar — RMSE of argmax class index vs label (quirk)
     acc: jax.Array  # scalar, percent
+    fx: jax.Array  # (N,) predicted class indices (reference fx)
 
 
 class RegEval(NamedTuple):
     loglik: jax.Array  # scalar, untempered
     rmse: jax.Array  # scalar
+    fx: jax.Array  # (N,) scalar predictions
 
 
 def rmse(pred: jax.Array, actual: jax.Array) -> jax.Array:
@@ -68,7 +70,9 @@ def classification_eval(
     loglik = jnp.sum(jnp.take_along_axis(logp, yi[:, None], axis=-1))
     pred = fnn.predict_class(out).astype(out.dtype)
     yf = y.astype(out.dtype)
-    return ClassEval(loglik=loglik, rmse=rmse(pred, yf), acc=accuracy(pred, yf))
+    return ClassEval(
+        loglik=loglik, rmse=rmse(pred, yf), acc=accuracy(pred, yf), fx=pred
+    )
 
 
 def regression_eval(
@@ -83,7 +87,7 @@ def regression_eval(
     loglik = -0.5 * n * (_LOG_2PI + jnp.log(tau_sq)) - 0.5 * jnp.sum(
         jnp.square(y - fx)
     ) / tau_sq
-    return RegEval(loglik=loglik, rmse=rmse(fx, y))
+    return RegEval(loglik=loglik, rmse=rmse(fx, y), fx=fx)
 
 
 def classification_log_prior(

@@ -37,25 +37,61 @@ class SwapResult(NamedTuple):
     n_proposed: jax.Array  # scalar int32 — always C-1
 
 
-def sweep_permutation(payload_ll: jax.Array, key: jax.Array) -> SwapResult:
+def sweep_permutation(
+    payload_ll: jax.Array,
+    key: jax.Array,
+    rule: str = "half_exp",
+    betas: jax.Array | None = None,
+) -> SwapResult:
     """One sequential bubbling sweep over adjacent pairs.
 
     ``payload_ll``: (C,) likelihood payloads as each chain would enqueue them
     (tempered or otherwise — the caller decides, mirroring the reference's
     per-entry-point payload convention, see kernel.py).
+
+    ``rule`` selects the pair-acceptance probability:
+
+    * ``"half_exp"`` — the reference entry points' nonstandard
+      ``min(1, 0.5 * exp(min(709, lh2 - lh1)))`` (pt_classification.py:683);
+    * ``"unclamped"`` — the same without the 709 clamp, as in the older
+      variants (e.g. Misc_code/ldpt_classifier_multi.py:483,
+      misc_code/pt_fnn_multi.py:475);
+    * ``"metropolis"`` — the detailed-balance replica-exchange rule
+      ``min(1, exp((beta1 - beta2) * (lh2 - lh1)))`` with *untempered*
+      payloads and ``betas`` = 1/T per chain (not reference behavior; the
+      classic form the reference approximates — cf. the dead variant
+      Misc/ldpt_fnn_multi_fixed.py:520).
     """
     c = payload_ll.shape[0]
+    if rule == "metropolis" and betas is None:
+        raise ValueError("metropolis swap rule requires betas")
     perm0 = jnp.arange(c, dtype=jnp.int32)
     us = jax.random.uniform(key, (c - 1,), dtype=payload_ll.dtype)
+    if betas is None:
+        betas = jnp.ones((c,), payload_ll.dtype)
 
     def pair(carry, inputs):
         perm, ll = carry
         k, u = inputs
         lh1 = ll[k]
         lh2 = ll[k + 1]
-        a = jnp.minimum(
-            1.0, 0.5 * jnp.exp(jnp.minimum(_EXP_CLAMP, lh2 - lh1))
-        )
+        if rule == "half_exp":
+            a = jnp.minimum(
+                1.0, 0.5 * jnp.exp(jnp.minimum(_EXP_CLAMP, lh2 - lh1))
+            )
+        elif rule == "unclamped":
+            a = jnp.minimum(1.0, 0.5 * jnp.exp(lh2 - lh1))
+        elif rule == "metropolis":
+            # betas indexed by RUNG position (temperature is a property of
+            # the rung, not of the traveling configuration)
+            a = jnp.minimum(
+                1.0,
+                jnp.exp(
+                    jnp.minimum(_EXP_CLAMP, (betas[k] - betas[k + 1]) * (lh2 - lh1))
+                ),
+            )
+        else:
+            raise ValueError(f"unknown swap rule {rule!r}")
         swap = u < a
         # Swap entries k and k+1 of both the permutation and the traveling
         # payloads (the bubbling semantics: pair k+1 sees pair k's output).

@@ -101,8 +101,16 @@ def sample(
     seed: int = 0,
     mesh=None,
     init_state: Optional[kernel.ChainState] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
 ) -> SampleResult:
-    """Run the full PT sampler, streaming traces to host chunk by chunk."""
+    """Run the full PT sampler, streaming traces to host chunk by chunk.
+
+    With ``checkpoint_path``, the run checkpoints every ``checkpoint_every``
+    chunks and resumes transparently from a matching checkpoint (same config
+    + seed); results are identical to an uninterrupted run because per-step
+    RNG keys derive from absolute step indices.
+    """
     cfg.validate()
     data = make_dataset(cfg, train, test)
     temps = jnp.asarray(
@@ -151,14 +159,39 @@ def sample(
     )
     host_chunks = []
     pending = None  # (device_traces) from previous chunk, fetched lazily
+    resume_at = 0
+    if checkpoint_path is not None:
+        from ptnn import checkpoint as ckpt_mod
+
+        loaded = ckpt_mod.load(checkpoint_path, cfg, seed)
+        if loaded is not None:
+            ck_state, resume_at, ck_traces = loaded
+            state = jax.device_put(ck_state)
+            if ck_traces:
+                host_chunks.append(ck_traces)
+
+    def maybe_checkpoint(done: int) -> None:
+        if checkpoint_path is None:
+            return
+        from ptnn import checkpoint as ckpt_mod
+
+        merged_sofar = {
+            k: np.concatenate([c[k] for c in host_chunks], axis=0)
+            for k in host_chunks[0]
+        }
+        ckpt_mod.save(
+            checkpoint_path, jax.device_get(state), done, merged_sofar, cfg, seed
+        )
 
     t0 = time.perf_counter()
+    chunks_since_ckpt = 0
     for si, (seg_start, seg_end) in enumerate(segments):
-        if si > 0:
+        if resume_at >= seg_end:
+            continue
+        done = max(seg_start, resume_at)
+        if si > 0 and done == seg_start:
             state = recompute(state)
-        seg_len = seg_end - seg_start
-        chunk = _pick_chunk(seg_len, target)
-        done = seg_start
+        chunk = _pick_chunk(seg_end - seg_start, target)
         while done < seg_end:
             length = min(chunk, seg_end - done)
             state, traces = run_chunk(
@@ -168,9 +201,17 @@ def sample(
                 host_chunks.append(jax.device_get(pending))  # overlaps with chunk
             pending = traces
             done += length
+            chunks_since_ckpt += 1
+            if checkpoint_path is not None and chunks_since_ckpt >= checkpoint_every:
+                host_chunks.append(jax.device_get(pending))
+                pending = None
+                maybe_checkpoint(done)
+                chunks_since_ckpt = 0
     if pending is not None:
         host_chunks.append(jax.device_get(pending))
     state = jax.block_until_ready(state)
+    if checkpoint_path is not None:
+        maybe_checkpoint(cfg.n_steps)
     elapsed = time.perf_counter() - t0
 
     # Assemble (samples, C, ...) traces with the reference's init row 0.
