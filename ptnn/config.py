@@ -144,10 +144,18 @@ def classification_preset(
     num_chains: int = 10,
     swap_ratio: float = 0.02,
     maxtemp: float = 10.0,
+    canonical: bool = False,
 ) -> PTConfig:
-    """Hyperparameter block of pt_classification.py:1036-1045."""
+    """Hyperparameter block of pt_classification.py:1036-1045.
+
+    ``canonical=True`` removes the adaptive-temperature phase — chains stay
+    tempered for the whole run, as in
+    Misc_code/canonical_pt_classifier.py (zero ``adapttemp`` switches there,
+    SURVEY.md §2.2) — via a never-firing switch step.
+    """
     swap_interval = int(swap_ratio * num_samples / num_chains)
     return PTConfig(
+        pt_phase_frac=2.0 if canonical else 0.6,
         task="classification",
         topology=topology,
         num_samples=num_samples,

@@ -185,7 +185,28 @@ def load_classification(name: str, seed: int = 0, root: str | None = None) -> Pr
     return Problem(name, "classification", topo, train, test)
 
 
+def load_digits(seed: int = 0) -> Problem:
+    """Bundled 8x8 digit images (sklearn's offline digits set) for the
+    Bayesian-CNN configuration — the image-classification stand-in usable
+    without network egress; MNIST plugs in identically when its files are
+    available locally. Pixels scaled to [0, 1]; 70/30 split."""
+    from sklearn.datasets import load_digits as _ld
+
+    d = _ld()
+    x = d.data / 16.0
+    y = d.target.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(y))
+    cut = int(0.7 * len(y))
+    both = np.hstack([x, y.reshape(-1, 1)])
+    return Problem(
+        "digits", "classification", (64, 32, 10), both[idx[:cut]], both[idx[cut:]]
+    )
+
+
 def load(name: str, seed: int = 0, root: str | None = None) -> Problem:
     if name in REGRESSION_SETS:
         return load_regression(name, root)
+    if name == "digits":
+        return load_digits(seed)
     return load_classification(name, seed, root)

@@ -1,0 +1,115 @@
+"""Bayesian CNN image classification with a large tempered ladder.
+
+The new-capability configuration (BASELINE.json config 5): a convolutional
+network sampled by the same parallel-tempering kernel as the reference FNN,
+with hundreds-to-thousands of chains on the chain-sharded mesh. Ships with
+the bundled 8x8 digits set (no-egress environment); pass ``--mnist-dir`` with
+local ``train-images-idx3-ubyte``-style files for full MNIST.
+
+    python -m ptnn.experiments.cnn_digits --chains 256 --steps 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+import ptnn
+from ptnn import results as results_mod
+from ptnn.data import Problem, load_digits
+from ptnn.models import cnn
+
+
+def load_mnist(mnist_dir: str) -> Problem:
+    """Plain IDX-format MNIST loader (files must exist locally)."""
+    import gzip
+    import struct
+
+    def read_idx(path):
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rb") as f:
+            magic = struct.unpack(">HBB", f.read(4))
+            _z, dtype, ndim = magic
+            dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+            return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+    def find(stem):
+        for cand in (stem, stem + ".gz"):
+            p = os.path.join(mnist_dir, cand)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"{stem}[.gz] not in {mnist_dir}")
+
+    xtr = read_idx(find("train-images-idx3-ubyte")).reshape(-1, 28 * 28) / 255.0
+    ytr = read_idx(find("train-labels-idx1-ubyte")).astype(np.float64)
+    xte = read_idx(find("t10k-images-idx3-ubyte")).reshape(-1, 28 * 28) / 255.0
+    yte = read_idx(find("t10k-labels-idx1-ubyte")).astype(np.float64)
+    return Problem(
+        "mnist",
+        "classification",
+        (28 * 28, 64, 10),
+        np.hstack([xtr, ytr[:, None]]),
+        np.hstack([xte, yte[:, None]]),
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--chains", type=int, default=256)
+    p.add_argument("--steps", type=int, default=2000, help="steps per chain")
+    p.add_argument("--maxtemp", type=float, default=5.0)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--step-w", type=float, default=0.01)
+    p.add_argument("--swap-interval", type=int, default=100)
+    p.add_argument("--mnist-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="results/cnn")
+    p.add_argument("--mesh", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.mnist_dir:
+        prob = load_mnist(args.mnist_dir)
+        spec = cnn.mnist_spec()
+    else:
+        prob = load_digits(args.seed)
+        spec = cnn.digits_spec()
+
+    cfg = dataclasses.replace(
+        ptnn.classification_preset(
+            prob.topology,
+            num_samples=args.chains * args.steps,
+            num_chains=args.chains,
+            maxtemp=args.maxtemp,
+            use_langevin_gradients=True,
+            learn_rate=args.lr,
+        ),
+        swap_interval=args.swap_interval,
+        step_w=args.step_w,
+        record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
+        chunk_steps=500,
+    )
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ptnn.parallel import mesh as mesh_mod
+
+        if jax.device_count() > 1:
+            mesh = mesh_mod.make_mesh()
+    res = ptnn.sample(cfg, prob.train, prob.test, seed=args.seed, mesh=mesh, model_spec=spec)
+    os.makedirs(args.out, exist_ok=True)
+    path = results_mod.versioned_dir(args.out, prob.name)
+    summary = results_mod.write_artifacts(res, path, prob.name, plots=True)
+    print(
+        f"[{prob.name}] chains={args.chains} test_acc mean={summary.test_mean:.2f} "
+        f"max={summary.test_best:.2f} accept%={summary.accept_per:.2f} "
+        f"swap%={summary.swap_perc:.2f} "
+        f"({res.chain_steps_per_sec:,.0f} chain-steps/s) -> {path}"
+    )
+
+
+if __name__ == "__main__":
+    main()

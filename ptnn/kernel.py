@@ -41,9 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from ptnn.config import PTConfig
+from ptnn.models import api as model_api
 from ptnn.models import fnn
 from ptnn.ops import drift, likelihood
 from ptnn.parallel import swap as swap_mod
+
+
+def default_spec(cfg: PTConfig) -> model_api.ModelSpec:
+    """The reference FNN spec for this config."""
+    return model_api.fnn_spec(cfg.topology, cfg.drift_mode, cfg.drift_unroll)
 
 
 class ChainState(NamedTuple):
@@ -79,42 +85,67 @@ class Dataset(NamedTuple):
     y_test: jax.Array
 
 
-def init_state(key: jax.Array, cfg: PTConfig, data: Dataset) -> ChainState:
+def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
+    """Chain-batched eval + prior closures for a model spec."""
+    fwd_b = jax.vmap(spec.forward, in_axes=(0, None))  # (C,W),(N,I)->(C,N,O)
+    if cfg.task == "regression":
+
+        def b_eval(w, x, y, tau):
+            fx = fwd_b(w, x)[:, :, 0]
+            return jax.vmap(
+                likelihood.regression_eval_from_fx, in_axes=(0, None, 0)
+            )(fx, y, tau)
+
+        b_prior = jax.vmap(
+            lambda wi, ti: likelihood.regression_log_prior_dim(
+                wi, ti, spec.prior_dim_regression, cfg.sigma_sq, cfg.nu_1, cfg.nu_2
+            )
+        )
+    else:
+
+        def b_eval(w, x, y):
+            out = fwd_b(w, x)
+            logp = spec.log_probs(out)
+            return jax.vmap(
+                likelihood.classification_eval_from_logp, in_axes=(0, 0, None)
+            )(logp, out, y)
+
+        b_prior = jax.vmap(
+            lambda wi: likelihood.classification_log_prior_dim(
+                wi, spec.prior_dim_classification, cfg.sigma_sq
+            )
+        )
+    return b_eval, b_prior
+
+
+def init_state(
+    key: jax.Array,
+    cfg: PTConfig,
+    data: Dataset,
+    spec: model_api.ModelSpec = None,
+) -> ChainState:
     """Initial chain state (reference: master-side ``w = randn(num_param)``
     pt_classification.py:658; regression eta init from the residual variance
     of the initial prediction, pt_timeseries_regression.py:270-271)."""
-    c, w_dim = cfg.num_chains, cfg.w_size
-    topo = cfg.topology
+    if spec is None:
+        spec = default_spec(cfg)
+    c, w_dim = cfg.num_chains, spec.w_size
     kw, _ = jax.random.split(key)
     w = jax.random.normal(kw, (c, w_dim), dtype=jnp.float32)
+    b_eval, b_prior = _batched_evals(cfg, spec)
 
     if cfg.task == "regression":
-        pred = jax.vmap(fnn.forward, in_axes=(0, None, None))(w, data.x_train, topo)[
-            :, :, 0
-        ]
+        pred = jax.vmap(spec.forward, in_axes=(0, None))(w, data.x_train)[:, :, 0]
         eta = jnp.log(jnp.var(pred - data.y_train[None, :], axis=1))
         tau = jnp.exp(eta)
-        ev = jax.vmap(likelihood.regression_eval, in_axes=(0, None, None, 0, None))(
-            w, data.x_train, data.y_train, tau, topo
-        )
-        ev_te = jax.vmap(likelihood.regression_eval, in_axes=(0, None, None, 0, None))(
-            w, data.x_test, data.y_test, tau, topo
-        )
+        ev = b_eval(w, data.x_train, data.y_train, tau)
         ll = ev.loglik
-        prior = jax.vmap(
-            lambda wi, ti: likelihood.regression_log_prior(
-                wi, ti, topo, cfg.sigma_sq, cfg.nu_1, cfg.nu_2
-            )
-        )(w, tau)
+        prior = b_prior(w, tau)
     else:
         eta = jnp.zeros((c,), jnp.float32)
-        ev = jax.vmap(likelihood.classification_eval, in_axes=(0, None, None, None))(
-            w, data.x_train, data.y_train, topo
-        )
+        ev = b_eval(w, data.x_train, data.y_train)
         ll = ev.loglik
-        prior = jax.vmap(
-            lambda wi: likelihood.classification_log_prior(wi, topo, cfg.sigma_sq)
-        )(w)
+        prior = b_prior(w)
 
     def zero():
         # fresh buffer per field — donation forbids aliased arguments
@@ -160,57 +191,38 @@ def swap_due(cfg: PTConfig, i: jax.Array) -> jax.Array:
     return jnp.logical_and(k % si == 0, k > 0)
 
 
-def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
+def make_step_fn(
+    cfg: PTConfig,
+    data: Dataset,
+    temps: jax.Array,
+    spec: model_api.ModelSpec = None,
+):
     """Build the scanned step: ``(state, (i, key)) -> (state, trace_dict)``.
 
-    ``temps``: (C,) ladder temperatures, chain 0 at T=1.
+    ``temps``: (C,) ladder temperatures, chain 0 at T=1. ``spec`` selects the
+    model family (default: the reference FNN).
     """
     cfg.validate()
-    topo = cfg.topology
+    if spec is None:
+        spec = default_spec(cfg)
     c = cfg.num_chains
-    w_dim = cfg.w_size
+    w_dim = spec.w_size
     switch_step = cfg.temper_switch_step
     step_w = cfg.step_w
     sigma_sq_w = step_w * step_w
     is_regression = cfg.task == "regression"
 
+    _b_eval, b_prior = _batched_evals(cfg, spec)
     if is_regression:
-        b_eval_tr = jax.vmap(
-            likelihood.regression_eval, in_axes=(0, None, None, 0, None)
-        )
+        b_eval_tr = lambda w, x, y, tau, _topo=None: _b_eval(w, x, y, tau)
         b_eval_te = b_eval_tr
-        b_prior = jax.vmap(
-            lambda wi, ti: likelihood.regression_log_prior(
-                wi, ti, topo, cfg.sigma_sq, cfg.nu_1, cfg.nu_2
-            )
-        )
     else:
-        b_eval = jax.vmap(
-            likelihood.classification_eval, in_axes=(0, None, None, None)
-        )
-        b_prior = jax.vmap(
-            lambda wi: likelihood.classification_log_prior(wi, topo, cfg.sigma_sq)
-        )
+        b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
 
     if cfg.use_langevin_gradients:
-        if cfg.drift_mode == "sequential":
-            drift_one = partial(
-                drift.sgd_epoch_sequential,
-                x=data.x_train,
-                t=data.t_train,
-                topo=topo,
-                lrate=cfg.learn_rate,
-                unroll=cfg.drift_unroll,
-            )
-        else:
-            drift_one = partial(
-                drift.sgd_epoch_batch,
-                x=data.x_train,
-                t=data.t_train,
-                topo=topo,
-                lrate=cfg.learn_rate,
-            )
-        b_drift = jax.vmap(lambda wi: drift_one(wi))
+        b_drift = jax.vmap(
+            lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
+        )
 
     def propose(state: ChainState, i, kp, kl):
         """Weight proposal + q-ratio correction + langevin counter."""
@@ -270,11 +282,9 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
         pt_timeseries_regression.py:322.)
         """
         if is_regression:
-            ev = b_eval_tr(
-                s.w, data.x_train, data.y_train, jnp.exp(s.eta), topo
-            )
+            ev = b_eval_tr(s.w, data.x_train, data.y_train, jnp.exp(s.eta))
         else:
-            ev = b_eval(s.w, data.x_train, data.y_train, topo)
+            ev = b_eval(s.w, data.x_train, data.y_train)
         return s._replace(ll=ev.loglik)
 
     def step(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
@@ -287,8 +297,8 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
         if is_regression:
             eta_prop = state.eta + cfg.step_eta * jax.random.normal(ke, (c,))
             tau_prop = jnp.exp(eta_prop)
-            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop, topo)
-            ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_prop, topo)
+            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop)
+            ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_prop)
             prior_prop = b_prior(w_prop, tau_prop)
             acc_tr_prop = jnp.zeros((c,), jnp.float32)
             acc_te_prop = jnp.zeros((c,), jnp.float32)
@@ -297,8 +307,8 @@ def make_step_fn(cfg: PTConfig, data: Dataset, temps: jax.Array):
             ll_record = ev_tr.loglik / adapttemp
         else:
             eta_prop = state.eta
-            ev_tr = b_eval(w_prop, data.x_train, data.y_train, topo)
-            ev_te = b_eval(w_prop, data.x_test, data.y_test, topo)
+            ev_tr = b_eval(w_prop, data.x_train, data.y_train)
+            ev_te = b_eval(w_prop, data.x_test, data.y_test)
             prior_prop = b_prior(w_prop)
             acc_tr_prop = ev_tr.acc
             acc_te_prop = ev_te.acc

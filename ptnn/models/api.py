@@ -1,0 +1,92 @@
+"""Model abstraction for the sampler kernel.
+
+The reference supports exactly one model — the 2-layer sigmoid FNN — baked
+into every layer of its code. Here a ``ModelSpec`` carries the pure functions
+the MCMC kernel needs, so new families (the Bayesian CNN below, deeper MLPs)
+plug into the same tempered sampler. ``fnn_spec`` reproduces the reference
+semantics bit-for-bit; other specs are new capabilities.
+
+All functions take the flat weight vector ``w``; batching over chains happens
+in the kernel via ``jax.vmap``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptnn.models import fnn
+from ptnn.ops import drift as drift_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    w_size: int
+    # forward(w, x) -> (N, n_out) raw outputs (sigmoid activations for the
+    # reference FNN, logits for the CNN)
+    forward: Callable[[jax.Array, jax.Array], jax.Array]
+    # log_probs(out) -> (N, n_out) log class probabilities
+    log_probs: Callable[[jax.Array], jax.Array]
+    # drift(w, x, t, lrate) -> w' : one Langevin drift step (an SGD epoch for
+    # the reference FNN; one full-batch gradient step for grad-based models)
+    drift: Callable[[jax.Array, jax.Array, jax.Array, float], jax.Array]
+    # dimension constants for the reference prior normalization terms
+    prior_dim_classification: int
+    prior_dim_regression: int
+
+    def __hash__(self):
+        return hash((self.name, self.w_size))
+
+
+def fnn_spec(
+    topo: Tuple[int, int, int],
+    drift_mode: str = "sequential",
+    drift_unroll: int = 8,
+) -> ModelSpec:
+    """The reference 2-layer sigmoid FNN with delta-rule SGD drift
+    (exact reference semantics; see models/fnn.py and ops/drift.py)."""
+    i, h, o = topo
+
+    def forward(w, x):
+        return fnn.forward(w, x, topo)
+
+    def log_probs(out):
+        # softmax over the *sigmoid* outputs (pt_classification.py:108-110)
+        return jax.nn.log_softmax(out, axis=-1)
+
+    if drift_mode == "sequential":
+        def drift(w, x, t, lrate):
+            return drift_mod.sgd_epoch_sequential(
+                w, x, t, topo, lrate, unroll=drift_unroll
+            )
+    else:
+        def drift(w, x, t, lrate):
+            return drift_mod.sgd_epoch_batch(w, x, t, topo, lrate)
+
+    return ModelSpec(
+        name=f"fnn{topo}",
+        w_size=fnn.w_size(topo),
+        forward=forward,
+        log_probs=log_probs,
+        drift=drift,
+        # pt_classification.py:227: d*h + h + o + h*o (== w_size)
+        prior_dim_classification=i * h + h + o + h * o,
+        # pt_timeseries_regression.py:218: d*h + h + 2
+        prior_dim_regression=i * h + h + 2,
+    )
+
+
+def grad_drift(loss_fn: Callable, lrate_scale: float = 1.0):
+    """Langevin drift for arbitrary differentiable models: one full-batch
+    gradient-descent step on ``loss_fn(w, x, t)``. The MH q-ratio correction
+    in the kernel keeps the sampler exact for any deterministic drift."""
+
+    def drift(w, x, t, lrate):
+        g = jax.grad(loss_fn)(w, x, t)
+        return w - lrate * lrate_scale * g
+
+    return drift

@@ -54,40 +54,63 @@ def accuracy(pred: jax.Array, actual: jax.Array) -> jax.Array:
     return 100.0 * jnp.mean(jnp.asarray(pred == actual, pred.dtype))
 
 
-def classification_eval(
-    w: jax.Array, x: jax.Array, y: jax.Array, topo: fnn.Topology
+def classification_eval_from_logp(
+    logp: jax.Array, out: jax.Array, y: jax.Array
 ) -> ClassEval:
-    """Forward pass + multinomial log-likelihood + metrics in one fused eval.
+    """Multinomial log-likelihood + metrics from precomputed outputs.
 
-    ``y`` are integer class labels of shape (N,). The likelihood is
-    ``sum_i log softmax(out_i)[y_i]`` (pt_classification.py:213-219); the
-    reference computes it per-sample with an explicit one-hot loop, which
-    collapses to a batched log-softmax gather here.
+    ``logp``: (N, O) log class probabilities, ``out``: raw outputs for the
+    argmax prediction, ``y``: (N,) integer labels. The likelihood is
+    ``sum_i logp[i, y_i]`` (pt_classification.py:213-219); the reference
+    computes it per-sample with an explicit one-hot loop, which collapses to
+    a batched gather here.
     """
-    out = fnn.forward(w, x, topo)
-    logp = jax.nn.log_softmax(out, axis=-1)
     yi = y.astype(jnp.int32)
     loglik = jnp.sum(jnp.take_along_axis(logp, yi[:, None], axis=-1))
-    pred = fnn.predict_class(out).astype(out.dtype)
-    yf = y.astype(out.dtype)
+    pred = jnp.argmax(out, axis=-1).astype(logp.dtype)
+    yf = y.astype(logp.dtype)
     return ClassEval(
         loglik=loglik, rmse=rmse(pred, yf), acc=accuracy(pred, yf), fx=pred
     )
 
 
-def regression_eval(
-    w: jax.Array, x: jax.Array, y: jax.Array, tau_sq: jax.Array, topo: fnn.Topology
+def classification_eval(
+    w: jax.Array, x: jax.Array, y: jax.Array, topo: fnn.Topology
+) -> ClassEval:
+    """Reference-FNN fused forward + eval (softmax over sigmoid outputs,
+    pt_classification.py:108-110)."""
+    out = fnn.forward(w, x, topo)
+    return classification_eval_from_logp(jax.nn.log_softmax(out, axis=-1), out, y)
+
+
+def regression_eval_from_fx(
+    fx: jax.Array, y: jax.Array, tau_sq: jax.Array
 ) -> RegEval:
-    """Forward pass + Gaussian log-likelihood
+    """Gaussian log-likelihood from precomputed predictions
     (pt_timeseries_regression.py:200-205):
     ``sum_i [-0.5 log(2 pi tau^2) - 0.5 (y_i - fx_i)^2 / tau^2]``.
     """
-    fx = fnn.forward(w, x, topo)[:, 0]
-    n = x.shape[0]
+    n = fx.shape[0]
     loglik = -0.5 * n * (_LOG_2PI + jnp.log(tau_sq)) - 0.5 * jnp.sum(
         jnp.square(y - fx)
     ) / tau_sq
     return RegEval(loglik=loglik, rmse=rmse(fx, y), fx=fx)
+
+
+def regression_eval(
+    w: jax.Array, x: jax.Array, y: jax.Array, tau_sq: jax.Array, topo: fnn.Topology
+) -> RegEval:
+    """Reference-FNN fused forward + Gaussian eval."""
+    return regression_eval_from_fx(fnn.forward(w, x, topo)[:, 0], y, tau_sq)
+
+
+def classification_log_prior_dim(
+    w: jax.Array, dim: int, sigma_sq: float = 25.0
+) -> jax.Array:
+    """Gaussian weight prior with an explicit dimension constant."""
+    part1 = -0.5 * dim * jnp.log(sigma_sq)
+    part2 = jnp.sum(jnp.square(w)) / (2.0 * sigma_sq)
+    return part1 - part2
 
 
 def classification_log_prior(
@@ -99,9 +122,21 @@ def classification_log_prior(
     The reference's dimension term ``d*h + h + o + h*o`` equals ``w_size``.
     """
     i, h, o = topo
-    part1 = -0.5 * (i * h + h + o + h * o) * jnp.log(sigma_sq)
+    return classification_log_prior_dim(w, i * h + h + o + h * o, sigma_sq)
+
+
+def regression_log_prior_dim(
+    w: jax.Array,
+    tau_sq: jax.Array,
+    dim: int,
+    sigma_sq: float = 25.0,
+    nu_1: float = 0.0,
+    nu_2: float = 0.0,
+) -> jax.Array:
+    """Regression prior with an explicit dimension constant."""
+    part1 = -0.5 * dim * jnp.log(sigma_sq)
     part2 = jnp.sum(jnp.square(w)) / (2.0 * sigma_sq)
-    return part1 - part2
+    return part1 - part2 - (1.0 + nu_1) * jnp.log(tau_sq) - nu_2 / tau_sq
 
 
 def regression_log_prior(

@@ -76,14 +76,21 @@ class Summary:
         )
 
 
-def summarize(res: SampleResult, problem: str) -> Summary:
-    """Pool post-burn-in traces across chains (show_results semantics)."""
+def summarize(res: SampleResult, problem: str, cold_only: bool = False) -> Summary:
+    """Pool post-burn-in traces across chains (show_results semantics).
+
+    ``cold_only=True`` is the reference's "truepos" reporting mode: aggregate
+    only chain 0 (T = 1) instead of pooling the whole ladder
+    (Misc_code/pt_classifier_truepos.py:742-768 vs pt_classifier.py) — the
+    statistically meaningful posterior.
+    """
     cfg: PTConfig = res.config
     burnin = int(cfg.samples_per_chain * cfg.burn_in)
     is_reg = cfg.task == "regression"
     key = "rmse" if is_reg else "acc"
-    tr = res.traces[f"{key}_train"][burnin:]  # (S-b, C)
-    te = res.traces[f"{key}_test"][burnin:]
+    sel = slice(0, 1) if cold_only else slice(None)
+    tr = res.traces[f"{key}_train"][burnin:, sel]  # (S-b, C or 1)
+    te = res.traces[f"{key}_test"][burnin:, sel]
     best = np.amin if is_reg else np.amax  # reference quirk (see module doc)
     # accept_per: mean over chains of final cumulative count / samples
     # (pt_classification.py:1098-1100 with accept_list[-1] ≈ total accepted).
@@ -117,7 +124,7 @@ def pooled_posterior(res: SampleResult) -> np.ndarray:
     cfg = res.config
     burnin = int(cfg.samples_per_chain * cfg.burn_in)
     pos = res.traces["w"][burnin:]  # (S-b, C, W)
-    return pos.transpose(2, 1, 0).reshape(cfg.w_size, -1)
+    return pos.transpose(2, 1, 0).reshape(pos.shape[2], -1)
 
 
 def versioned_dir(base: str, name: str) -> str:

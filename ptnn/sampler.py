@@ -103,6 +103,7 @@ def sample(
     init_state: Optional[kernel.ChainState] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 4,
+    model_spec=None,
 ) -> SampleResult:
     """Run the full PT sampler, streaming traces to host chunk by chunk.
 
@@ -130,11 +131,13 @@ def sample(
 
     state = init_state
     if state is None:
-        state = jit_here(lambda k: kernel.init_state(k, cfg, data))(k_init)
+        state = jit_here(lambda k: kernel.init_state(k, cfg, data, model_spec))(
+            k_init
+        )
     if mesh is not None:
         state = mesh_mod.shard_chain_tree(state, mesh)
 
-    step = kernel.make_step_fn(cfg, data, temps)
+    step = kernel.make_step_fn(cfg, data, temps, model_spec)
     recompute = jit_here(step.recompute_ll)
 
     def _run_chunk(st, start, length):
@@ -255,6 +258,7 @@ def throughput_run(
     seed: int = 0,
     mesh=None,
     warmup_steps: int = 64,
+    model_spec=None,
 ) -> Dict[str, float]:
     """Fused device-resident run for benchmarking: one jitted scan over all
     steps, scalar traces kept on device, timed after a compile+warmup pass."""
@@ -270,10 +274,10 @@ def throughput_run(
         data = mesh_mod.replicate_tree(data, mesh)
         temps = mesh_mod.replicate_tree(temps, mesh)
     jit_here = jax.jit if mesh is not None else fast_jit
-    state0 = jit_here(lambda k: kernel.init_state(k, cfg2, data))(k_init)
+    state0 = jit_here(lambda k: kernel.init_state(k, cfg2, data, model_spec))(k_init)
     if mesh is not None:
         state0 = mesh_mod.shard_chain_tree(state0, mesh)
-    step = kernel.make_step_fn(cfg2, data, temps)
+    step = kernel.make_step_fn(cfg2, data, temps, model_spec)
 
     @jit_here
     def run(st):

@@ -79,12 +79,29 @@ def run_cls(name, lg, lr=0.01, samples=50_000):
             prob.topology, num_samples=samples, use_langevin_gradients=lg, learn_rate=lr
         ),
         record_w=False,
+        # chess: a 19.6k-iteration sequential-drift scan crashed the tunneled
+        # TPU worker; the fused batch drift (documented deviation, still an
+        # exact sampler via the MH q-ratio) is used for this one config
+        drift_mode="batch" if (lg and name == "chess") else "sequential",
     )
     t0 = time.time()
     res = ptnn.sample(cfg, prob.train, prob.test, seed=0)
     s = results_mod.summarize(res, name)
     s.time_min = (time.time() - t0) / 60.0
     return s, res
+
+
+def _flush(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def safe(fn, *a, **kw):
+    try:
+        return fn(*a, **kw)
+    except Exception as e:  # keep the suite alive across backend faults
+        print("FAILED:", a, kw, repr(e)[:200], flush=True)
+        return None, None
 
 
 def main():
@@ -115,13 +132,17 @@ def main():
     ref_times_rw = {"Lazer": 4.54, "Sunspot": 4.83, "Mackey": 4.60, "Lorenz": 4.45,
                     "Rossler": 4.22, "Henon": 4.21, "ACFinance": 3.60}
     for name, (rm, rb, rs, ra) in REF_REG_RW.items():
-        s, _ = run_reg(name, lg=False, lr=0.1, samples=reg_samples)
+        s, _ = safe(run_reg, name, lg=False, lr=0.1, samples=reg_samples)
+        if s is None:
+            lines.append(f"| {name} | run failed | | | | |")
+            continue
         lines.append(
             f"| {name} | {s.test_mean:.4f} / {rm:.4f} | {s.test_best:.4f} / {rb:.4f} "
             f"| {s.swap_perc:.1f} / {rs:.1f} | {s.accept_per:.1f} / {ra:.1f} "
             f"| {s.time_min:.2f} / {ref_times_rw[name]:.2f} |"
         )
         print("done reg RW", name, flush=True)
+        _flush(args.out, lines)
 
     for tag, lr, ref in (("LG lr=0.01", 0.01, REF_REG_LG001), ("LG lr=0.1", 0.1, REF_REG_LG01)):
         lines += [
@@ -132,12 +153,16 @@ def main():
             "|---|---|---|---|",
         ]
         for name, rm in ref.items():
-            s, _ = run_reg(name, lg=True, lr=lr, samples=reg_samples)
+            s, _ = safe(run_reg, name, lg=True, lr=lr, samples=reg_samples)
+            if s is None:
+                lines.append(f"| {name} | run failed | | |")
+                continue
             lines.append(
                 f"| {name} | {s.test_mean:.4f} / {rm:.4f} | {s.accept_per:.1f} "
                 f"| {s.time_min:.2f} |"
             )
             print("done reg", tag, name, flush=True)
+            _flush(args.out, lines)
 
     lines += [
         "",
@@ -147,12 +172,16 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     for name, (rm, rb) in REF_CLS_RW.items():
-        s, _ = run_cls(name, lg=False, samples=cls_samples)
+        s, _ = safe(run_cls, name, lg=False, samples=cls_samples)
+        if s is None:
+            lines.append(f"| {name} | run failed | | | | |")
+            continue
         lines.append(
             f"| {name} | {s.test_mean:.2f} / {rm:.2f} | {s.test_best:.2f} / {rb:.2f} "
             f"| {s.swap_perc:.1f} | {s.accept_per:.1f} | {s.time_min:.2f} |"
         )
         print("done cls RW", name, flush=True)
+        _flush(args.out, lines)
 
     lines += [
         "",
@@ -162,12 +191,16 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     for name, (rm, rb) in REF_CLS_LG.items():
-        s, _ = run_cls(name, lg=True, samples=cls_samples)
+        s, _ = safe(run_cls, name, lg=True, samples=cls_samples)
+        if s is None:
+            lines.append(f"| {name} | run failed | | | | |")
+            continue
         lines.append(
             f"| {name} | {s.test_mean:.2f} / {rm:.2f} | {s.test_best:.2f} / {rb:.2f} "
             f"| {s.swap_perc:.1f} | {s.accept_per:.1f} | {s.time_min:.2f} |"
         )
         print("done cls LG", name, flush=True)
+        _flush(args.out, lines)
 
     # Sweeps
     lines += [
@@ -180,7 +213,10 @@ def main():
         "|---|---|---|---|",
     ]
     for mt in (2, 4, 6, 8, 10):
-        s, _ = run_reg("Lazer", lg=False, lr=0.1, maxtemp=float(mt), samples=reg_samples)
+        s, _ = safe(run_reg, "Lazer", lg=False, lr=0.1, maxtemp=float(mt), samples=reg_samples)
+        if s is None:
+            lines.append(f"| {mt} | run failed | | |")
+            continue
         lines.append(f"| {mt} | {s.test_mean:.4f} | {s.swap_perc:.1f} | {s.accept_per:.1f} |")
         print("done maxtemp", mt, flush=True)
 
@@ -193,7 +229,10 @@ def main():
         "|---|---|---|",
     ]
     for si in (100, 200, 400, 800):
-        s, _ = run_reg("Sunspot", lg=False, lr=0.1, maxtemp=4.0, samples=reg_samples, swap_int=si)
+        s, _ = safe(run_reg, "Sunspot", lg=False, lr=0.1, maxtemp=4.0, samples=reg_samples, swap_int=si)
+        if s is None:
+            lines.append(f"| {si} | run failed | |")
+            continue
         lines.append(f"| {si} | {s.test_mean:.4f} | {s.swap_perc:.1f} |")
         print("done swapint", si, flush=True)
 
@@ -206,7 +245,10 @@ def main():
         "|---|---|---|---|",
     ]
     for lp in (0.1, 0.3, 0.5, 0.8):
-        s, _ = run_reg("Lazer", lg=True, lr=0.1, lprob=lp, samples=reg_samples)
+        s, _ = safe(run_reg, "Lazer", lg=True, lr=0.1, lprob=lp, samples=reg_samples)
+        if s is None:
+            lines.append(f"| {lp} | run failed | | |")
+            continue
         lines.append(f"| {lp} | {s.test_mean:.4f} | {s.accept_per:.1f} | {s.time_min:.2f} |")
         print("done lprob", lp, flush=True)
 

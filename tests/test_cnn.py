@@ -1,0 +1,101 @@
+"""Tests for the Bayesian CNN model family on the PT kernel."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ptnn
+from ptnn.data import load_digits
+from ptnn.models import cnn
+from ptnn.models.api import grad_drift
+
+
+@pytest.fixture(scope="module")
+def digits():
+    p = load_digits(0)
+    # trim for CI speed
+    return p.train[:128], p.test[:64]
+
+
+def test_cnn_shapes_and_forward():
+    spec = cnn.digits_spec()
+    w = jax.random.normal(jax.random.PRNGKey(0), (spec.w_size,)) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 64))
+    out = spec.forward(w, x)
+    assert out.shape == (5, 10)
+    logp = spec.log_probs(out)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(logp)).sum(axis=1), 1.0, rtol=1e-5
+    )
+
+
+def test_cnn_drift_decreases_loss():
+    spec = cnn.digits_spec()
+    cfg = cnn.CnnConfig(image_hw=8, n_classes=10)
+    w = jax.random.normal(jax.random.PRNGKey(0), (spec.w_size,)) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 64))
+    y = jax.random.randint(jax.random.PRNGKey(2), (32,), 0, 10)
+    t = jax.nn.one_hot(y, 10)
+
+    def xent(wi):
+        logp = jax.nn.log_softmax(cnn.forward(wi, x, cfg), axis=-1)
+        return -jnp.sum(t * logp)
+
+    w2 = spec.drift(w, x, t, 0.01)
+    assert float(xent(w2)) < float(xent(w))
+
+
+def test_cnn_pt_sampler_runs(digits):
+    spec = cnn.digits_spec(channels=(4,), hidden=16)
+    cfg = dataclasses.replace(
+        ptnn.classification_preset(
+            (64, 16, 10),
+            num_samples=8 * 40,
+            num_chains=8,
+            maxtemp=3.0,
+            use_langevin_gradients=True,
+            learn_rate=0.02,
+        ),
+        swap_interval=10,
+        record_w=False,
+        chunk_steps=20,
+    )
+    res = ptnn.sample(cfg, *digits, seed=0, model_spec=spec)
+    assert res.traces["ll"].shape == (40, 8)
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    assert (res.traces["acc_test"] <= 100).all()
+
+
+def test_cnn_pt_sharded(digits):
+    from ptnn.parallel import mesh as mesh_mod
+
+    spec = cnn.digits_spec(channels=(4,), hidden=16)
+    cfg = dataclasses.replace(
+        ptnn.classification_preset(
+            (64, 16, 10),
+            num_samples=8 * 20,
+            num_chains=8,
+            maxtemp=3.0,
+            use_langevin_gradients=False,
+        ),
+        swap_interval=5,
+        record_w=False,
+        chunk_steps=19,
+    )
+    res = ptnn.sample(
+        cfg, *digits, seed=0, mesh=mesh_mod.make_mesh(), model_spec=spec
+    )
+    assert np.isfinite(res.traces["ll"][1:]).all()
+
+
+def test_grad_drift_is_deterministic():
+    spec = cnn.digits_spec(channels=(4,), hidden=16)
+    w = jax.random.normal(jax.random.PRNGKey(3), (spec.w_size,)) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(4), (16, 64))
+    t = jax.nn.one_hot(jnp.zeros(16, jnp.int32), 10)
+    d1 = spec.drift(w, x, t, 0.01)
+    d2 = spec.drift(w, x, t, 0.01)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
