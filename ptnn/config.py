@@ -63,6 +63,17 @@ class PTConfig:
     step_eta: float = 0.2  # noise-variance RW std (pt_timeseries_regression.py:260)
     drift_mode: str = "sequential"  # "sequential" (parity) | "batch" (fast)
     drift_unroll: int = 8
+    # Langevin MH q-ratio:
+    # "reference"   — the current entry points' simplified difference form
+    #                 (pt_classification.py:340-351), a correct MALA ratio;
+    # "ldpt_legacy" — faithful emulation of the older variants' misplaced
+    #                 parenthesis ``log(pdf1 - log(pdf2))`` with covariance
+    #                 step_w (Misc_code/ldpt_classifier_multi.py:244,
+    #                 Misc/Misc_code/ldmcmc.py:322): near a mode the term is
+    #                 hugely positive (always accept), far away it is NaN
+    #                 (always reject). The committed PT_EvalSwapLG* tables
+    #                 are only reproducible with this mode.
+    qratio: str = "reference"
 
     # Priors (pt_classification.py:274-276).
     sigma_sq: float = 25.0
@@ -120,6 +131,8 @@ class PTConfig:
             raise ValueError("metropolis swap rule requires untempered payloads")
         if self.drift_mode not in ("sequential", "batch"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
+        if self.qratio not in ("reference", "ldpt_legacy"):
+            raise ValueError(f"unknown qratio {self.qratio!r}")
         if self.num_chains < 2 and self.swaps_enabled:
             raise ValueError(
                 "need at least 2 chains for parallel tempering (single-chain "
@@ -145,6 +158,7 @@ def classification_preset(
     swap_ratio: float = 0.02,
     maxtemp: float = 10.0,
     canonical: bool = False,
+    legacy_lg: bool = False,
 ) -> PTConfig:
     """Hyperparameter block of pt_classification.py:1036-1045.
 
@@ -152,10 +166,21 @@ def classification_preset(
     tempered for the whole run, as in
     Misc_code/canonical_pt_classifier.py (zero ``adapttemp`` switches there,
     SURVEY.md §2.2) — via a never-firing switch step.
+
+    ``legacy_lg=True`` reproduces the variant that generated the committed
+    PT_EvalSwapLG* baselines: Langevin drift every step with the legacy
+    (buggy) q-ratio (see PTConfig.qratio) — effectively noisy SGD with
+    near-certain acceptance near modes.
     """
     swap_interval = int(swap_ratio * num_samples / num_chains)
     return PTConfig(
         pt_phase_frac=2.0 if canonical else 0.6,
+        langevin_prob=1.0 if legacy_lg else 0.5,
+        qratio="ldpt_legacy" if legacy_lg else "reference",
+        # Untempered payloads reproduce the committed LG tables' ~50% swap
+        # rate (converged equal-likelihood chains under the 0.5*exp rule);
+        # see PARITY.md "classification Langevin" notes.
+        swap_payload="untempered" if legacy_lg else "tempered",
         task="classification",
         topology=topology,
         num_samples=num_samples,
@@ -163,9 +188,7 @@ def classification_preset(
         maxtemp=maxtemp,
         swap_interval=swap_interval,
         swap_offset=1,
-        swap_payload="tempered",
-        use_langevin_gradients=use_langevin_gradients,
-        langevin_prob=0.5,
+        use_langevin_gradients=use_langevin_gradients or legacy_lg,
         learn_rate=learn_rate,
         burn_in=0.5,
     ).validate()

@@ -235,10 +235,34 @@ def make_step_fn(
         w_gd = b_drift(state.w)
         w_prop = jnp.where(use_l[:, None], w_gd + noise, state.w + noise)
         w_prop_gd = b_drift(w_prop)
-        # Simplified log q-ratio (pt_classification.py:340-351).
-        first = -0.5 * jnp.sum(jnp.square(state.w - w_prop_gd), axis=-1) / sigma_sq_w
-        second = -0.5 * jnp.sum(jnp.square(w_prop - w_gd), axis=-1) / sigma_sq_w
-        diff_prop = jnp.where(use_l, (first - second) / adapttemp, 0.0)
+        if cfg.qratio == "reference":
+            # Simplified log q-ratio (pt_classification.py:340-351).
+            first = (
+                -0.5 * jnp.sum(jnp.square(state.w - w_prop_gd), axis=-1) / sigma_sq_w
+            )
+            second = (
+                -0.5 * jnp.sum(jnp.square(w_prop - w_gd), axis=-1) / sigma_sq_w
+            )
+            diff_prop = jnp.where(use_l, (first - second) / adapttemp, 0.0)
+        else:
+            # "ldpt_legacy": faithful emulation of the misplaced-parenthesis
+            # ratio log(pdf1 - log(pdf2)) with COVARIANCE step_w (the older
+            # variants' sigma_diagmat holds step_w, not step_w^2 —
+            # Misc_code/ldpt_classifier_multi.py:227,244). pdf1 overflows ->
+            # accept; pdf1 underflows with log(pdf2) > 0 -> NaN -> reject.
+            d = w_dim
+            log_norm = -0.5 * d * jnp.log(2.0 * jnp.pi * step_w)
+            log_pdf1 = log_norm - 0.5 * jnp.sum(
+                jnp.square(state.w - w_prop_gd), axis=-1
+            ) / step_w
+            log_pdf2 = log_norm - 0.5 * jnp.sum(
+                jnp.square(w_prop - w_gd), axis=-1
+            ) / step_w
+            arg = jnp.exp(jnp.minimum(log_pdf1, 80.0)) - log_pdf2
+            legacy = jnp.where(
+                arg > 0.0, jnp.log(jnp.maximum(arg, 1e-30)), -jnp.inf
+            )
+            diff_prop = jnp.where(use_l, legacy / adapttemp, 0.0)
         return w_prop, diff_prop, state.n_langevin + use_l.astype(jnp.int32)
 
     def do_swap(state: ChainState, i, ks) -> ChainState:

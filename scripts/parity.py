@@ -72,11 +72,15 @@ def run_reg(name, lg, lr, lprob=0.5, maxtemp=5.0, samples=100_000, swap_int=None
     return s, res
 
 
-def run_cls(name, lg, lr=0.01, samples=50_000):
+def run_cls(name, lg, lr=0.01, samples=50_000, legacy=False):
     prob = load_classification(name, seed=0)
     cfg = dataclasses.replace(
         ptnn.classification_preset(
-            prob.topology, num_samples=samples, use_langevin_gradients=lg, learn_rate=lr
+            prob.topology,
+            num_samples=samples,
+            use_langevin_gradients=lg,
+            learn_rate=lr,
+            legacy_lg=legacy,
         ),
         record_w=False,
         # chess: a 19.6k-iteration sequential-drift scan crashed the tunneled
@@ -108,7 +112,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="1/5 sample budgets")
     ap.add_argument("--out", default="PARITY.md")
+    ap.add_argument("--sections", default="reg,cls,sweeps")
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
     div = 5 if args.quick else 1
     reg_samples = 100_000 // div
     cls_samples = 50_000 // div
@@ -131,7 +137,7 @@ def main():
 
     ref_times_rw = {"Lazer": 4.54, "Sunspot": 4.83, "Mackey": 4.60, "Lorenz": 4.45,
                     "Rossler": 4.22, "Henon": 4.21, "ACFinance": 3.60}
-    for name, (rm, rb, rs, ra) in REF_REG_RW.items():
+    for name, (rm, rb, rs, ra) in (REF_REG_RW.items() if "reg" in sections else []):
         s, _ = safe(run_reg, name, lg=False, lr=0.1, samples=reg_samples)
         if s is None:
             lines.append(f"| {name} | run failed | | | | |")
@@ -144,7 +150,11 @@ def main():
         print("done reg RW", name, flush=True)
         _flush(args.out, lines)
 
-    for tag, lr, ref in (("LG lr=0.01", 0.01, REF_REG_LG001), ("LG lr=0.1", 0.1, REF_REG_LG01)):
+    for tag, lr, ref in (
+        (("LG lr=0.01", 0.01, REF_REG_LG001), ("LG lr=0.1", 0.1, REF_REG_LG01))
+        if "reg" in sections
+        else ()
+    ):
         lines += [
             "",
             f"## Regression — Langevin {tag} (maxtemp 5, swap 100, l_prob 0.5)",
@@ -171,7 +181,7 @@ def main():
         "| dataset | test acc mean ours/ref | max ours/ref | swap% | accept% | time min |",
         "|---|---|---|---|---|---|",
     ]
-    for name, (rm, rb) in REF_CLS_RW.items():
+    for name, (rm, rb) in (REF_CLS_RW.items() if "cls" in sections else []):
         s, _ = safe(run_cls, name, lg=False, samples=cls_samples)
         if s is None:
             lines.append(f"| {name} | run failed | | | | |")
@@ -185,13 +195,22 @@ def main():
 
     lines += [
         "",
-        "## Classification — Langevin (lr 0.01)",
+        "## Classification — Langevin (lr 0.01, legacy mode)",
+        "",
+        "The committed PT_EvalSwapLG* tables were generated by the older",
+        "every-step-Langevin variants whose MH q-ratio has a misplaced",
+        "parenthesis (Misc_code/ldpt_classifier_multi.py:244 — ",
+        "``log(pdf1 - log(pdf2))``), making them effectively always-accept",
+        "noisy SGD. ptnn reproduces them with",
+        "``classification_preset(legacy_lg=True)``; the current entry-point",
+        "math (correct MALA ratio) is the default and gives ~50% acceptance",
+        "with the cold chain at the same max accuracy.",
         "",
         "| dataset | test acc mean ours/ref | max ours/ref | swap% | accept% | time min |",
         "|---|---|---|---|---|---|",
     ]
-    for name, (rm, rb) in REF_CLS_LG.items():
-        s, _ = safe(run_cls, name, lg=True, samples=cls_samples)
+    for name, (rm, rb) in (REF_CLS_LG.items() if "cls" in sections else []):
+        s, _ = safe(run_cls, name, lg=True, samples=cls_samples, legacy=True)
         if s is None:
             lines.append(f"| {name} | run failed | | | | |")
             continue
@@ -212,7 +231,7 @@ def main():
         "| maxtemp | test RMSE | swap% | accept% |",
         "|---|---|---|---|",
     ]
-    for mt in (2, 4, 6, 8, 10):
+    for mt in ((2, 4, 6, 8, 10) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Lazer", lg=False, lr=0.1, maxtemp=float(mt), samples=reg_samples)
         if s is None:
             lines.append(f"| {mt} | run failed | | |")
@@ -228,7 +247,7 @@ def main():
         "| swap interval | test RMSE | swap% |",
         "|---|---|---|",
     ]
-    for si in (100, 200, 400, 800):
+    for si in ((100, 200, 400, 800) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Sunspot", lg=False, lr=0.1, maxtemp=4.0, samples=reg_samples, swap_int=si)
         if s is None:
             lines.append(f"| {si} | run failed | |")
@@ -244,7 +263,7 @@ def main():
         "| l_prob | test RMSE | accept% | time min |",
         "|---|---|---|---|",
     ]
-    for lp in (0.1, 0.3, 0.5, 0.8):
+    for lp in ((0.1, 0.3, 0.5, 0.8) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Lazer", lg=True, lr=0.1, lprob=lp, samples=reg_samples)
         if s is None:
             lines.append(f"| {lp} | run failed | | |")
