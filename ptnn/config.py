@@ -175,7 +175,10 @@ def classification_preset(
     swap_interval = int(swap_ratio * num_samples / num_chains)
     return PTConfig(
         pt_phase_frac=2.0 if canonical else 0.6,
-        langevin_prob=1.0 if legacy_lg else 0.5,
+        # The committed LG tables' acceptance is exactly half the RW tables'
+        # on the large sets (bank 31.5 vs 61.6, PenDigit 25.1 vs 50.7):
+        # l_prob stays 0.5 and the legacy ratio simply rejects the Langevin
+        # half when the epoch drift is large (small sets: accepts it all).
         qratio="ldpt_legacy" if legacy_lg else "reference",
         # Untempered payloads reproduce the committed LG tables' ~50% swap
         # rate (converged equal-likelihood chains under the 0.5*exp rule);

@@ -47,16 +47,10 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
     x_ref: (N, I) SMEM; t_ref: (N, O) SMEM; weight refs in VMEM with the
     layouts in the module docstring; o_* are the updated weights.
     """
-    o_w1[:] = w1_ref[:]
-    o_b1[:] = b1_ref[:]
-    o_w2[:] = w2_ref[:]
-    o_b2[:] = b2_ref[:]
-
-    def sample_step(n, _):
-        w1 = o_w1[:]  # (I, H, C)
-        b1 = o_b1[:]  # (H, C)
-        w2 = o_w2[:]  # (O, H, C)
-        b2 = o_b2[:]  # (O, C)
+    def sample_step(n, carry):
+        w1, b1, w2, b2 = carry  # (I,H,C), (H,C), (O,H,C), (O,C) values —
+        # carried through the loop as registers/VMEM values instead of ref
+        # round-trips (12 full-array loads/stores per sample otherwise)
 
         # hidden pre-activation: -B1 + sum_i x[n,i] * W1[i]
         hid = -b1
@@ -85,13 +79,15 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
         hd = hd * hid * (1.0 - hid)  # (H, C)
 
         # updates (biases subtracted in the forward pass -> -lr * delta)
+        n_w2 = w2
         for o in range(o_dim):
-            o_w2[o] = w2[o] + lrate * (od[o : o + 1] * hid)
-        o_b2[:] = b2 - lrate * od
+            n_w2 = n_w2.at[o].set(w2[o] + lrate * (od[o : o + 1] * hid))
+        n_b2 = b2 - lrate * od
+        n_w1 = w1
         for i in range(i_dim):
-            o_w1[i] = w1[i] + lrate * (hd * x_ref[n, i])
-        o_b1[:] = b1 - lrate * hd
-        return 0
+            n_w1 = n_w1.at[i].set(w1[i] + lrate * (hd * x_ref[n, i]))
+        n_b1 = b1 - lrate * hd
+        return n_w1, n_b1, n_w2, n_b2
 
     # Unroll pairs of samples per fori iteration to amortize loop overhead;
     # handle an odd trailing sample after the loop.
@@ -99,12 +95,13 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
     pairs = total // 2
 
     def two(k, c):
-        sample_step((2 * k) % n_samples, c)
-        return sample_step((2 * k + 1) % n_samples, c)
+        return sample_step((2 * k + 1) % n_samples, sample_step((2 * k) % n_samples, c))
 
-    jax.lax.fori_loop(0, pairs, two, 0)
+    carry = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:])
+    carry = jax.lax.fori_loop(0, pairs, two, carry)
     if total % 2:
-        sample_step(total - 1, 0)
+        carry = sample_step((total - 1) % n_samples, carry)
+    o_w1[:], o_b1[:], o_w2[:], o_b2[:] = carry
 
 
 def _to_planes(w: jax.Array, topo: Tuple[int, int, int]):
