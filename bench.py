@@ -38,6 +38,21 @@ def main() -> None:
 
     stats = ptnn.throughput_run(cfg, prob.train, prob.test, seed=0)
     value = stats["chain_steps_per_sec"]
+
+    # ESS/sec of the cold chain (BASELINE.json metric): quick streamed run
+    # with weight traces, ESS over post-burn-in parameter draws.
+    import dataclasses
+
+    import numpy as np
+
+    from ptnn.ops import ess as ess_mod
+
+    ess_cfg = dataclasses.replace(cfg, num_samples=cfg.num_chains * 2000, record_w=True)
+    res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
+    b = ess_cfg.samples_per_chain // 2
+    cold = res.traces["w"][b:, 0, :]
+    ess_val = ess_mod.multi_ess(cold, max_params=16)
+    ess_per_sec = ess_val / (res.elapsed_s * (cold.shape[0] / ess_cfg.n_steps))
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
     print(
         json.dumps(
@@ -53,7 +68,8 @@ def main() -> None:
         f"# elapsed {stats['elapsed_s']:.2f}s for {int(stats['steps'])} steps x "
         f"{chains} chains; accept {stats['accept_pct']:.1f}%, swap "
         f"{stats['swap_pct']:.1f}%, cold-chain final test RMSE "
-        f"{stats['final_rmse_test_cold']:.4f}",
+        f"{stats['final_rmse_test_cold']:.4f}; cold-chain ESS "
+        f"{ess_val:.0f} over {cold.shape[0]} draws -> {ess_per_sec:,.0f} ESS/s",
         file=sys.stderr,
     )
 

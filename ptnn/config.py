@@ -61,7 +61,9 @@ class PTConfig:
     learn_rate: float = 0.01
     step_w: float = 0.025  # RW std (pt_classification.py:267)
     step_eta: float = 0.2  # noise-variance RW std (pt_timeseries_regression.py:260)
-    drift_mode: str = "sequential"  # "sequential" (parity) | "batch" (fast)
+    # "sequential" (lax.scan, strict parity) | "batch" (fused, fast) |
+    # "pallas" (Pallas TPU kernel, bit-compatible with sequential)
+    drift_mode: str = "sequential"
     drift_unroll: int = 8
     # Langevin MH q-ratio:
     # "reference"   — the current entry points' simplified difference form
@@ -129,7 +131,7 @@ class PTConfig:
             raise ValueError(f"unknown swap_rule {self.swap_rule!r}")
         if self.swap_rule == "metropolis" and self.swap_payload != "untempered":
             raise ValueError("metropolis swap rule requires untempered payloads")
-        if self.drift_mode not in ("sequential", "batch"):
+        if self.drift_mode not in ("sequential", "batch", "pallas"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
         if self.qratio not in ("reference", "ldpt_legacy"):
             raise ValueError(f"unknown qratio {self.qratio!r}")

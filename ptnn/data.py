@@ -41,6 +41,11 @@ CLASSIFICATION_TOPOLOGIES: Dict[str, Tuple[int, int, int]] = {
     "bank-additional": (51, 50, 2),
     "PenDigit": (16, 30, 10),
     "chess": (6, 25, 18),
+    # problems 1-2 (pt_classification.py:909-941) + extra bundled sets
+    "winequality-red": (11, 50, 10),
+    "winequality-white": (11, 50, 10),
+    "TicTac": (9, 25, 2),
+    "abalone": (8, 30, 29),
 }
 
 REGRESSION_TOPOLOGY: Tuple[int, int, int] = (4, 10, 1)  # pt_timeseries_regression.py:915-917
@@ -143,6 +148,30 @@ def load_classification(name: str, seed: int = 0, root: str | None = None) -> Pr
         for mat in (train, test):
             for k in range(16):
                 mat[:, k] = (mat[:, k] - np.mean(mat[:, k])) / np.std(mat[:, k])
+    elif name in ("winequality-red", "winequality-white"):  # problems 1-2
+        data = np.genfromtxt(os.path.join(croot, f"{name}.csv"), delimiter=";")
+        data = data[1:, :]  # drop header row (pt_classification.py:933)
+        train, test = zscore_and_split(data[:, 0:11], data[:, 11], rng)
+    elif name == "TicTac":  # bundled pre-split set (DATA/TicTac, one-hot'd
+        # endgame boards + win/lose label via preprocess_ttt.py)
+        train = np.genfromtxt(
+            os.path.join(croot, "TicTac", "ftrain.csv"), delimiter=","
+        )[:, :-1]
+        test = np.genfromtxt(os.path.join(croot, "TicTac", "ftest.csv"), delimiter=",")[
+            :, :-1
+        ]
+    elif name == "abalone":  # bundled raw set: sex letter -> {M:0,F:1,I:2},
+        # rings (1..29) as the class label
+        rows = []
+        with open(os.path.join(croot, "abalone.data")) as f:
+            for line in f:
+                p = line.strip().split(",")
+                if len(p) != 9:
+                    continue
+                sex = {"M": 0.0, "F": 1.0, "I": 2.0}[p[0]]
+                rows.append([sex] + [float(v) for v in p[1:8]] + [float(p[8]) - 1.0])
+        data = np.asarray(rows)
+        train, test = zscore_and_split(data[:, 0:8], data[:, 8], rng)
     elif name == "chess":  # problem 8
         # The reference loads a numeric 'DATA/chess.csv' that is NOT committed
         # (pt_classification.py:986 would fail as shipped); we encode the raw

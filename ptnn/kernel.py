@@ -220,9 +220,15 @@ def make_step_fn(
         b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
 
     if cfg.use_langevin_gradients:
-        b_drift = jax.vmap(
-            lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
-        )
+        if spec.batched_drift is not None:
+            interp = jax.default_backend() != "tpu"
+            b_drift = lambda w: spec.batched_drift(
+                w, data.x_train, data.t_train, cfg.learn_rate, interpret=interp
+            )
+        else:
+            b_drift = jax.vmap(
+                lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
+            )
 
     def propose(state: ChainState, i, kp, kl):
         """Weight proposal + q-ratio correction + langevin counter."""

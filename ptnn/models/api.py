@@ -37,6 +37,9 @@ class ModelSpec:
     # dimension constants for the reference prior normalization terms
     prior_dim_classification: int
     prior_dim_regression: int
+    # optional chain-batched drift: (C, w_size, lrate) -> (C, w_size); takes
+    # precedence over vmap(drift) — used by the Pallas kernel
+    batched_drift: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.name, self.w_size))
@@ -63,16 +66,31 @@ def fnn_spec(
             return drift_mod.sgd_epoch_sequential(
                 w, x, t, topo, lrate, unroll=drift_unroll
             )
+    elif drift_mode == "pallas":
+        # chain-batched Pallas kernel (ops/pallas_drift.py); the kernel
+        # wants the whole (C, w_size) block, so it is installed by the
+        # sampler kernel via `batched_drift` below rather than per-chain
+        drift = None
     else:
         def drift(w, x, t, lrate):
             return drift_mod.sgd_epoch_batch(w, x, t, topo, lrate)
 
+    batched = None
+    if drift_mode == "pallas":
+        from ptnn.ops import pallas_drift
+
+        def batched(w, x, t, lrate, interpret=False):
+            return pallas_drift.sgd_epoch_sequential_pallas(
+                w, x, t, topo, lrate, interpret=interpret
+            )
+
     return ModelSpec(
-        name=f"fnn{topo}",
+        name=f"fnn{topo}-{drift_mode}",
         w_size=fnn.w_size(topo),
         forward=forward,
         log_probs=log_probs,
         drift=drift,
+        batched_drift=batched,
         # pt_classification.py:227: d*h + h + o + h*o (== w_size)
         prior_dim_classification=i * h + h + o + h * o,
         # pt_timeseries_regression.py:218: d*h + h + 2
