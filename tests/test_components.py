@@ -177,3 +177,26 @@ def test_native_savetxt_matches_numpy(tmp_path):
     # default scientific format round-trips exactly
     native.savetxt(p1, a)
     np.testing.assert_allclose(np.loadtxt(p1), a)
+
+
+def test_legacy_qratio_mode(sunspot):
+    """legacy_lg reproduces the committed LG baselines' always-accept
+    dynamics near modes (tiny run: acceptance should exceed the correct
+    MALA ratio's)."""
+    from ptnn.config import classification_preset
+    from ptnn.data import load_classification
+
+    p = load_classification("iris", seed=0)
+    legacy = dataclasses.replace(
+        classification_preset(p.topology, num_samples=1500, legacy_lg=True),
+        record_w=False,
+        chunk_steps=75,
+    )
+    assert legacy.qratio == "ldpt_legacy" and legacy.langevin_prob == 0.5
+    r_leg = sample(legacy, p.train, p.test, seed=0)
+    correct = dataclasses.replace(legacy, qratio="reference")
+    r_ref = sample(correct, p.train, p.test, seed=0)
+    assert (
+        r_leg.accept_ratio_per_chain.mean() > r_ref.accept_ratio_per_chain.mean()
+    )
+    assert np.isfinite(r_leg.traces["ll"][1:]).all()
