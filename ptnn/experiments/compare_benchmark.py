@@ -74,8 +74,8 @@ def run_regression(problems, restarts, out):
         prob = load_regression(name)
         xtr, ytr, xte, yte = _split(prob)
         for tag, mk in (
-            ("adam", lambda r: MLPRegressor((10,), solver="adam", max_iter=500, random_state=r)),
-            ("sgd", lambda r: MLPRegressor((10,), solver="sgd", max_iter=500, random_state=r)),
+            ("adam", lambda r: MLPRegressor(hidden_layer_sizes=(10,), solver="adam", max_iter=500, random_state=r)),
+            ("sgd", lambda r: MLPRegressor(hidden_layer_sizes=(10,), solver="sgd", max_iter=500, random_state=r)),
             ("rf", lambda r: RandomForestRegressor(n_estimators=100, random_state=r)),
         ):
             rmses = []

@@ -1,0 +1,85 @@
+"""Smoke tests for the experiment CLI drivers (tiny budgets, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ptnn.experiments import classification as cls_cli
+from ptnn.experiments import regression as reg_cli
+from ptnn.experiments import single_chain as sc_cli
+
+
+def test_regression_cli(tmp_path):
+    out = str(tmp_path / "reg")
+    reg_cli.main(
+        [
+            "--problem", "Sunspot", "--samples", "1600", "--chains", "8",
+            "--no-langevin", "--no-plots", "--out", out,
+        ]
+    )
+    master = os.path.join(out, "master_result_file.txt")
+    assert os.path.exists(master)
+    row = open(master).read().split()
+    assert row[-1] == "Sunspot_0"
+    assert len(row) == 16  # 15 columns + run tag
+    # artifact tree
+    d = os.path.join(out, "Sunspot_0")
+    assert os.path.exists(os.path.join(d, "likelihood.txt"))
+    assert os.path.exists(os.path.join(d, "acceptpercent.txt"))
+    pos = [f for f in os.listdir(os.path.join(d, "posterior", "pos_w"))]
+    assert len(pos) == 8  # one per chain temperature
+    # pos_w files parse and have the init row of ones
+    a = np.loadtxt(os.path.join(d, "posterior", "pos_w", pos[0]))
+    assert a.shape == (200, 61)
+    np.testing.assert_array_equal(a[0], 1.0)
+
+
+def test_regression_cli_versioned_dirs(tmp_path):
+    out = str(tmp_path / "reg")
+    args = [
+        "--problem", "Lazer", "--samples", "800", "--chains", "8",
+        "--no-langevin", "--no-plots", "--out", out,
+    ]
+    reg_cli.main(args)
+    reg_cli.main(args)
+    assert os.path.isdir(os.path.join(out, "Lazer_0"))
+    assert os.path.isdir(os.path.join(out, "Lazer_1"))
+    assert len(open(os.path.join(out, "master_result_file.txt")).readlines()) == 2
+
+
+def test_classification_cli(tmp_path):
+    out = str(tmp_path / "cls")
+    cls_cli.main(
+        [
+            "--problem", "iris", "--samples", "1600", "--chains", "8",
+            "--no-plots", "--out", out,
+        ]
+    )
+    d = os.path.join(out, "iris_0")
+    acc_files = [
+        f for f in os.listdir(os.path.join(d, "predictions")) if "acc_test" in f
+    ]
+    assert len(acc_files) == 8
+    assert os.path.exists(os.path.join(d, "metrics.jsonl"))
+
+
+def test_single_chain_cli(tmp_path, capsys):
+    out = str(tmp_path / "sc")
+    sc_cli.main(
+        ["--problem", "Sunspot", "--samples", "400", "--no-langevin", "--out", out]
+    )
+    assert os.path.exists(os.path.join(out, "Sunspot", "mcmcres_test.png"))
+    assert "single-chain" in capsys.readouterr().out
+
+
+def test_compare_benchmark_cli(tmp_path):
+    from ptnn.experiments import compare_benchmark as cb_cli
+
+    out = str(tmp_path / "cmp.txt")
+    cb_cli.main(
+        ["--task", "regression", "--problem", "Sunspot", "--restarts", "2", "--out", out]
+    )
+    rows = open(out).read().strip().splitlines()
+    assert len(rows) == 3  # adam, sgd, rf
+    assert rows[0].startswith("Sunspot adam")
