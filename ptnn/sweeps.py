@@ -1,0 +1,91 @@
+"""Vmapped hyperparameter sweeps: many PT runs as ONE compiled program.
+
+The reference sweeps hyperparameters by editing loop bounds and re-running
+the whole process pipeline per cell (SURVEY.md §5 "Config"). On TPU, sweep
+points that share shapes (same chains/steps/dataset) differ only in *values*
+— e.g. the temperature ladder for a maxtemp sweep — so the entire grid runs
+as ``jax.vmap`` over a leading sweep axis: one compile, one launch, every
+cell in flight simultaneously (SURVEY.md §7 stage 7).
+
+Scalar traces only (the posterior trace of a whole grid would be large);
+returns per-cell summary statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptnn import kernel
+from ptnn.compat import fast_jit
+from ptnn.config import PTConfig
+from ptnn.ops import ladder
+from ptnn.sampler import _step_keys, make_dataset
+
+
+def maxtemp_sweep(
+    cfg: PTConfig,
+    maxtemps: Sequence[float],
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Run one PT sampler per maxtemp value, all cells in one vmapped scan.
+
+    Returns per-cell arrays: pooled post-burn-in test metric mean/best,
+    accept %, swap %.
+    """
+    cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
+    data = make_dataset(cfg, train, test)
+    temps_batch = jnp.stack(
+        [
+            jnp.asarray(
+                ladder.assign_temperatures(cfg.num_chains, float(mt)), jnp.float32
+            )
+            for mt in maxtemps
+        ]
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(maxtemps))
+    n_steps = cfg.n_steps
+    switch = cfg.temper_switch_step
+    burnin = int(cfg.samples_per_chain * cfg.burn_in)
+    is_reg = cfg.task == "regression"
+    metric = "rmse_test" if is_reg else "acc_test"
+
+    def run_one(temps, key):
+        # make_step_fn closes over `temps`, which is a tracer here — the
+        # whole sampler vmaps over the sweep axis.
+        k_init, k_run = jax.random.split(key)
+        state = kernel.init_state(k_init, cfg, data)
+        step = kernel.make_step_fn(cfg, data, temps)
+        bounds = [(0, switch), (switch, n_steps)] if 0 < switch < n_steps else [
+            (0, n_steps)
+        ]
+        traces = []
+        for bi, (a, b) in enumerate(bounds):
+            if bi > 0:
+                state = step.recompute_ll(state)
+            idx = a + jnp.arange(b - a)
+            state, tr = jax.lax.scan(step, state, (idx, _step_keys(k_run, jnp.asarray(a), b - a)))
+            traces.append(tr[metric])
+        m = jnp.concatenate(traces, axis=0)[burnin:]  # (S-b, C)
+        best = jnp.min(m) if is_reg else jnp.max(m)
+        accept = jnp.mean(state.n_accept) * 100.0 / cfg.samples_per_chain
+        swap_pct = jnp.where(
+            state.n_swap_proposed > 0,
+            100.0 * state.n_swap_accepted / jnp.maximum(state.n_swap_proposed, 1),
+            0.0,
+        )
+        return {
+            "test_mean": jnp.mean(m),
+            "test_best": best,
+            "accept_pct": accept,
+            "swap_pct": swap_pct,
+        }
+
+    out = fast_jit(jax.vmap(run_one))(temps_batch, keys)
+    return {k: np.asarray(v) for k, v in out.items()}

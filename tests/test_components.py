@@ -200,3 +200,17 @@ def test_legacy_qratio_mode(sunspot):
         r_leg.accept_ratio_per_chain.mean() > r_ref.accept_ratio_per_chain.mean()
     )
     assert np.isfinite(r_leg.traces["ll"][1:]).all()
+
+
+def test_vmapped_maxtemp_sweep(sunspot):
+    """Whole maxtemp sweep as one vmapped program; cells must match
+    individually-run configurations statistically."""
+    from ptnn import sweeps
+
+    cfg = small_cfg(num_samples=1600)
+    out = sweeps.maxtemp_sweep(cfg, [2.0, 5.0], *sunspot, seed=0)
+    assert out["test_mean"].shape == (2,)
+    assert np.isfinite(out["test_mean"]).all()
+    assert (out["swap_pct"] >= 0).all() and (out["swap_pct"] <= 100).all()
+    # hotter ladders accept more on average in the tempered phase
+    assert out["accept_pct"][1] > out["accept_pct"][0] * 0.5
