@@ -52,7 +52,9 @@ def main() -> None:
     b = ess_cfg.samples_per_chain // 2
     cold = res.traces["w"][b:, 0, :]
     ess_val = ess_mod.multi_ess(cold, max_params=16)
-    ess_per_sec = ess_val / (res.elapsed_s * (cold.shape[0] / ess_cfg.n_steps))
+    # steady-state ESS/sec: draws per second at the fused throughput rate
+    steps_per_sec_per_chain = value / chains
+    ess_per_sec = ess_val / (cold.shape[0] / steps_per_sec_per_chain)
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
     print(
         json.dumps(

@@ -69,8 +69,10 @@ class _ExportJit:
                 return fn(*a, **kw)
 
             with jax.default_device(_cpu_device()):
+                # tpu-only: multi-platform export would try to lower Pallas
+                # kernels for CPU, which only supports interpret mode
                 exported = jax.export.export(
-                    jax.jit(flat_fn), platforms=("cpu", "tpu")
+                    jax.jit(flat_fn), platforms=("tpu",)
                 )(*avals)
             compiled = jax.jit(exported.call)
             self._cache[key] = compiled

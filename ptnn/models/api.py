@@ -80,7 +80,7 @@ def fnn_spec(
         from ptnn.ops import pallas_drift
 
         def batched(w, x, t, lrate, interpret=False):
-            return pallas_drift.sgd_epoch_sequential_pallas(
+            return pallas_drift.sgd_epoch_sequential_pallas_impl(
                 w, x, t, topo, lrate, interpret=interpret
             )
 

@@ -47,22 +47,29 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
     x_ref: (N, I) SMEM; t_ref: (N, O) SMEM; weight refs in VMEM with the
     layouts in the module docstring; o_* are the updated weights.
     """
-    def sample_step(n, carry):
-        w1, b1, w2, b2 = carry  # (I,H,C), (H,C), (O,H,C), (O,C) values —
-        # carried through the loop as registers/VMEM values instead of ref
-        # round-trips (12 full-array loads/stores per sample otherwise)
+    o_w1[:] = w1_ref[:]
+    o_b1[:] = b1_ref[:]
+    o_w2[:] = w2_ref[:]
+    o_b2[:] = b2_ref[:]
+
+    def sample_step(n, c):
+        # static-index slice reads/writes on the output refs — weights stay
+        # VMEM-resident across the whole epoch, no host round-trips, and
+        # every access is a contiguous leading-dim plane
 
         # hidden pre-activation: -B1 + sum_i x[n,i] * W1[i]
-        hid = -b1
+        hid = -o_b1[:]
         for i in range(i_dim):
-            hid = hid + x_ref[n, i] * w1[i]
+            hid = hid + x_ref[n, i] * o_w1[i]
         hid = jax.nn.sigmoid(hid)  # (H, C)
 
+        w2_rows = [o_w2[o] for o in range(o_dim)]  # (H, C) each
         # output: -B2 + sum_h hid[h] * W2[o,h]; per-o sublane reduction
         outs = [
-            jnp.sum(w2[o] * hid, axis=0, keepdims=True) for o in range(o_dim)
+            jnp.sum(w2_rows[o] * hid, axis=0, keepdims=True)
+            for o in range(o_dim)
         ]
-        out = (outs[0] if o_dim == 1 else jnp.concatenate(outs, axis=0)) - b2
+        out = (outs[0] if o_dim == 1 else jnp.concatenate(outs, axis=0)) - o_b2[:]
         out = jax.nn.sigmoid(out)  # (O, C)
 
         # delta rule (pt_classification.py:72-82)
@@ -75,19 +82,17 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
 
         hd = jnp.zeros_like(hid)
         for o in range(o_dim):
-            hd = hd + w2[o] * od[o : o + 1]
+            hd = hd + w2_rows[o] * od[o : o + 1]
         hd = hd * hid * (1.0 - hid)  # (H, C)
 
         # updates (biases subtracted in the forward pass -> -lr * delta)
-        n_w2 = w2
         for o in range(o_dim):
-            n_w2 = n_w2.at[o].set(w2[o] + lrate * (od[o : o + 1] * hid))
-        n_b2 = b2 - lrate * od
-        n_w1 = w1
+            o_w2[o] = w2_rows[o] + lrate * (od[o : o + 1] * hid)
+        o_b2[:] = o_b2[:] - lrate * od
         for i in range(i_dim):
-            n_w1 = n_w1.at[i].set(w1[i] + lrate * (hd * x_ref[n, i]))
-        n_b1 = b1 - lrate * hd
-        return n_w1, n_b1, n_w2, n_b2
+            o_w1[i] = o_w1[i] + lrate * (hd * x_ref[n, i])
+        o_b1[:] = o_b1[:] - lrate * hd
+        return c
 
     # Unroll pairs of samples per fori iteration to amortize loop overhead;
     # handle an odd trailing sample after the loop.
@@ -97,11 +102,9 @@ def _drift_kernel(i_dim, h_dim, o_dim, n_samples, lrate, depth,
     def two(k, c):
         return sample_step((2 * k + 1) % n_samples, sample_step((2 * k) % n_samples, c))
 
-    carry = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:])
-    carry = jax.lax.fori_loop(0, pairs, two, carry)
+    jax.lax.fori_loop(0, pairs, two, 0)
     if total % 2:
-        carry = sample_step((total - 1) % n_samples, carry)
-    o_w1[:], o_b1[:], o_w2[:], o_b2[:] = carry
+        sample_step((total - 1) % n_samples, 0)
 
 
 def _to_planes(w: jax.Array, topo: Tuple[int, int, int]):
@@ -130,10 +133,7 @@ def _from_planes(w1, b1, w2, b2, topo: Tuple[int, int, int]):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("topo", "lrate", "depth", "interpret")
-)
-def sgd_epoch_sequential_pallas(
+def sgd_epoch_sequential_pallas_impl(
     w: jax.Array,
     x: jax.Array,
     t: jax.Array,
@@ -175,3 +175,10 @@ def sgd_epoch_sequential_pallas(
     )(x, t, w1, b1, w2, b2)
     out = _from_planes(r_w1, r_b1, r_w2, r_b2, topo)
     return out[:c]
+
+
+# jitted convenience wrapper for direct calls; inside larger jitted programs
+# (the sampler kernel) use the _impl to avoid nested-jit lowering issues
+sgd_epoch_sequential_pallas = functools.partial(
+    jax.jit, static_argnames=("topo", "lrate", "depth", "interpret")
+)(sgd_epoch_sequential_pallas_impl)
