@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CHAIN_AXIS = "chains"
+DATA_AXIS = "data"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -25,6 +26,34 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (CHAIN_AXIS,))
+
+
+def make_mesh_2d(
+    data_parallel: int = 2, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D ('chains', 'data') mesh: chains shard one way, dataset rows the
+    other — per-example log-likelihood terms reduce with an XLA-inserted
+    psum over the 'data' axis (the MNIST-scale layout, SURVEY.md §2.3)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % data_parallel == 0, (n, data_parallel)
+    arr = np.asarray(devices).reshape(n // data_parallel, data_parallel)
+    return Mesh(arr, (CHAIN_AXIS, DATA_AXIS))
+
+
+def shard_data_tree(tree, mesh: Mesh):
+    """Shard dataset rows over the 'data' axis (leading axis = examples)."""
+    n_dp = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_dp == 0:
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, tree)
 
 
 def chain_spec(ndim: int) -> P:

@@ -122,7 +122,10 @@ def sample(
     k_init, k_run = jax.random.split(key)
 
     if mesh is not None:
-        data = mesh_mod.replicate_tree(data, mesh)
+        if mesh_mod.DATA_AXIS in mesh.axis_names:
+            data = mesh_mod.shard_data_tree(data, mesh)
+        else:
+            data = mesh_mod.replicate_tree(data, mesh)
         temps = mesh_mod.replicate_tree(temps, mesh)
 
     # On the mesh path, plain jit preserves sharding; otherwise fast_jit
