@@ -27,6 +27,24 @@ from ptnn.ops import ladder
 from ptnn.sampler import _step_keys, make_dataset
 
 
+def seed_sweep(
+    cfg: PTConfig,
+    seeds: Sequence[int],
+    train: np.ndarray,
+    test: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """N independent replications of one config as a single vmapped program —
+    run-to-run spread (mean/std over seeds) for the parity gates, which the
+    reference could only estimate by re-running the whole process pipeline."""
+    cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
+    temps = jnp.asarray(
+        ladder.assign_temperatures(cfg.num_chains, cfg.maxtemp), jnp.float32
+    )
+    temps_batch = jnp.broadcast_to(temps, (len(seeds),) + temps.shape)
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    return _run_grid(cfg, temps_batch, keys, train, test)
+
+
 def maxtemp_sweep(
     cfg: PTConfig,
     maxtemps: Sequence[float],
@@ -40,7 +58,6 @@ def maxtemp_sweep(
     accept %, swap %.
     """
     cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
-    data = make_dataset(cfg, train, test)
     temps_batch = jnp.stack(
         [
             jnp.asarray(
@@ -50,6 +67,11 @@ def maxtemp_sweep(
         ]
     )
     keys = jax.random.split(jax.random.PRNGKey(seed), len(maxtemps))
+    return _run_grid(cfg, temps_batch, keys, train, test)
+
+
+def _run_grid(cfg, temps_batch, keys, train, test) -> Dict[str, np.ndarray]:
+    data = make_dataset(cfg, train, test)
     n_steps = cfg.n_steps
     switch = cfg.temper_switch_step
     burnin = int(cfg.samples_per_chain * cfg.burn_in)

@@ -99,3 +99,41 @@ def test_grad_drift_is_deterministic():
     d1 = spec.drift(w, x, t, 0.01)
     d2 = spec.drift(w, x, t, 0.01)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_deep_mlp_spec_runs(digits):
+    from ptnn.models import mlp
+
+    spec = mlp.spec((64, 32, 16, 10), task="classification", act="relu")
+    assert spec.w_size == 64 * 32 + 32 + 32 * 16 + 16 + 16 * 10 + 10
+    cfg = dataclasses.replace(
+        ptnn.classification_preset(
+            (64, 32, 10), num_samples=8 * 30, num_chains=8, maxtemp=3.0,
+            use_langevin_gradients=True, learn_rate=5e-5,
+        ),
+        swap_interval=10,
+        step_w=0.01,
+        record_w=False,
+        chunk_steps=15,
+    )
+    res = ptnn.sample(cfg, *digits, seed=0, model_spec=spec)
+    assert np.isfinite(res.traces["ll"][1:]).all()
+
+
+def test_deep_mlp_regression():
+    from ptnn.data import load_regression
+    from ptnn.models import mlp
+
+    p = load_regression("Sunspot")
+    spec = mlp.spec((4, 16, 8, 1), task="regression", act="tanh")
+    cfg = dataclasses.replace(
+        ptnn.regression_preset(
+            num_samples=8 * 50, num_chains=8, maxtemp=3.0,
+            use_langevin_gradients=True, learn_rate=5e-5,
+        ),
+        step_w=0.01,
+        record_w=False,
+        chunk_steps=25,
+    )
+    res = ptnn.sample(cfg, p.train, p.test, seed=0, model_spec=spec)
+    assert np.isfinite(res.traces["rmse_test"][1:]).all()

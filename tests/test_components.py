@@ -214,3 +214,14 @@ def test_vmapped_maxtemp_sweep(sunspot):
     assert (out["swap_pct"] >= 0).all() and (out["swap_pct"] <= 100).all()
     # hotter ladders accept more on average in the tempered phase
     assert out["accept_pct"][1] > out["accept_pct"][0] * 0.5
+
+
+def test_vmapped_seed_sweep(sunspot):
+    from ptnn import sweeps
+
+    cfg = small_cfg(num_samples=1600)
+    out = sweeps.seed_sweep(cfg, [0, 1, 2], *sunspot)
+    assert out["test_mean"].shape == (3,)
+    # different seeds give different (but finite, same-ballpark) results
+    assert len(set(np.round(out["test_mean"], 6))) > 1
+    assert np.isfinite(out["test_mean"]).all()
