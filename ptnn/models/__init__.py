@@ -1,5 +1,5 @@
 """Model zoo: pure-function neural nets for the tempered sampler."""
 
-from ptnn.models import fnn
+from ptnn.models import api, cnn, fnn, mlp
 
-__all__ = ["fnn"]
+__all__ = ["api", "cnn", "fnn", "mlp"]
