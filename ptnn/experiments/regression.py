@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="results/regression")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--mesh", action="store_true", help="shard chains over devices")
+    p.add_argument(
+        "--truepos",
+        action="store_true",
+        help="aggregate the cold chain only (reference truepos variant)",
+    )
     return p
 
 
@@ -71,6 +76,7 @@ def main(argv=None) -> None:
                 seed=args.seed,
                 plots=not args.no_plots,
                 use_mesh=args.mesh,
+                truepos=args.truepos,
                 master_fmt="%1.4f",
             )
 

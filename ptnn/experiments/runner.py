@@ -22,6 +22,7 @@ def run_problem(
     plots: bool = True,
     use_mesh: bool = False,
     master_fmt: str = "%1.4f",
+    truepos: bool = False,
 ) -> results_mod.Summary:
     """One full experiment: sample, write the artifact tree into an
     auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row."""
@@ -36,6 +37,10 @@ def run_problem(
     res = sample(cfg, prob.train, prob.test, seed=seed, mesh=mesh)
     path = results_mod.versioned_dir(outdir, prob.name)
     summary = results_mod.write_artifacts(res, path, prob.name, plots=plots)
+    if truepos:
+        # "true posterior" reporting: cold chain only
+        # (Misc_code/pt_classifier_truepos.py semantics)
+        summary = results_mod.summarize(res, prob.name, cold_only=True)
     # wall time includes artifact IO, like the reference's timer bracket
     summary.time_min = (time.time() - t0) / 60.0
     run_name = os.path.basename(path)
