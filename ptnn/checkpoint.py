@@ -37,8 +37,12 @@ def save(
     seed: int,
 ) -> None:
     """Atomic checkpoint write (tmp + rename)."""
-    payload = {f"state__{k}": np.asarray(v) for k, v in state._asdict().items()
-               if v is not None}
+    payload = {
+        f"state__{k}": np.asarray(v)
+        for k, v in state._asdict().items()
+        if v is not None and not isinstance(v, tuple)
+        # nested states (the surrogate buffer) are rebuilt on resume
+    }
     payload |= {f"trace__{k}": v for k, v in traces.items()}
     payload["done_steps"] = np.asarray(done_steps)
     payload["fingerprint"] = np.asarray(config_fingerprint(cfg, seed))

@@ -91,6 +91,18 @@ class PTConfig:
     # Burn-in fraction dropped in result aggregation (pt_classification.py:782).
     burn_in: float = 0.5
 
+    # Surrogate-assisted PT (the reference's dead surrogate_interval /
+    # surrogate_prob plumbing made functional — see ptnn/surrogate.py).
+    # Surrogate refits + true-likelihood re-anchoring happen at chunk
+    # boundaries, so chunk_steps doubles as the surrogate interval.
+    use_surrogate: bool = False
+    surrogate_prob: float = 0.25  # per-step prob of surrogate eval post-warmup
+    surrogate_warmup_frac: float = 0.25  # collect-only fraction of the run
+    surrogate_buffer: int = 2048  # ring buffer rows (rounded up to chains)
+    surrogate_proj: int = 64  # random-projection quadratic feature count
+    surrogate_ridge: float = 1e-3
+    surrogate_min_r2: float = 0.7  # trust gate: fall back to true evals below
+
     # Runtime knobs (no reference equivalent).
     record_w: bool = True  # record full pos_w trace (the posterior)
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)

@@ -45,6 +45,7 @@ from ptnn.models import api as model_api
 from ptnn.models import fnn
 from ptnn.ops import drift, likelihood
 from ptnn.parallel import swap as swap_mod
+from ptnn import surrogate as surrogate_mod
 
 
 def default_spec(cfg: PTConfig) -> model_api.ModelSpec:
@@ -68,6 +69,8 @@ class ChainState(NamedTuple):
     # Optional posterior-predictive carries (None unless cfg.record_fx):
     fx_train: Any  # (C, N_train) last accepted predictions, or None
     fx_test: Any  # (C, N_test), or None
+    # Optional surrogate state (None unless cfg.use_surrogate):
+    surr: Any
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -157,6 +160,13 @@ def init_state(
     else:
         fx_train = fx_test = None
 
+    surr = None
+    if cfg.use_surrogate:
+        buf = ((cfg.surrogate_buffer + c - 1) // c) * c
+        # surrogate features operate on [w, eta] so the regression noise
+        # variance is part of the input
+        surr = surrogate_mod.init(buf, w_dim + 1, cfg.surrogate_proj)
+
     return ChainState(
         w=w,
         eta=eta,
@@ -170,6 +180,7 @@ def init_state(
         acc_test=zero(),
         fx_train=fx_train,
         fx_test=fx_test,
+        surr=surr,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -196,6 +207,7 @@ def make_step_fn(
     data: Dataset,
     temps: jax.Array,
     spec: model_api.ModelSpec = None,
+    surrogate_proj: jax.Array = None,
 ):
     """Build the scanned step: ``(state, (i, key)) -> (state, trace_dict)``.
 
@@ -220,11 +232,29 @@ def make_step_fn(
         b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
 
     if cfg.use_langevin_gradients:
-        if spec.batched_drift is not None:
-            interp = jax.default_backend() != "tpu"
+        if spec.batched_drift is not None and jax.default_backend() == "tpu":
             b_drift = lambda w: spec.batched_drift(
-                w, data.x_train, data.t_train, cfg.learn_rate, interpret=interp
+                w, data.x_train, data.t_train, cfg.learn_rate
             )
+        elif spec.batched_drift is not None:
+            # off-TPU: the Pallas kernel only runs interpreted (slow); fall
+            # back to the bit-compatible sequential scan unless tests force
+            # the interpreter via PTNN_PALLAS_INTERPRET
+            import os
+
+            if os.environ.get("PTNN_PALLAS_INTERPRET"):
+                b_drift = lambda w: spec.batched_drift(
+                    w, data.x_train, data.t_train, cfg.learn_rate, interpret=True
+                )
+            else:
+                from ptnn.ops import drift as drift_mod
+
+                b_drift = jax.vmap(
+                    lambda wi: drift_mod.sgd_epoch_sequential(
+                        wi, data.x_train, data.t_train, cfg.topology,
+                        cfg.learn_rate, unroll=cfg.drift_unroll,
+                    )
+                )
         else:
             b_drift = jax.vmap(
                 lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
@@ -317,9 +347,45 @@ def make_step_fn(
             ev = b_eval(s.w, data.x_train, data.y_train)
         return s._replace(ll=ev.loglik)
 
+    if cfg.use_surrogate:
+        assert surrogate_proj is not None, "use_surrogate needs a projection"
+        surr_warmup_end = int(cfg.n_steps * cfg.surrogate_warmup_frac)
+
+    def _eval_bundle(state, w_prop, eta_prop, tau_prop):
+        """True proposal evaluation (the expensive full-dataset pass)."""
+        if is_regression:
+            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop)
+            ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_prop)
+            acc_tr_prop = jnp.zeros((c,), jnp.float32)
+            acc_te_prop = jnp.zeros((c,), jnp.float32)
+        else:
+            ev_tr = b_eval(w_prop, data.x_train, data.y_train)
+            ev_te = b_eval(w_prop, data.x_test, data.y_test)
+            acc_tr_prop = ev_tr.acc
+            acc_te_prop = ev_te.acc
+        out = [ev_tr.loglik, ev_tr.rmse, ev_te.rmse, acc_tr_prop, acc_te_prop]
+        if cfg.record_fx:
+            out += [ev_tr.fx, ev_te.fx]
+        surr = state.surr
+        if cfg.use_surrogate:
+            z = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
+            surr = surrogate_mod.push(surr, z, ev_tr.loglik)
+        return tuple(out), surr
+
+    def _surr_bundle(state, w_prop, eta_prop, tau_prop):
+        """Surrogate proposal evaluation: skip the dataset pass entirely;
+        metrics carry the previous values (no predictions were made)."""
+        z = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
+        ll_prop = surrogate_mod.predict(state.surr, surrogate_proj, z)
+        out = [ll_prop, state.rmse_train, state.rmse_test, state.acc_train,
+               state.acc_test]
+        if cfg.record_fx:
+            out += [state.fx_train, state.fx_test]
+        return tuple(out), state.surr
+
     def step(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
         i, key = xs
-        kp, kl, ke, ku, ks = jax.random.split(key, 5)
+        kp, kl, ke, ku, ks, ksu = jax.random.split(key, 6)
         adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
 
         w_prop, diff_prop, n_langevin = propose(state, i, kp, kl)
@@ -327,26 +393,35 @@ def make_step_fn(
         if is_regression:
             eta_prop = state.eta + cfg.step_eta * jax.random.normal(ke, (c,))
             tau_prop = jnp.exp(eta_prop)
-            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop)
-            ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_prop)
             prior_prop = b_prior(w_prop, tau_prop)
-            acc_tr_prop = jnp.zeros((c,), jnp.float32)
-            acc_te_prop = jnp.zeros((c,), jnp.float32)
-            # Regression records the TEMPERED proposal likelihood
-            # (pt_timeseries_regression.py:391).
-            ll_record = ev_tr.loglik / adapttemp
         else:
             eta_prop = state.eta
-            ev_tr = b_eval(w_prop, data.x_train, data.y_train)
-            ev_te = b_eval(w_prop, data.x_test, data.y_test)
+            tau_prop = jnp.exp(eta_prop)
             prior_prop = b_prior(w_prop)
-            acc_tr_prop = ev_tr.acc
-            acc_te_prop = ev_te.acc
-            # Classification records likelihood_proposal * adapttemp == the
-            # untempered value (pt_classification.py:404).
-            ll_record = ev_tr.loglik
 
-        ll_prop = ev_tr.loglik  # untempered
+        if cfg.use_surrogate:
+            # global per-step decision: the whole ladder evaluates the
+            # surrogate together, so the true dataset pass is skipped
+            use_surr = jnp.logical_and(
+                jnp.logical_and(
+                    i >= surr_warmup_end, state.surr.fitted
+                ),
+                jax.random.uniform(ksu, ()) < cfg.surrogate_prob,
+            )
+            bundle, surr = jax.lax.cond(
+                use_surr,
+                lambda: _surr_bundle(state, w_prop, eta_prop, tau_prop),
+                lambda: _eval_bundle(state, w_prop, eta_prop, tau_prop),
+            )
+        else:
+            bundle, surr = _eval_bundle(state, w_prop, eta_prop, tau_prop)
+        (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop, acc_te_prop,
+         *fx_props) = bundle
+
+        # Regression records the TEMPERED proposal likelihood
+        # (pt_timeseries_regression.py:391); classification records
+        # likelihood_proposal * adapttemp == the untempered value (:404).
+        ll_record = ll_prop / adapttemp if is_regression else ll_prop
         log_mh = (
             (ll_prop - state.ll) / adapttemp
             + (prior_prop - state.prior)
@@ -357,8 +432,8 @@ def make_step_fn(
 
         trace = {
             "ll": ll_record,
-            "rmse_train": jnp.where(accept, ev_tr.rmse, state.rmse_train),
-            "rmse_test": jnp.where(accept, ev_te.rmse, state.rmse_test),
+            "rmse_train": jnp.where(accept, rmse_tr_prop, state.rmse_train),
+            "rmse_test": jnp.where(accept, rmse_te_prop, state.rmse_test),
             "acc_train": jnp.where(accept, acc_tr_prop, state.acc_train),
             "acc_test": jnp.where(accept, acc_te_prop, state.acc_test),
             # accept_list[i+1] = count BEFORE this step's decision
@@ -379,13 +454,14 @@ def make_step_fn(
             acc_test=trace["acc_test"],
             n_accept=state.n_accept + accept.astype(jnp.int32),
             n_langevin=n_langevin,
+            surr=surr,
         )
         if cfg.record_fx:
             # posterior-predictive carries (ldmcmc.py fx_train/fx_test
             # samples, Misc/Misc_code/ldmcmc.py:357-366)
             new_state = new_state._replace(
-                fx_train=jnp.where(accept_w, ev_tr.fx, state.fx_train),
-                fx_test=jnp.where(accept_w, ev_te.fx, state.fx_test),
+                fx_train=jnp.where(accept_w, fx_props[0], state.fx_train),
+                fx_test=jnp.where(accept_w, fx_props[1], state.fx_test),
             )
             trace["fx_train"] = new_state.fx_train
             trace["fx_test"] = new_state.fx_test
@@ -400,5 +476,15 @@ def make_step_fn(
         )
         return new_state, trace
 
+    def refit_surrogate(st: ChainState) -> ChainState:
+        """Refit the surrogate on the current buffer (sampler calls this at
+        chunk boundaries, together with recompute_ll to re-anchor)."""
+        return st._replace(
+            surr=surrogate_mod.fit(
+                st.surr, surrogate_proj, cfg.surrogate_ridge, cfg.surrogate_min_r2
+            )
+        )
+
     step.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
+    step.refit_surrogate = refit_surrogate
     return step

@@ -132,16 +132,30 @@ def sample(
     # works around slow lowering on tunneled TPU backends (compat.py).
     jit_here = jax.jit if mesh is not None else fast_jit
 
+    spec = model_spec if model_spec is not None else kernel.default_spec(cfg)
+    proj = None
+    if cfg.use_surrogate:
+        from ptnn import surrogate as surrogate_mod
+
+        proj = surrogate_mod.make_projection(
+            jax.random.fold_in(key, 0x5A6A), spec.w_size + 1, cfg.surrogate_proj
+        )
+
     state = init_state
     if state is None:
-        state = jit_here(lambda k: kernel.init_state(k, cfg, data, model_spec))(
-            k_init
-        )
+        state = jit_here(lambda k: kernel.init_state(k, cfg, data, spec))(k_init)
     if mesh is not None:
         state = mesh_mod.shard_chain_tree(state, mesh)
 
-    step = kernel.make_step_fn(cfg, data, temps, model_spec)
+    step = kernel.make_step_fn(cfg, data, temps, spec, surrogate_proj=proj)
     recompute = jit_here(step.recompute_ll)
+    refit_anchor = None
+    if cfg.use_surrogate:
+        # chunk boundary = surrogate interval: refit on the collected buffer
+        # and re-anchor every chain's carried likelihood with a true eval
+        refit_anchor = jit_here(
+            lambda st: step.recompute_ll(step.refit_surrogate(st))
+        )
 
     def _run_chunk(st, start, length):
         keys = _step_keys(k_run, start, length)
@@ -199,6 +213,8 @@ def sample(
             state = recompute(state)
         chunk = _pick_chunk(seg_end - seg_start, target)
         while done < seg_end:
+            if refit_anchor is not None and done > 0:
+                state = refit_anchor(state)
             length = min(chunk, seg_end - done)
             state, traces = run_chunk(
                 state, jnp.asarray(done, jnp.int32), length=length

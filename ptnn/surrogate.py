@@ -1,0 +1,140 @@
+"""Surrogate-assisted parallel tempering (functional, TPU-native).
+
+The reference carries *dead* surrogate plumbing — per-chain surrogate queues
+and ``surrogate_interval``/``surrogate_prob`` knobs threaded through
+``ptReplica`` with no surrogate model behind them
+(multicore-pt-classification/Misc_code/canonical_pt_classifier.py:462-465,
+pt_bettermemoryman.py:148-149; SURVEY.md §2.2). This module implements the
+capability those knobs gesture at (cf. Chandra et al.'s surrogate-assisted
+PT line of work), designed for the fused TPU sampler:
+
+* one GLOBAL surrogate of the untempered train log-likelihood
+  ``ll(w) ~ theta . phi(w)`` shared by all chains, with quadratic features
+  ``phi(w) = [1, w, w^2, (P w)^2]`` (elementwise squares capture the
+  Gaussian-prior-scale curvature exactly; the fixed Gaussian projection ``P``
+  adds cross terms) — ridge-fit by normal equations, a few microseconds on
+  the MXU;
+* training pairs are the ``(w_proposal, ll_proposal)`` evaluations the
+  sampler computes anyway, collected into an on-device ring buffer;
+* the surrogate decision is per STEP, not per chain — on a surrogate step
+  the true likelihood (the expensive full-dataset eval) is skipped for the
+  whole ladder, which is where the compute saving comes from;
+* every chunk boundary refits the surrogate AND re-anchors each chain's
+  carried likelihood with a true evaluation (the same recompute the 60%
+  temper switch uses), bounding the surrogate bias between anchors.
+
+Like the published scheme, surrogate steps make the sampler approximate;
+accuracy is controlled by ``surrogate_prob`` and the chunk cadence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SurrogateState(NamedTuple):
+    buf_w: jax.Array  # (B, W) recent proposals
+    buf_ll: jax.Array  # (B,) their untempered log-likelihoods
+    count: jax.Array  # () int32 — rows written so far (saturates at B)
+    ptr: jax.Array  # () int32 — ring pointer
+    theta: jax.Array  # (D,) fitted coefficients
+    fitted: jax.Array  # () bool
+
+
+def feature_dim(w_size: int, n_proj: int) -> int:
+    return 1 + 2 * w_size + n_proj
+
+
+def make_projection(key: jax.Array, w_size: int, n_proj: int) -> jax.Array:
+    """Fixed Gaussian projection for the quadratic features."""
+    return jax.random.normal(key, (n_proj, w_size), jnp.float32) / jnp.sqrt(
+        jnp.asarray(w_size, jnp.float32)
+    )
+
+
+def features(w: jax.Array, proj: jax.Array) -> jax.Array:
+    """phi(w) for a batch: (C, W) -> (C, D)."""
+    pw = jnp.einsum("kw,cw->ck", proj, w, precision=jax.lax.Precision.HIGHEST)
+    ones = jnp.ones((w.shape[0], 1), w.dtype)
+    return jnp.concatenate([ones, w, w * w, pw * pw], axis=1)
+
+
+def init(buffer_size: int, w_size: int, n_proj: int) -> SurrogateState:
+    d = feature_dim(w_size, n_proj)
+    return SurrogateState(
+        buf_w=jnp.zeros((buffer_size, w_size), jnp.float32),
+        buf_ll=jnp.zeros((buffer_size,), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+        ptr=jnp.zeros((), jnp.int32),
+        theta=jnp.zeros((d,), jnp.float32),
+        fitted=jnp.zeros((), jnp.bool_),
+    )
+
+
+def push(state: SurrogateState, w: jax.Array, ll: jax.Array) -> SurrogateState:
+    """Append a (C, W) block of pairs to the ring buffer. Requires the
+    buffer size to be a multiple of the chain count (checked at config
+    time), so a block never wraps mid-write."""
+    c = w.shape[0]
+    b = state.buf_w.shape[0]
+    start = state.ptr
+    buf_w = jax.lax.dynamic_update_slice(state.buf_w, w, (start, 0))
+    buf_ll = jax.lax.dynamic_update_slice(state.buf_ll, ll, (start,))
+    return state._replace(
+        buf_w=buf_w,
+        buf_ll=buf_ll,
+        ptr=(start + c) % b,
+        count=jnp.minimum(state.count + c, b),
+    )
+
+
+def fit(
+    state: SurrogateState,
+    proj: jax.Array,
+    ridge: float = 1e-3,
+    min_r2: float = 0.7,
+) -> SurrogateState:
+    """Ridge regression over the valid buffer rows (normal equations).
+
+    ``fitted`` is only set while the in-buffer r-squared clears ``min_r2`` —
+    a poor fit silently falls back to true evaluations rather than feeding
+    the sampler a misleading likelihood.
+    """
+    b = state.buf_w.shape[0]
+    valid = (jnp.arange(b) < state.count).astype(jnp.float32)
+    phi = features(state.buf_w, proj) * valid[:, None]
+    y = state.buf_ll * valid
+    d = phi.shape[1]
+    gram = (
+        jnp.matmul(phi.T, phi, precision=jax.lax.Precision.HIGHEST)
+        + ridge * jnp.eye(d, dtype=jnp.float32)
+    )
+    rhs = jnp.matmul(phi.T, y, precision=jax.lax.Precision.HIGHEST)
+    theta = jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+    # need enough rows to be determined; keep unfitted until buffer has
+    # at least d samples
+    ok = state.count >= jnp.asarray(d, jnp.int32)
+    theta = jnp.where(ok, theta, state.theta)
+    cand = state._replace(theta=theta)
+    good = jnp.logical_and(ok, r_squared(cand, proj) >= min_r2)
+    return cand._replace(fitted=good)
+
+
+def predict(state: SurrogateState, proj: jax.Array, w: jax.Array) -> jax.Array:
+    """Surrogate log-likelihood for a (C, W) block -> (C,)."""
+    return features(w, proj) @ state.theta
+
+
+def r_squared(state: SurrogateState, proj: jax.Array) -> jax.Array:
+    """In-buffer goodness of fit (diagnostic)."""
+    b = state.buf_w.shape[0]
+    valid = (jnp.arange(b) < state.count).astype(jnp.float32)
+    pred = predict(state, proj, state.buf_w)
+    resid = (pred - state.buf_ll) * valid
+    n = jnp.maximum(state.count.astype(jnp.float32), 1.0)
+    mean = jnp.sum(state.buf_ll * valid) / n
+    tot = jnp.sum(jnp.square((state.buf_ll - mean) * valid))
+    return 1.0 - jnp.sum(jnp.square(resid)) / jnp.maximum(tot, 1e-9)
