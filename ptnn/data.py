@@ -21,7 +21,11 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+# repo-relative by default; PTNN_DATA overrides for installed deployments
+_ROOT = os.environ.get(
+    "PTNN_DATA",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"),
+)
 
 REGRESSION_SETS = (
     "Lazer",
