@@ -82,6 +82,15 @@ class PTConfig:
     nu_1: float = 0.0
     nu_2: float = 0.0
 
+    # Adaptive proposal step size (opt-in; NOT reference behavior): during
+    # the burn-in fraction, each chain's random-walk scale adapts by
+    # Robbins-Monro toward a target acceptance rate, then freezes — the
+    # frozen-adaptation sampler is exact. Essential for high-dimensional
+    # models (CNN/MLP) where one global step_w cannot fit every temperature.
+    adapt_step_size: bool = False
+    adapt_target_accept: float = 0.234
+    adapt_rate: float = 0.05
+
     # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
     # with a likelihood rescale (pt_classification.py:302,317-324). The
     # reference's switch only fires when 0.6*samples is integral; mirrored in

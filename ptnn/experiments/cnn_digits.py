@@ -72,6 +72,11 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results/cnn")
     p.add_argument("--mesh", action="store_true")
+    p.add_argument(
+        "--adapt",
+        action="store_true",
+        help="adapt per-chain step sizes toward 23.4%% acceptance in burn-in",
+    )
     args = p.parse_args(argv)
 
     if args.lr is None:
@@ -94,6 +99,7 @@ def main(argv=None) -> None:
         ),
         swap_interval=args.swap_interval,
         step_w=args.step_w,
+        adapt_step_size=args.adapt,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
         chunk_steps=500,
     )

@@ -71,6 +71,8 @@ class ChainState(NamedTuple):
     fx_test: Any  # (C, N_test), or None
     # Optional surrogate state (None unless cfg.use_surrogate):
     surr: Any
+    # Optional per-chain log step-size (None unless cfg.adapt_step_size):
+    log_step_w: Any
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -160,6 +162,10 @@ def init_state(
     else:
         fx_train = fx_test = None
 
+    log_step_w = None
+    if cfg.adapt_step_size:
+        log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
+
     surr = None
     if cfg.use_surrogate:
         buf = ((cfg.surrogate_buffer + c - 1) // c) * c
@@ -181,6 +187,7 @@ def init_state(
         fx_train=fx_train,
         fx_test=fx_test,
         surr=surr,
+        log_step_w=log_step_w,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -231,7 +238,19 @@ def make_step_fn(
     else:
         b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
 
+    # With step-size adaptation, tie the Langevin drift scale to the adapted
+    # step per chain (MALA: drift = (sigma^2/2) grad log pi); cfg.learn_rate
+    # is ignored in that combination. Requires the vmapped drift path.
+    adapt_tied_drift = (
+        cfg.adapt_step_size
+        and cfg.use_langevin_gradients
+        and spec.drift is not None
+    )
     if cfg.use_langevin_gradients:
+        if adapt_tied_drift:
+            b_drift_per = jax.vmap(
+                lambda wi, lri: spec.drift(wi, data.x_train, data.t_train, lri)
+            )
         if spec.batched_drift is not None and jax.default_backend() == "tpu":
             b_drift = lambda w: spec.batched_drift(
                 w, data.x_train, data.t_train, cfg.learn_rate
@@ -262,22 +281,33 @@ def make_step_fn(
 
     def propose(state: ChainState, i, kp, kl):
         """Weight proposal + q-ratio correction + langevin counter."""
-        noise = jax.random.normal(kp, (c, w_dim), jnp.float32) * step_w
+        if cfg.adapt_step_size:
+            sw = jnp.exp(state.log_step_w)[:, None]  # (C, 1)
+            sq = (sw * sw)[:, 0]  # (C,)
+        else:
+            sw = step_w
+            sq = sigma_sq_w
+        noise = jax.random.normal(kp, (c, w_dim), jnp.float32) * sw
         adapttemp = jnp.where(i < switch_step, temps, 1.0)
         if not cfg.use_langevin_gradients:
             return state.w + noise, jnp.zeros((c,), jnp.float32), state.n_langevin
         lx = jax.random.uniform(kl, (c,))
         use_l = lx < cfg.langevin_prob
-        w_gd = b_drift(state.w)
+        if adapt_tied_drift:
+            lr_chain = 0.5 * jnp.exp(2.0 * state.log_step_w)  # sigma^2/2
+            drift_fn = lambda w: b_drift_per(w, lr_chain)
+        else:
+            drift_fn = b_drift
+        w_gd = drift_fn(state.w)
         w_prop = jnp.where(use_l[:, None], w_gd + noise, state.w + noise)
-        w_prop_gd = b_drift(w_prop)
+        w_prop_gd = drift_fn(w_prop)
         if cfg.qratio == "reference":
             # Simplified log q-ratio (pt_classification.py:340-351).
             first = (
-                -0.5 * jnp.sum(jnp.square(state.w - w_prop_gd), axis=-1) / sigma_sq_w
+                -0.5 * jnp.sum(jnp.square(state.w - w_prop_gd), axis=-1) / sq
             )
             second = (
-                -0.5 * jnp.sum(jnp.square(w_prop - w_gd), axis=-1) / sigma_sq_w
+                -0.5 * jnp.sum(jnp.square(w_prop - w_gd), axis=-1) / sq
             )
             diff_prop = jnp.where(use_l, (first - second) / adapttemp, 0.0)
         else:
@@ -456,6 +486,18 @@ def make_step_fn(
             n_langevin=n_langevin,
             surr=surr,
         )
+        if cfg.adapt_step_size:
+            # Robbins-Monro toward the target acceptance during burn-in only
+            # (frozen afterwards -> the post-burn-in sampler stays exact)
+            burn_end = int(cfg.samples_per_chain * cfg.burn_in)
+            mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
+            delta = cfg.adapt_rate * (mh_prob - cfg.adapt_target_accept)
+            new_lsw = jnp.clip(
+                state.log_step_w + jnp.where(i < burn_end, delta, 0.0),
+                jnp.log(1e-5),
+                jnp.log(10.0),
+            )
+            new_state = new_state._replace(log_step_w=new_lsw)
         if cfg.record_fx:
             # posterior-predictive carries (ldmcmc.py fx_train/fx_test
             # samples, Misc/Misc_code/ldmcmc.py:357-366)

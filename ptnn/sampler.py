@@ -114,10 +114,10 @@ def sample(
     """
     cfg.validate()
     data = make_dataset(cfg, train, test)
-    temps = jnp.asarray(
-        ladder.assign_temperatures(cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder),
-        jnp.float32,
-    )
+    temps_host = ladder.assign_temperatures(
+        cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+    )  # float64 — also the artifact filename source (chain_<T>.txt)
+    temps = jnp.asarray(temps_host, jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
 
@@ -260,7 +260,7 @@ def sample(
     return SampleResult(
         traces=merged,
         final_state=jax.device_get(state),
-        temperatures=np.asarray(temps),
+        temperatures=np.asarray(temps_host),
         accept_ratio_per_chain=accept_ratio,
         swap_percent=swap_pct,
         langevin_ratio_per_chain=langevin_ratio,

@@ -281,3 +281,32 @@ def test_surrogate_assisted_sampler_runs(sunspot):
     base = sample(dataclasses.replace(cfg, use_surrogate=False), *sunspot, seed=0)
     assert res.traces["rmse_test"][-1, 0] < 0.2
     assert base.traces["rmse_test"][-1, 0] < 0.2
+
+
+def test_adaptive_step_size(sunspot):
+    """Per-chain step-size adaptation converges acceptance toward the target
+    during burn-in and freezes afterwards."""
+    cfg = small_cfg(
+        num_samples=8 * 800,
+        adapt_step_size=True,
+        adapt_target_accept=0.3,
+        adapt_rate=0.1,
+        chunk_steps=200,
+        step_w=0.3,  # deliberately far too large
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    lsw = res.final_state.log_step_w
+    assert lsw is not None and np.isfinite(lsw).all()
+    # adapted well below the bad initial value
+    assert np.exp(lsw).max() < 0.3
+    # second-half acceptance in a sane band around the target
+    a0 = res.traces["accept_count"][400, :]
+    a1 = res.traces["accept_count"][-1, :]
+    rate = (a1 - a0) / (cfg.samples_per_chain - 401)
+    assert 0.1 < rate.mean() < 0.6, rate.mean()
+    # without adaptation the same config barely accepts
+    base = sample(dataclasses.replace(cfg, adapt_step_size=False), *sunspot, seed=0)
+    b0 = base.traces["accept_count"][400, :]
+    b1 = base.traces["accept_count"][-1, :]
+    base_rate = (b1 - b0) / (cfg.samples_per_chain - 401)
+    assert rate.mean() > 3 * base_rate.mean()
