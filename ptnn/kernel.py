@@ -378,7 +378,12 @@ def make_step_fn(
         return s._replace(ll=ev.loglik)
 
     if cfg.use_surrogate:
-        assert surrogate_proj is not None, "use_surrogate needs a projection"
+        if surrogate_proj is None:
+            # fixed random features, independent of the run seed so every
+            # driver (sample/throughput_run/sweeps) agrees
+            surrogate_proj = surrogate_mod.make_projection(
+                jax.random.PRNGKey(0x5A6A), spec.w_size + 1, cfg.surrogate_proj
+            )
         surr_warmup_end = int(cfg.n_steps * cfg.surrogate_warmup_frac)
 
     def _eval_bundle(state, w_prop, eta_prop, tau_prop):
@@ -489,7 +494,9 @@ def make_step_fn(
         if cfg.adapt_step_size:
             # Robbins-Monro toward the target acceptance during burn-in only
             # (frozen afterwards -> the post-burn-in sampler stays exact)
-            burn_end = int(cfg.samples_per_chain * cfg.burn_in)
+            # freeze at burn_end-1: trace row r is written by step r-1, so
+            # the first retained row (r = burnin) must already be frozen
+            burn_end = int(cfg.samples_per_chain * cfg.burn_in) - 1
             mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
             delta = cfg.adapt_rate * (mh_prob - cfg.adapt_target_accept)
             new_lsw = jnp.clip(

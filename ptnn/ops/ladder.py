@@ -29,19 +29,25 @@ def default_beta_ladder(ndim: int, ntemps: int | None, Tmax: float | None) -> np
     if ntemps is not None and (type(ntemps) != int or ntemps < 1):
         raise ValueError("Invalid number of temperatures specified.")
 
-    # Geometric descent from Tmax used to derive a per-dimension step size
-    # (pt_classification.py:580-596). Only consulted when Tmax or ntemps is
-    # missing; dead for the standard configs but kept for parity.
-    steps = [float(Tmax)]
-    last = float(Tmax)
-    for _ in range(int(Tmax)):
-        last = last * (ntemps ** (-1.0 / (ntemps - 1)))
-        steps.append(last)
-    tsteps = np.array(steps)
-    if ndim > tsteps.shape[0]:
-        tstep = 1.0 + 2.0 * np.sqrt(np.log(4.0)) / np.sqrt(ndim)
+    # Per-dimension temperature step, consulted only when ntemps or Tmax is
+    # missing. The reference derives it from a geometric descent off Tmax
+    # (pt_classification.py:580-596) — but its own aux paths crash as written
+    # (``range(Tmax)`` with Tmax None/inf), so for those inputs we use
+    # ptemcee's large-dimension approximation instead of replicating the
+    # crash; the standard both-given path never reads tstep.
+    if Tmax is not None and np.isfinite(Tmax) and ntemps is not None:
+        steps = [float(Tmax)]
+        last = float(Tmax)
+        for _ in range(int(Tmax)):
+            last = last * (ntemps ** (-1.0 / (ntemps - 1)))
+            steps.append(last)
+        tsteps = np.array(steps)
+        if ndim > tsteps.shape[0]:
+            tstep = 1.0 + 2.0 * np.sqrt(np.log(4.0)) / np.sqrt(ndim)
+        else:
+            tstep = tsteps[ndim - 1]
     else:
-        tstep = tsteps[ndim - 1]
+        tstep = 1.0 + 2.0 * np.sqrt(np.log(4.0)) / np.sqrt(ndim)
 
     append_inf = False
     if Tmax == np.inf:

@@ -133,13 +133,6 @@ def sample(
     jit_here = jax.jit if mesh is not None else fast_jit
 
     spec = model_spec if model_spec is not None else kernel.default_spec(cfg)
-    proj = None
-    if cfg.use_surrogate:
-        from ptnn import surrogate as surrogate_mod
-
-        proj = surrogate_mod.make_projection(
-            jax.random.fold_in(key, 0x5A6A), spec.w_size + 1, cfg.surrogate_proj
-        )
 
     state = init_state
     if state is None:
@@ -147,7 +140,7 @@ def sample(
     if mesh is not None:
         state = mesh_mod.shard_chain_tree(state, mesh)
 
-    step = kernel.make_step_fn(cfg, data, temps, spec, surrogate_proj=proj)
+    step = kernel.make_step_fn(cfg, data, temps, spec)
     recompute = jit_here(step.recompute_ll)
     refit_anchor = None
     if cfg.use_surrogate:
@@ -186,7 +179,21 @@ def sample(
         loaded = ckpt_mod.load(checkpoint_path, cfg, seed)
         if loaded is not None:
             ck_state, resume_at, ck_traces = loaded
-            state = jax.device_put(ck_state)
+            if cfg.use_surrogate and ck_state.surr is None:
+                # nested surrogate state is not checkpointed; rebuild empty
+                # (it refills within one chunk of true evaluations)
+                from ptnn import surrogate as surrogate_mod
+
+                buf = (
+                    (cfg.surrogate_buffer + cfg.num_chains - 1) // cfg.num_chains
+                ) * cfg.num_chains
+                ck_state = ck_state._replace(
+                    surr=surrogate_mod.init(buf, spec.w_size + 1, cfg.surrogate_proj)
+                )
+            if mesh is not None:
+                state = mesh_mod.shard_chain_tree(ck_state, mesh)
+            else:
+                state = jax.device_put(ck_state)
             if ck_traces:
                 host_chunks.append(ck_traces)
 
@@ -285,7 +292,10 @@ def throughput_run(
     cfg2 = cfg if not cfg.record_w else PTConfig(**{**cfg.__dict__, "record_w": False})
     data = make_dataset(cfg2, train, test)
     temps = jnp.asarray(
-        ladder.assign_temperatures(cfg2.num_chains, cfg2.maxtemp), jnp.float32
+        ladder.assign_temperatures(
+            cfg2.num_chains, cfg2.maxtemp, cfg2.geometric_ladder
+        ),
+        jnp.float32,
     )
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
@@ -305,25 +315,28 @@ def throughput_run(
         switch = cfg2.temper_switch_step
         n = cfg2.n_steps
         bounds = [(0, switch), (switch, n)] if 0 < switch < n else [(0, n)]
-        summary = None
+        # cheap per-segment trace means keep the trace recording live (so the
+        # benchmark measures the real sampler, not a DCE'd one)
+        summaries = []
         for bi, (a, b) in enumerate(bounds):
             if bi > 0:
                 st = step.recompute_ll(st)
             keys = _step_keys(k_run, jnp.asarray(a), b - a)
             idx = a + jnp.arange(b - a)
             st, traces = jax.lax.scan(step, st, (idx, keys))
-            summary = {k: jnp.mean(v) for k, v in traces.items()}
-        return st, summary
+            summaries.append({k: jnp.mean(v) for k, v in traces.items()})
+        return st, summaries
 
     # Compile + warmup pass, then the timed run.
     st, _ = run(state0)
     jax.block_until_ready(st)
     t0 = time.perf_counter()
-    st, summary = run(state0)
+    st, summaries = run(state0)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
     n = cfg2.n_steps
     return {
+        "trace_means": jax.device_get(summaries),
         "elapsed_s": dt,
         "steps": float(n),
         "chains": float(cfg2.num_chains),

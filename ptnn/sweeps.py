@@ -38,7 +38,10 @@ def seed_sweep(
     reference could only estimate by re-running the whole process pipeline."""
     cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
     temps = jnp.asarray(
-        ladder.assign_temperatures(cfg.num_chains, cfg.maxtemp), jnp.float32
+        ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        ),
+        jnp.float32,
     )
     temps_batch = jnp.broadcast_to(temps, (len(seeds),) + temps.shape)
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
@@ -94,7 +97,10 @@ def _run_grid(cfg, temps_batch, keys, train, test) -> Dict[str, np.ndarray]:
             idx = a + jnp.arange(b - a)
             state, tr = jax.lax.scan(step, state, (idx, _step_keys(k_run, jnp.asarray(a), b - a)))
             traces.append(tr[metric])
-        m = jnp.concatenate(traces, axis=0)[burnin:]  # (S-b, C)
+        # scan traces have n_steps rows (no init row 0): trace row r of the
+        # assembled samples array is produced by step r-1, so dropping the
+        # first `burnin` SAMPLES means dropping steps < burnin-1
+        m = jnp.concatenate(traces, axis=0)[max(burnin - 1, 0) :]  # (S-b, C)
         best = jnp.min(m) if is_reg else jnp.max(m)
         accept = jnp.mean(state.n_accept) * 100.0 / cfg.samples_per_chain
         swap_pct = jnp.where(

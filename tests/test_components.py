@@ -310,3 +310,23 @@ def test_adaptive_step_size(sunspot):
     b1 = base.traces["accept_count"][-1, :]
     base_rate = (b1 - b0) / (cfg.samples_per_chain - 401)
     assert rate.mean() > 3 * base_rate.mean()
+
+
+def test_surrogate_checkpoint_resume(sunspot, tmp_path):
+    """Surrogate runs must checkpoint and resume (review finding: the nested
+    surrogate state is rebuilt on resume)."""
+    cfg = small_cfg(
+        num_samples=8 * 300,
+        use_surrogate=True,
+        surrogate_prob=0.3,
+        surrogate_warmup_frac=0.2,
+        surrogate_buffer=256,
+        surrogate_proj=16,
+        chunk_steps=75,
+    )
+    ck = str(tmp_path / "s.npz")
+    r1 = sample(cfg, *sunspot, seed=2, checkpoint_path=ck, checkpoint_every=1)
+    # resume from the final checkpoint (no crash, same shapes)
+    r2 = sample(cfg, *sunspot, seed=2, checkpoint_path=ck, checkpoint_every=1)
+    assert r2.traces["ll"].shape == r1.traces["ll"].shape
+    assert np.isfinite(r2.traces["ll"][1:]).all()

@@ -134,3 +134,14 @@ def test_beta_ladder_validation_errors():
         ladder.default_beta_ladder(2, None, None)
     with pytest.raises(ValueError):
         ladder.default_beta_ladder(2, 10, 1.0)
+
+
+def test_beta_ladder_aux_paths():
+    """ntemps-only / Tmax-only / Tmax=inf paths work (the reference's own
+    code crashes on these; we implement the documented ptemcee semantics)."""
+    b1 = ladder.default_beta_ladder(2, ntemps=5, Tmax=None)
+    assert len(b1) == 5 and b1[0] == 1.0 and np.all(np.diff(b1) < 0)
+    b2 = ladder.default_beta_ladder(2, ntemps=5, Tmax=np.inf)
+    assert len(b2) == 5 and b2[-1] == 0.0
+    b3 = ladder.default_beta_ladder(2, ntemps=None, Tmax=10.0)
+    assert len(b3) >= 2 and np.isclose(b3[-1], 0.1)
