@@ -34,11 +34,15 @@ inline int put_u64(char* buf, uint64_t v) {
 
 // Fixed-point "%1.<prec>f" formatter (round-half-even-ish via nearbyint).
 // Falls back to snprintf for values too large for fast integer math.
+constexpr int kValueBudget = 352;  // %f of 1e308 is ~310 chars + precision
+
 inline int put_fixed(char* buf, double x, int prec, double scale) {
-  if (!std::isfinite(x) || std::fabs(x) >= 1e15) {
+  // fall back to snprintf when the scaled value cannot round-trip through
+  // uint64 (cast of an out-of-range double is UB and printed garbage)
+  if (!std::isfinite(x) || std::fabs(x) * scale >= 9.2e18) {
     char fmt[16];
     std::snprintf(fmt, sizeof(fmt), "%%1.%df", prec);
-    return std::snprintf(buf, 32, fmt, x);
+    return std::snprintf(buf, kValueBudget, fmt, x);
   }
   int n = 0;
   if (std::signbit(x)) {
@@ -71,8 +75,8 @@ int savetxt_impl(const char* path, const T* data, int64_t rows, int64_t cols,
   else if (std::strcmp(fmt, "%1.5f") == 0) prec = 5;
   const double scale = prec > 0 ? std::pow(10.0, prec) : 0.0;
 
-  // Row buffer: worst case ~32 chars per value.
-  std::vector<char> buf(static_cast<size_t>(cols) * 40 + 64);
+  // Row buffer: budget covers the widest possible %f rendering per value.
+  std::vector<char> buf(static_cast<size_t>(cols) * (kValueBudget + 8) + 64);
   int rc = 0;
   for (int64_t r = 0; r < rows; ++r) {
     char* p = buf.data();
@@ -80,11 +84,14 @@ int savetxt_impl(const char* path, const T* data, int64_t rows, int64_t cols,
     for (int64_t c = 0; c < cols; ++c) {
       if (c) *p++ = ' ';
       double v = static_cast<double>(row[c]);
+      int n;
       if (prec > 0) {
-        p += put_fixed(p, v, prec, scale);
+        n = put_fixed(p, v, prec, scale);
       } else {
-        p += std::snprintf(p, 40, fmt, v);
+        n = std::snprintf(p, kValueBudget, fmt, v);
       }
+      // snprintf returns the would-be length; never advance past the budget
+      p += (n < kValueBudget ? n : kValueBudget - 1);
     }
     *p++ = '\n';
     if (std::fwrite(buf.data(), 1, p - buf.data(), f) !=

@@ -63,9 +63,10 @@ def chain_spec(ndim: int) -> P:
 
 def shard_chain_tree(tree, mesh: Mesh):
     """Place a pytree on the mesh: leading-axis=chains arrays sharded over
-    'chains', scalars replicated. Chain count must divide the mesh size's
-    multiple (padding is the caller's job — configs use powers of two)."""
-    n_dev = mesh.devices.size
+    'chains', scalars replicated. The chain count must be a multiple of the
+    CHAIN-axis size (padding is the caller's job — configs use powers of
+    two); arrays that do not divide are replicated."""
+    n_dev = mesh.shape[CHAIN_AXIS]
 
     def place(x):
         x = jax.numpy.asarray(x)

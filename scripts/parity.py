@@ -128,12 +128,15 @@ def main():
         "Reference numbers from BASELINE.md (multi-core CPU, 10 processes). "
         "Parity is distributional (seeds differ; SURVEY.md §7 hard-part 4).",
         "",
-        "## Regression — RW (maxtemp 5, swap 100)",
-        "",
-        "| dataset | test RMSE ours/ref | best ours/ref | swap% ours/ref | "
-        "accept% ours/ref | time min ours/ref |",
-        "|---|---|---|---|---|---|",
     ]
+    if "reg" in sections:
+        lines += [
+            "## Regression — RW (maxtemp 5, swap 100)",
+            "",
+            "| dataset | test RMSE ours/ref | best ours/ref | swap% ours/ref | "
+            "accept% ours/ref | time min ours/ref |",
+            "|---|---|---|---|---|---|",
+        ]
 
     ref_times_rw = {"Lazer": 4.54, "Sunspot": 4.83, "Mackey": 4.60, "Lorenz": 4.45,
                     "Rossler": 4.22, "Henon": 4.21, "ACFinance": 3.60}
@@ -174,13 +177,14 @@ def main():
             print("done reg", tag, name, flush=True)
             _flush(args.out, lines)
 
-    lines += [
-        "",
-        "## Classification — RW (50k samples, maxtemp 10, swap 100, lr 0.01)",
-        "",
-        "| dataset | test acc mean ours/ref | max ours/ref | swap% | accept% | time min |",
-        "|---|---|---|---|---|---|",
-    ]
+    if "cls" in sections:
+        lines += [
+            "",
+            f"## Classification — RW ({cls_samples} samples, maxtemp 10, swap 100, lr 0.01)",
+            "",
+            "| dataset | test acc mean ours/ref | max ours/ref | swap% | accept% | time min |",
+            "|---|---|---|---|---|---|",
+        ]
     for name, (rm, rb) in (REF_CLS_RW.items() if "cls" in sections else []):
         s, _ = safe(run_cls, name, lg=False, samples=cls_samples)
         if s is None:
@@ -193,7 +197,8 @@ def main():
         print("done cls RW", name, flush=True)
         _flush(args.out, lines)
 
-    lines += [
+    if "cls" in sections:
+        lines += [
         "",
         "## Classification — Langevin (lr 0.01, legacy mode)",
         "",
@@ -208,7 +213,7 @@ def main():
         "",
         "| dataset | test acc mean ours/ref | max ours/ref | swap% | accept% | time min |",
         "|---|---|---|---|---|---|",
-    ]
+        ]
     for name, (rm, rb) in (REF_CLS_LG.items() if "cls" in sections else []):
         s, _ = safe(run_cls, name, lg=True, samples=cls_samples, legacy=True)
         if s is None:
@@ -222,7 +227,8 @@ def main():
         _flush(args.out, lines)
 
     # Sweeps
-    lines += [
+    if "sweeps" in sections:
+        lines += [
         "",
         "## Sweeps",
         "",
@@ -230,7 +236,7 @@ def main():
         "",
         "| maxtemp | test RMSE | swap% | accept% |",
         "|---|---|---|---|",
-    ]
+        ]
     for mt in ((2, 4, 6, 8, 10) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Lazer", lg=False, lr=0.1, maxtemp=float(mt), samples=reg_samples)
         if s is None:
@@ -239,14 +245,15 @@ def main():
         lines.append(f"| {mt} | {s.test_mean:.4f} | {s.swap_perc:.1f} | {s.accept_per:.1f} |")
         print("done maxtemp", mt, flush=True)
 
-    lines += [
-        "",
-        "Swap-interval sweep (Sunspot, RW, maxtemp 4; reference RMSE flat "
-        "0.0224-0.0238, swap% 38-51):",
-        "",
-        "| swap interval | test RMSE | swap% |",
-        "|---|---|---|",
-    ]
+    if "sweeps" in sections:
+        lines += [
+            "",
+            "Swap-interval sweep (Sunspot, RW, maxtemp 4; reference RMSE flat "
+            "0.0224-0.0238, swap% 38-51):",
+            "",
+            "| swap interval | test RMSE | swap% |",
+            "|---|---|---|",
+        ]
     for si in ((100, 200, 400, 800) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Sunspot", lg=False, lr=0.1, maxtemp=4.0, samples=reg_samples, swap_int=si)
         if s is None:
@@ -255,14 +262,15 @@ def main():
         lines.append(f"| {si} | {s.test_mean:.4f} | {s.swap_perc:.1f} |")
         print("done swapint", si, flush=True)
 
-    lines += [
-        "",
-        "Langevin-probability sweep (Lazer, maxtemp 5, lr 0.1; reference RMSE "
-        "0.0500 -> 0.0331 over l_prob 0.1 -> 0.8, best 0.0318 @ 0.3):",
-        "",
-        "| l_prob | test RMSE | accept% | time min |",
-        "|---|---|---|---|",
-    ]
+    if "sweeps" in sections:
+        lines += [
+            "",
+            "Langevin-probability sweep (Lazer, maxtemp 5, lr 0.1; reference RMSE "
+            "0.0500 -> 0.0331 over l_prob 0.1 -> 0.8, best 0.0318 @ 0.3):",
+            "",
+            "| l_prob | test RMSE | accept% | time min |",
+            "|---|---|---|---|",
+        ]
     for lp in ((0.1, 0.3, 0.5, 0.8) if "sweeps" in sections else ()):
         s, _ = safe(run_reg, "Lazer", lg=True, lr=0.1, lprob=lp, samples=reg_samples)
         if s is None:

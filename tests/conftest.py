@@ -22,6 +22,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped with a fixed seed: each test draws the same values
+    # whether run alone or in the full suite (reproducible failures)
     return np.random.default_rng(1234)

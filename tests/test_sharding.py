@@ -94,20 +94,12 @@ def test_2d_mesh_data_sharding(sunspot):
     """(chains, data) mesh: dataset rows sharded, likelihood psum-reduced —
     results must match the unsharded run."""
     c = cfg(num_samples=1600)
-    r_plain = sample(c, *sunspot, seed=4)
     m = mesh_mod.make_mesh_2d(2)
     tr, te = sunspot
     # trim rows to a multiple of the data axis
     tr2, te2 = tr[: len(tr) - len(tr) % 2], te[: len(te) - len(te) % 2]
     r_plain = sample(c, tr2, te2, seed=4)
-    import jax
-    from ptnn import init_state as _init, make_dataset as _mk
-    from ptnn import kernel as _kernel
-    from ptnn.sampler import sample as _sample
-
-    data = mesh_mod.shard_data_tree(_mk(c, tr2, te2), m)
-    # drive through the public API with the 2D mesh
-    r_mesh = _sample(c, tr2, te2, seed=4, mesh=m)
+    r_mesh = sample(c, tr2, te2, seed=4, mesh=m)
     for k in r_plain.traces:
         np.testing.assert_allclose(
             r_plain.traces[k], r_mesh.traces[k], rtol=2e-4, atol=1e-4
