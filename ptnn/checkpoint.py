@@ -21,9 +21,11 @@ from ptnn.config import PTConfig
 from ptnn.kernel import ChainState
 
 
-def config_fingerprint(cfg: PTConfig, seed: int) -> str:
+def config_fingerprint(cfg: PTConfig, seed: int, spec_name: str = "") -> str:
     blob = json.dumps(
-        {**dataclasses.asdict(cfg), "seed": seed}, sort_keys=True, default=str
+        {**dataclasses.asdict(cfg), "seed": seed, "model_spec": spec_name},
+        sort_keys=True,
+        default=str,
     )
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
@@ -35,6 +37,7 @@ def save(
     traces: Dict[str, np.ndarray],
     cfg: PTConfig,
     seed: int,
+    spec_name: str = "",
 ) -> None:
     """Atomic checkpoint write (tmp + rename)."""
     payload = {
@@ -45,7 +48,7 @@ def save(
     }
     payload |= {f"trace__{k}": v for k, v in traces.items()}
     payload["done_steps"] = np.asarray(done_steps)
-    payload["fingerprint"] = np.asarray(config_fingerprint(cfg, seed))
+    payload["fingerprint"] = np.asarray(config_fingerprint(cfg, seed, spec_name))
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as f:
@@ -54,15 +57,15 @@ def save(
 
 
 def load(
-    path: str, cfg: PTConfig, seed: int
+    path: str, cfg: PTConfig, seed: int, spec_name: str = ""
 ) -> Optional[Tuple[ChainState, int, Dict[str, np.ndarray]]]:
     """Load a checkpoint; returns None when absent or from a different
-    config/seed (resuming someone else's run would silently corrupt the
-    statistics)."""
+    config/seed/model (resuming someone else's run would silently corrupt
+    the statistics)."""
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
-        if str(z["fingerprint"]) != config_fingerprint(cfg, seed):
+        if str(z["fingerprint"]) != config_fingerprint(cfg, seed, spec_name):
             return None
         fields = {}
         for name in ChainState._fields:

@@ -156,6 +156,11 @@ class PTConfig:
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
         if self.qratio not in ("reference", "ldpt_legacy"):
             raise ValueError(f"unknown qratio {self.qratio!r}")
+        if self.qratio == "ldpt_legacy" and self.adapt_step_size:
+            raise ValueError(
+                "adapt_step_size is incompatible with the legacy q-ratio "
+                "emulation (its pdf cliff is defined by the fixed step_w)"
+            )
         if self.num_chains < 2 and self.swaps_enabled:
             raise ValueError(
                 "need at least 2 chains for parallel tempering (single-chain "

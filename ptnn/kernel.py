@@ -168,10 +168,7 @@ def init_state(
 
     surr = None
     if cfg.use_surrogate:
-        buf = ((cfg.surrogate_buffer + c - 1) // c) * c
-        # surrogate features operate on [w, eta] so the regression noise
-        # variance is part of the input
-        surr = surrogate_mod.init(buf, w_dim + 1, cfg.surrogate_proj)
+        surr = surrogate_mod.init_for(cfg, w_dim)
 
     return ChainState(
         w=w,
@@ -340,7 +337,7 @@ def make_step_fn(
         else:  # untempered
             payload = state.ll
         res = swap_mod.sweep_permutation(
-            payload, ks, rule=cfg.swap_rule, betas=1.0 / temps
+            payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp
         )
         w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
         if cfg.stale_likelihood_after_swap:

@@ -176,7 +176,7 @@ def sample(
     if checkpoint_path is not None:
         from ptnn import checkpoint as ckpt_mod
 
-        loaded = ckpt_mod.load(checkpoint_path, cfg, seed)
+        loaded = ckpt_mod.load(checkpoint_path, cfg, seed, spec.name)
         if loaded is not None:
             ck_state, resume_at, ck_traces = loaded
             if cfg.use_surrogate and ck_state.surr is None:
@@ -184,11 +184,8 @@ def sample(
                 # (it refills within one chunk of true evaluations)
                 from ptnn import surrogate as surrogate_mod
 
-                buf = (
-                    (cfg.surrogate_buffer + cfg.num_chains - 1) // cfg.num_chains
-                ) * cfg.num_chains
                 ck_state = ck_state._replace(
-                    surr=surrogate_mod.init(buf, spec.w_size + 1, cfg.surrogate_proj)
+                    surr=surrogate_mod.init_for(cfg, spec.w_size)
                 )
             if mesh is not None:
                 state = mesh_mod.shard_chain_tree(ck_state, mesh)
@@ -207,7 +204,13 @@ def sample(
             for k in host_chunks[0]
         }
         ckpt_mod.save(
-            checkpoint_path, jax.device_get(state), done, merged_sofar, cfg, seed
+            checkpoint_path,
+            jax.device_get(state),
+            done,
+            merged_sofar,
+            cfg,
+            seed,
+            spec.name,
         )
 
     t0 = time.perf_counter()
@@ -216,7 +219,9 @@ def sample(
         if resume_at >= seg_end:
             continue
         done = max(seg_start, resume_at)
-        if si > 0 and done == seg_start:
+        # refit_anchor subsumes the temper-switch recompute (it ends with a
+        # true-likelihood re-anchor), so don't pay the dataset pass twice
+        if si > 0 and done == seg_start and refit_anchor is None:
             state = recompute(state)
         chunk = _pick_chunk(seg_end - seg_start, target)
         while done < seg_end:
@@ -283,13 +288,20 @@ def throughput_run(
     test: np.ndarray,
     seed: int = 0,
     mesh=None,
-    warmup_steps: int = 64,
     model_spec=None,
 ) -> Dict[str, float]:
     """Fused device-resident run for benchmarking: one jitted scan over all
-    steps, scalar traces kept on device, timed after a compile+warmup pass."""
+    steps, scalar traces kept on device, timed after a full warmup pass (the
+    warmup run doubles as the compile; its wall time is not reported)."""
     cfg = cfg.validate()
-    cfg2 = cfg if not cfg.record_w else PTConfig(**{**cfg.__dict__, "record_w": False})
+    if cfg.use_surrogate:
+        raise ValueError(
+            "throughput_run never refits the surrogate (no chunk boundaries);"
+            " benchmark surrogate configs through sample()"
+        )
+    import dataclasses as _dc
+
+    cfg2 = _dc.replace(cfg, record_w=False)
     data = make_dataset(cfg2, train, test)
     temps = jnp.asarray(
         ladder.assign_temperatures(

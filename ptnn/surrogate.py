@@ -62,6 +62,15 @@ def features(w: jax.Array, proj: jax.Array) -> jax.Array:
     return jnp.concatenate([ones, w, w * w, pw * pw], axis=1)
 
 
+def init_for(cfg, w_size: int) -> SurrogateState:
+    """Surrogate state for a config: buffer rounded to a multiple of the
+    chain count (block pushes never wrap mid-write) and features over
+    [w, eta] (the regression noise variance is part of the input)."""
+    c = cfg.num_chains
+    buf = ((cfg.surrogate_buffer + c - 1) // c) * c
+    return init(buf, w_size + 1, cfg.surrogate_proj)
+
+
 def init(buffer_size: int, w_size: int, n_proj: int) -> SurrogateState:
     d = feature_dim(w_size, n_proj)
     return SurrogateState(

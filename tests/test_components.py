@@ -83,7 +83,11 @@ def test_checkpoint_partial_resume(sunspot, tmp_path, monkeypatch):
     sample(cfg, *sunspot, seed=9, checkpoint_path=ck, checkpoint_every=1)
     monkeypatch.undo()
 
-    _st, done, _tr = ck_mod.load(first_ck, cfg, 9)
+    from ptnn import kernel as kernel_mod
+
+    _st, done, _tr = ck_mod.load(
+        first_ck, cfg, 9, kernel_mod.default_spec(cfg).name
+    )
     assert 0 < done < cfg.n_steps  # genuinely mid-run
     # resume from the mid-run checkpoint and compare to the uninterrupted run
     r = sample(cfg, *sunspot, seed=9, checkpoint_path=first_ck)
@@ -98,9 +102,13 @@ def test_checkpoint_fingerprint_mismatch(sunspot, tmp_path):
 
     cfg = small_cfg()
     ck = str(tmp_path / "fp.npz")
+    from ptnn import kernel as kernel_mod
+
+    name = kernel_mod.default_spec(cfg).name
     sample(cfg, *sunspot, seed=1, checkpoint_path=ck)
-    assert ck_mod.load(ck, cfg, seed=2) is None  # different seed
-    assert ck_mod.load(ck, dataclasses.replace(cfg, maxtemp=4.0), seed=1) is None
+    assert ck_mod.load(ck, cfg, 2, name) is None  # different seed
+    assert ck_mod.load(ck, dataclasses.replace(cfg, maxtemp=4.0), 1, name) is None
+    assert ck_mod.load(ck, cfg, 1, "other-model") is None  # different model
 
 
 def test_single_chain_mcmc(sunspot):
