@@ -44,8 +44,16 @@ def save(
         f"state__{k}": np.asarray(v)
         for k, v in state._asdict().items()
         if v is not None and not isinstance(v, tuple)
-        # nested states (the surrogate buffer) are rebuilt on resume
+        # the nested surrogate buffer is rebuilt on resume (it refills within
+        # one chunk); the delayed-acceptance segment state below must round-
+        # trip exactly — a resumed mid-segment chain would otherwise carry a
+        # likelihood that does not match its weights
     }
+    if getattr(state, "da", None) is not None:
+        payload |= {
+            f"state__da__{k}": np.asarray(v)
+            for k, v in state.da._asdict().items()
+        }
     payload |= {f"trace__{k}": v for k, v in traces.items()}
     payload["done_steps"] = np.asarray(done_steps)
     payload["fingerprint"] = np.asarray(config_fingerprint(cfg, seed, spec_name))
@@ -71,6 +79,13 @@ def load(
         for name in ChainState._fields:
             key = f"state__{name}"
             fields[name] = z[key] if key in z else None
+        da_keys = [k for k in z.files if k.startswith("state__da__")]
+        if da_keys:
+            from ptnn.kernel import DAState
+
+            fields["da"] = DAState(
+                **{k[len("state__da__") :]: z[k] for k in da_keys}
+            )
         state = ChainState(**fields)
         traces = {
             k[len("trace__") :]: z[k] for k in z.files if k.startswith("trace__")

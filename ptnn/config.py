@@ -105,6 +105,18 @@ class PTConfig:
     # Surrogate refits + true-likelihood re-anchoring happen at chunk
     # boundaries, so chunk_steps doubles as the surrogate interval.
     use_surrogate: bool = False
+    # "anchored"            — approximate: surrogate steps feed the carried
+    #                         likelihood directly; chunk-boundary re-anchoring
+    #                         bounds the bias (the published scheme's spirit).
+    # "delayed_acceptance"  — exact: consecutive surrogate steps form one
+    #                         composite proposal (inner RW-MH against the
+    #                         surrogate target), corrected by a single true-
+    #                         likelihood Metropolis test at segment close
+    #                         (Christen & Fox 2005 two-stage MCMC, multi-step
+    #                         segments) — every segment kernel leaves the
+    #                         exact posterior invariant for the surrogate
+    #                         coefficients in effect.
+    surrogate_mode: str = "anchored"
     surrogate_prob: float = 0.25  # per-step prob of surrogate eval post-warmup
     surrogate_warmup_frac: float = 0.25  # collect-only fraction of the run
     surrogate_buffer: int = 2048  # ring buffer rows (rounded up to chains)
@@ -113,6 +125,13 @@ class PTConfig:
     surrogate_min_r2: float = 0.7  # trust gate: fall back to true evals below
 
     # Runtime knobs (no reference equivalent).
+    # Forward-pass compute dtype for likelihood evaluations: "bfloat16" casts
+    # weights+activations to bf16 (half the HBM traffic, single-pass MXU) and
+    # keeps every likelihood REDUCTION in float32. Opt-in speed/precision
+    # tradeoff: per-step log-likelihoods move by O(1e-2 relative fx error), so
+    # parity with float32 runs is distributional, not bitwise. Langevin drift
+    # stays float32 (strict proposal parity).
+    eval_dtype: str = "float32"
     record_w: bool = True  # record full pos_w trace (the posterior)
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
@@ -156,6 +175,10 @@ class PTConfig:
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
         if self.qratio not in ("reference", "ldpt_legacy"):
             raise ValueError(f"unknown qratio {self.qratio!r}")
+        if self.surrogate_mode not in ("anchored", "delayed_acceptance"):
+            raise ValueError(f"unknown surrogate_mode {self.surrogate_mode!r}")
+        if self.eval_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown eval_dtype {self.eval_dtype!r}")
         if self.qratio == "ldpt_legacy" and self.adapt_step_size:
             raise ValueError(
                 "adapt_step_size is incompatible with the legacy q-ratio "

@@ -50,7 +50,49 @@ from ptnn import surrogate as surrogate_mod
 
 def default_spec(cfg: PTConfig) -> model_api.ModelSpec:
     """The reference FNN spec for this config."""
-    return model_api.fnn_spec(cfg.topology, cfg.drift_mode, cfg.drift_unroll)
+    prec = (
+        jax.lax.Precision.DEFAULT if cfg.eval_dtype == "bfloat16" else None
+    )
+    return model_api.fnn_spec(
+        cfg.topology, cfg.drift_mode, cfg.drift_unroll, mm_precision=prec
+    )
+
+
+class DAState(NamedTuple):
+    """Delayed-acceptance segment bookkeeping (surrogate_mode =
+    "delayed_acceptance"). A *segment* is a maximal run of consecutive
+    surrogate steps: the chain moves by inner RW-MH against the surrogate
+    target, and the whole segment is treated as one composite proposal that a
+    single true-likelihood Metropolis test accepts or reverts at close. The
+    composition of surrogate-reversible inner kernels is surrogate-reversible,
+    so the correction ratio is exactly
+    ``[pi(w_K) s(w_0)] / [pi(w_0) s(w_K)]`` (Christen & Fox 2005) — the
+    sampler stays EXACT w.r.t. the tempered posterior for the surrogate
+    coefficients in effect during the segment. The surrogate decision is
+    global per step, so ``active`` is a scalar."""
+
+    anchor_w: jax.Array  # (C, W) segment-start weights
+    anchor_eta: jax.Array  # (C,)
+    anchor_prior: jax.Array  # (C,)
+    anchor_llsurr: jax.Array  # (C,) surrogate ll at the anchor
+    ll_surr: jax.Array  # (C,) surrogate ll at the CURRENT (w, eta)
+    active: jax.Array  # () bool — a segment is open
+    n_seg: jax.Array  # () int32 — segments opened
+    n_seg_accepted: jax.Array  # (C,) int32 — segment corrections accepted
+
+
+def init_da_state(num_chains: int, w_size: int) -> DAState:
+    c = num_chains
+    return DAState(
+        anchor_w=jnp.zeros((c, w_size), jnp.float32),
+        anchor_eta=jnp.zeros((c,), jnp.float32),
+        anchor_prior=jnp.zeros((c,), jnp.float32),
+        anchor_llsurr=jnp.zeros((c,), jnp.float32),
+        ll_surr=jnp.zeros((c,), jnp.float32),
+        active=jnp.zeros((), jnp.bool_),
+        n_seg=jnp.zeros((), jnp.int32),
+        n_seg_accepted=jnp.zeros((c,), jnp.int32),
+    )
 
 
 class ChainState(NamedTuple):
@@ -71,6 +113,9 @@ class ChainState(NamedTuple):
     fx_test: Any  # (C, N_test), or None
     # Optional surrogate state (None unless cfg.use_surrogate):
     surr: Any
+    # Optional delayed-acceptance segment state (None unless
+    # cfg.surrogate_mode == "delayed_acceptance"):
+    da: Any
     # Optional per-chain log step-size (None unless cfg.adapt_step_size):
     log_step_w: Any
     # Counters:
@@ -92,7 +137,16 @@ class Dataset(NamedTuple):
 
 def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
     """Chain-batched eval + prior closures for a model spec."""
-    fwd_b = jax.vmap(spec.forward, in_axes=(0, None))  # (C,W),(N,I)->(C,N,O)
+    _fwd_raw = jax.vmap(spec.forward, in_axes=(0, None))  # (C,W),(N,I)->(C,N,O)
+    if cfg.eval_dtype == "bfloat16":
+        # bf16 forward pass (half the HBM traffic); outputs return to f32 so
+        # every likelihood reduction and the MH decision stay full precision
+        def fwd_b(w, x):
+            return _fwd_raw(
+                w.astype(jnp.bfloat16), x.astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+    else:
+        fwd_b = _fwd_raw
     if cfg.task == "regression":
 
         def b_eval(w, x, y, tau):
@@ -167,8 +221,11 @@ def init_state(
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
 
     surr = None
+    da = None
     if cfg.use_surrogate:
         surr = surrogate_mod.init_for(cfg, w_dim)
+        if cfg.surrogate_mode == "delayed_acceptance":
+            da = init_da_state(c, w_dim)
 
     return ChainState(
         w=w,
@@ -184,6 +241,7 @@ def init_state(
         fx_train=fx_train,
         fx_test=fx_test,
         surr=surr,
+        da=da,
         log_step_w=log_step_w,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
@@ -415,6 +473,66 @@ def make_step_fn(
             out += [state.fx_train, state.fx_test]
         return tuple(out), state.surr
 
+    def _surr_ll(surr, w, eta):
+        """Surrogate log-likelihood at (w, eta) -> (C,)."""
+        z = jnp.concatenate([w, eta[:, None]], axis=1)
+        return surrogate_mod.predict(surr, surrogate_proj, z)
+
+    def _close_segment(state: ChainState, i, kseg) -> ChainState:
+        """Delayed-acceptance segment close: one true-likelihood Metropolis
+        test for the composite surrogate proposal. No-op when no segment is
+        open (the cond skips the dataset pass entirely)."""
+
+        def close(st: ChainState) -> ChainState:
+            da = st.da
+            adapttemp = jnp.where(i < switch_step, temps, 1.0)
+            if is_regression:
+                tau = jnp.exp(st.eta)
+                ev_tr = b_eval_tr(st.w, data.x_train, data.y_train, tau)
+                ev_te = b_eval_te(st.w, data.x_test, data.y_test, tau)
+                acc_tr = jnp.zeros((c,), jnp.float32)
+                acc_te = jnp.zeros((c,), jnp.float32)
+            else:
+                ev_tr = b_eval(st.w, data.x_train, data.y_train)
+                ev_te = b_eval(st.w, data.x_test, data.y_test)
+                acc_tr, acc_te = ev_tr.acc, ev_te.acc
+            ll_true = ev_tr.loglik
+            # pi(w_K)/pi(w_0) x s(w_0)/s(w_K); priors cancel (tracked exactly
+            # during inner steps on both sides of the inner MH ratio)
+            log_corr = (
+                (ll_true - st.ll) - (da.ll_surr - da.anchor_llsurr)
+            ) / adapttemp
+            u = jax.random.uniform(kseg, (c,))
+            acc = u < jnp.exp(jnp.minimum(log_corr, 0.0))
+            accw = acc[:, None]
+            # the fresh true pair is surrogate training data either way
+            z = jnp.concatenate([st.w, st.eta[:, None]], axis=1)
+            surr = surrogate_mod.push(st.surr, z, ll_true)
+            new = st._replace(
+                w=jnp.where(accw, st.w, da.anchor_w),
+                eta=jnp.where(acc, st.eta, da.anchor_eta),
+                ll=jnp.where(acc, ll_true, st.ll),
+                prior=jnp.where(acc, st.prior, da.anchor_prior),
+                w_last=jnp.where(accw, st.w, st.w_last),
+                rmse_train=jnp.where(acc, ev_tr.rmse, st.rmse_train),
+                rmse_test=jnp.where(acc, ev_te.rmse, st.rmse_test),
+                acc_train=jnp.where(acc, acc_tr, st.acc_train),
+                acc_test=jnp.where(acc, acc_te, st.acc_test),
+                surr=surr,
+                da=da._replace(
+                    active=jnp.zeros((), jnp.bool_),
+                    n_seg_accepted=da.n_seg_accepted + acc.astype(jnp.int32),
+                ),
+            )
+            if cfg.record_fx:
+                new = new._replace(
+                    fx_train=jnp.where(accw, ev_tr.fx, st.fx_train),
+                    fx_test=jnp.where(accw, ev_te.fx, st.fx_test),
+                )
+            return new
+
+        return jax.lax.cond(state.da.active, close, lambda st: st, state)
+
     def step(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
         i, key = xs
         kp, kl, ke, ku, ks, ksu = jax.random.split(key, 6)
@@ -522,6 +640,163 @@ def make_step_fn(
         )
         return new_state, trace
 
+    def step_da(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
+        """Delayed-acceptance step (surrogate_mode="delayed_acceptance").
+
+        Surrogate steps extend an open segment with a cheap inner RW-MH move
+        against the surrogate target — no dataset pass, no drift, and the
+        chain's carried TRUE likelihood stays frozen at the segment anchor.
+        Trace rows repeat the anchor values (the chain has not officially
+        moved until the segment's composite proposal is accepted, matching the
+        write-on-accept convention of rejects). The first true step after a
+        segment first applies the exact correction (_close_segment), then
+        proceeds as a normal step from the corrected state. Swap steps are
+        forced to be true steps so replica exchange always compares
+        segment-corrected true likelihoods.
+        """
+        i, key = xs
+        kp, kl, ke, ku, ks, ksu, kseg = jax.random.split(key, 7)
+        adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
+        use_surr = jnp.logical_and(
+            jnp.logical_and(i >= surr_warmup_end, state.surr.fitted),
+            jax.random.uniform(ksu, ()) < cfg.surrogate_prob,
+        )
+        use_surr = jnp.logical_and(use_surr, jnp.logical_not(swap_due(cfg, i)))
+
+        def surr_branch(st: ChainState):
+            da = st.da
+            ll_surr_cur = jnp.where(
+                da.active, da.ll_surr, _surr_ll(st.surr, st.w, st.eta)
+            )
+            da = da._replace(
+                anchor_w=jnp.where(da.active, da.anchor_w, st.w),
+                anchor_eta=jnp.where(da.active, da.anchor_eta, st.eta),
+                anchor_prior=jnp.where(da.active, da.anchor_prior, st.prior),
+                anchor_llsurr=jnp.where(da.active, da.anchor_llsurr, ll_surr_cur),
+                n_seg=da.n_seg + jnp.where(da.active, 0, 1).astype(jnp.int32),
+            )
+            # inner proposal: pure random walk (symmetric, so no q-ratio; and
+            # no dataset gradient pass — this is where the savings come from)
+            if cfg.adapt_step_size:
+                sw = jnp.exp(st.log_step_w)[:, None]
+            else:
+                sw = step_w
+            w_prop = st.w + jax.random.normal(kp, (c, w_dim), jnp.float32) * sw
+            if is_regression:
+                eta_prop = st.eta + cfg.step_eta * jax.random.normal(ke, (c,))
+                prior_prop = b_prior(w_prop, jnp.exp(eta_prop))
+            else:
+                eta_prop = st.eta
+                prior_prop = b_prior(w_prop)
+            ll_surr_prop = _surr_ll(st.surr, w_prop, eta_prop)
+            log_mh = (ll_surr_prop - ll_surr_cur) / adapttemp + (
+                prior_prop - st.prior
+            )
+            u = jax.random.uniform(ku, (c,))
+            accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
+            ll_record = ll_surr_prop / adapttemp if is_regression else ll_surr_prop
+            trace = {
+                "ll": ll_record,
+                "rmse_train": st.rmse_train,
+                "rmse_test": st.rmse_test,
+                "acc_train": st.acc_train,
+                "acc_test": st.acc_test,
+                "accept_count": st.n_accept,
+            }
+            if cfg.record_fx:
+                trace["fx_train"] = st.fx_train
+                trace["fx_test"] = st.fx_test
+            if cfg.record_w:
+                trace["w"] = st.w_last
+            new_state = st._replace(
+                w=jnp.where(accept[:, None], w_prop, st.w),
+                eta=jnp.where(accept, eta_prop, st.eta),
+                prior=jnp.where(accept, prior_prop, st.prior),
+                n_accept=st.n_accept + accept.astype(jnp.int32),
+                da=da._replace(
+                    ll_surr=jnp.where(accept, ll_surr_prop, ll_surr_cur),
+                    active=jnp.ones((), jnp.bool_),
+                ),
+            )
+            return new_state, trace, log_mh
+
+        def true_branch(st: ChainState):
+            st = _close_segment(st, i, kseg)
+            w_prop, diff_prop, n_langevin = propose(st, i, kp, kl)
+            if is_regression:
+                eta_prop = st.eta + cfg.step_eta * jax.random.normal(ke, (c,))
+                tau_prop = jnp.exp(eta_prop)
+                prior_prop = b_prior(w_prop, tau_prop)
+            else:
+                eta_prop = st.eta
+                tau_prop = jnp.exp(eta_prop)
+                prior_prop = b_prior(w_prop)
+            bundle, surr = _eval_bundle(st, w_prop, eta_prop, tau_prop)
+            (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop, acc_te_prop,
+             *fx_props) = bundle
+            ll_record = ll_prop / adapttemp if is_regression else ll_prop
+            log_mh = (
+                (ll_prop - st.ll) / adapttemp
+                + (prior_prop - st.prior)
+                + diff_prop
+            )
+            u = jax.random.uniform(ku, (c,))
+            accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
+            trace = {
+                "ll": ll_record,
+                "rmse_train": jnp.where(accept, rmse_tr_prop, st.rmse_train),
+                "rmse_test": jnp.where(accept, rmse_te_prop, st.rmse_test),
+                "acc_train": jnp.where(accept, acc_tr_prop, st.acc_train),
+                "acc_test": jnp.where(accept, acc_te_prop, st.acc_test),
+                "accept_count": st.n_accept,
+            }
+            accept_w = accept[:, None]
+            new_state = st._replace(
+                w=jnp.where(accept_w, w_prop, st.w),
+                eta=jnp.where(accept, eta_prop, st.eta),
+                ll=jnp.where(accept, ll_prop, st.ll),
+                prior=jnp.where(accept, prior_prop, st.prior),
+                w_last=jnp.where(accept_w, w_prop, st.w_last),
+                rmse_train=trace["rmse_train"],
+                rmse_test=trace["rmse_test"],
+                acc_train=trace["acc_train"],
+                acc_test=trace["acc_test"],
+                n_accept=st.n_accept + accept.astype(jnp.int32),
+                n_langevin=n_langevin,
+                surr=surr,
+            )
+            if cfg.record_fx:
+                new_state = new_state._replace(
+                    fx_train=jnp.where(accept_w, fx_props[0], st.fx_train),
+                    fx_test=jnp.where(accept_w, fx_props[1], st.fx_test),
+                )
+                trace["fx_train"] = new_state.fx_train
+                trace["fx_test"] = new_state.fx_test
+            if cfg.record_w:
+                trace["w"] = new_state.w_last
+            return new_state, trace, log_mh
+
+        new_state, trace, log_mh = jax.lax.cond(
+            use_surr, surr_branch, true_branch, state
+        )
+        if cfg.adapt_step_size:
+            burn_end = int(cfg.samples_per_chain * cfg.burn_in) - 1
+            mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
+            delta = cfg.adapt_rate * (mh_prob - cfg.adapt_target_accept)
+            new_lsw = jnp.clip(
+                new_state.log_step_w + jnp.where(i < burn_end, delta, 0.0),
+                jnp.log(1e-5),
+                jnp.log(10.0),
+            )
+            new_state = new_state._replace(log_step_w=new_lsw)
+        new_state = jax.lax.cond(
+            swap_due(cfg, i),
+            lambda s: do_swap(s, i, ks),
+            lambda s: s,
+            new_state,
+        )
+        return new_state, trace
+
     def refit_surrogate(st: ChainState) -> ChainState:
         """Refit the surrogate on the current buffer (sampler calls this at
         chunk boundaries, together with recompute_ll to re-anchor)."""
@@ -531,6 +806,9 @@ def make_step_fn(
             )
         )
 
-    step.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
-    step.refit_surrogate = refit_surrogate
-    return step
+    da_mode = cfg.use_surrogate and cfg.surrogate_mode == "delayed_acceptance"
+    chosen = step_da if da_mode else step
+    chosen.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
+    chosen.refit_surrogate = refit_surrogate
+    chosen.close_segment = _close_segment  # (state, idx, key) boundary closure
+    return chosen

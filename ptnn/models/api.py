@@ -49,13 +49,16 @@ def fnn_spec(
     topo: Tuple[int, int, int],
     drift_mode: str = "sequential",
     drift_unroll: int = 8,
+    mm_precision=None,
 ) -> ModelSpec:
     """The reference 2-layer sigmoid FNN with delta-rule SGD drift
-    (exact reference semantics; see models/fnn.py and ops/drift.py)."""
+    (exact reference semantics; see models/fnn.py and ops/drift.py).
+    ``mm_precision`` overrides the forward matmul precision (bf16 eval mode
+    passes DEFAULT; drift is unaffected)."""
     i, h, o = topo
 
     def forward(w, x):
-        return fnn.forward(w, x, topo)
+        return fnn.forward(w, x, topo, precision=mm_precision)
 
     def log_probs(out):
         # softmax over the *sigmoid* outputs (pt_classification.py:108-110)
@@ -85,7 +88,8 @@ def fnn_spec(
             )
 
     return ModelSpec(
-        name=f"fnn{topo}-{drift_mode}",
+        name=f"fnn{topo}-{drift_mode}"
+        + (f"-mm{mm_precision}" if mm_precision is not None else ""),
         w_size=fnn.w_size(topo),
         forward=forward,
         log_probs=log_probs,

@@ -37,8 +37,8 @@ Topology = Tuple[int, int, int]  # (n_in, n_hidden, n_out)
 MM_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def mm(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.matmul(a, b, precision=MM_PRECISION)
+def mm(a: jax.Array, b: jax.Array, precision=None) -> jax.Array:
+    return jnp.matmul(a, b, precision=precision or MM_PRECISION)
 
 
 class FnnParams(NamedTuple):
@@ -84,17 +84,21 @@ def init(key: jax.Array, topo: Topology, dtype=jnp.float32) -> jax.Array:
     return jax.random.normal(key, (w_size(topo),), dtype=dtype)
 
 
-def forward(w: jax.Array, x: jax.Array, topo: Topology) -> jax.Array:
+def forward(
+    w: jax.Array, x: jax.Array, topo: Topology, precision=None
+) -> jax.Array:
     """Batched forward pass.
 
     ``x``: (N, n_in) -> returns sigmoid outputs (N, n_out).
 
     Matches the reference per-sample ``ForwardPass`` math
     (pt_classification.py:49-53): ``sigmoid(sigmoid(x@W1 - B1) @ W2 - B2)``.
+    ``precision`` overrides the full-f32 default (bf16 eval mode passes
+    DEFAULT so bf16 operands stay single-pass on the MXU).
     """
     p = unpack(w, topo)
-    hid = jax.nn.sigmoid(mm(x, p.w1) - p.b1)
-    return jax.nn.sigmoid(mm(hid, p.w2) - p.b2)
+    hid = jax.nn.sigmoid(mm(x, p.w1, precision) - p.b1)
+    return jax.nn.sigmoid(mm(hid, p.w2, precision) - p.b2)
 
 
 def forward_with_hidden(

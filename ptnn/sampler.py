@@ -49,6 +49,9 @@ class SampleResult:
     elapsed_s: float
     chain_steps_per_sec: float
     config: PTConfig = field(repr=False, default=None)
+    # Delayed-acceptance diagnostics (surrogate_mode="delayed_acceptance"):
+    da_segments: int = 0  # surrogate segments opened (composite proposals)
+    da_accept_per_chain: Optional[np.ndarray] = None  # segment accept %, per chain
 
 
 def make_dataset(
@@ -143,12 +146,35 @@ def sample(
     step = kernel.make_step_fn(cfg, data, temps, spec)
     recompute = jit_here(step.recompute_ll)
     refit_anchor = None
+    close_seg = None
+    da_mode = cfg.use_surrogate and cfg.surrogate_mode == "delayed_acceptance"
+    # boundary-closure keys: a stream disjoint from the per-step keys
+    k_close = jax.random.fold_in(k_run, 0x7FFFFFFF)
     if cfg.use_surrogate:
         # chunk boundary = surrogate interval: refit on the collected buffer
-        # and re-anchor every chain's carried likelihood with a true eval
-        refit_anchor = jit_here(
-            lambda st: step.recompute_ll(step.refit_surrogate(st))
-        )
+        # and re-anchor every chain's carried likelihood with a true eval.
+        # In delayed-acceptance mode any open segment is exactly corrected
+        # FIRST (the refit changes the surrogate the segment was built under).
+        if da_mode:
+            close_seg = jit_here(step.close_segment)
+
+            def _refit(st, idx, kc):
+                return step.recompute_ll(
+                    step.refit_surrogate(step.close_segment(st, idx, kc))
+                )
+
+            refit_anchor_inner = jit_here(_refit)
+        else:
+            refit_anchor_inner = jit_here(
+                lambda st, idx, kc: step.recompute_ll(step.refit_surrogate(st))
+            )
+
+        def refit_anchor(st, done):
+            return refit_anchor_inner(
+                st,
+                jnp.asarray(max(done - 1, 0), jnp.int32),
+                jax.random.fold_in(k_close, done),
+            )
 
     def _run_chunk(st, start, length):
         keys = _step_keys(k_run, start, length)
@@ -186,6 +212,13 @@ def sample(
 
                 ck_state = ck_state._replace(
                     surr=surrogate_mod.init_for(cfg, spec.w_size)
+                )
+            if da_mode and ck_state.da is None:
+                # pre-DA checkpoint format: start with no open segment (only
+                # correct if the save was not mid-segment; new checkpoints
+                # always persist the DA state)
+                ck_state = ck_state._replace(
+                    da=kernel.init_da_state(cfg.num_chains, spec.w_size)
                 )
             if mesh is not None:
                 state = mesh_mod.shard_chain_tree(ck_state, mesh)
@@ -226,7 +259,7 @@ def sample(
         chunk = _pick_chunk(seg_end - seg_start, target)
         while done < seg_end:
             if refit_anchor is not None and done > 0:
-                state = refit_anchor(state)
+                state = refit_anchor(state, done)
             length = min(chunk, seg_end - done)
             state, traces = run_chunk(
                 state, jnp.asarray(done, jnp.int32), length=length
@@ -243,6 +276,14 @@ def sample(
                 chunks_since_ckpt = 0
     if pending is not None:
         host_chunks.append(jax.device_get(pending))
+    if close_seg is not None:
+        # a run must not end mid-segment: apply the exact correction so the
+        # final state (and its carried likelihood) is a true posterior sample
+        state = close_seg(
+            state,
+            jnp.asarray(n_steps - 1, jnp.int32),
+            jax.random.fold_in(k_close, n_steps + 1),
+        )
     state = jax.block_until_ready(state)
     if checkpoint_path is not None:
         maybe_checkpoint(cfg.n_steps)
@@ -268,6 +309,13 @@ def sample(
         100.0 * int(state.n_swap_accepted) / n_sw_prop if n_sw_prop else 0.0
     )  # pt_classification.py:774
     langevin_ratio = np.asarray(state.n_langevin) * 100.0 / samples
+    da_segments = 0
+    da_accept = None
+    if da_mode:
+        da_segments = int(state.da.n_seg)
+        da_accept = (
+            np.asarray(state.da.n_seg_accepted) * 100.0 / max(da_segments, 1)
+        )
 
     return SampleResult(
         traces=merged,
@@ -279,6 +327,8 @@ def sample(
         elapsed_s=elapsed,
         chain_steps_per_sec=n_steps * cfg.num_chains / elapsed,
         config=cfg,
+        da_segments=da_segments,
+        da_accept_per_chain=da_accept,
     )
 
 

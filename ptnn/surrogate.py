@@ -23,8 +23,20 @@ PT line of work), designed for the fused TPU sampler:
   carried likelihood with a true evaluation (the same recompute the 60%
   temper switch uses), bounding the surrogate bias between anchors.
 
-Like the published scheme, surrogate steps make the sampler approximate;
-accuracy is controlled by ``surrogate_prob`` and the chunk cadence.
+Two modes (``PTConfig.surrogate_mode``):
+
+* ``"anchored"`` — like the published scheme, surrogate steps make the
+  sampler approximate; accuracy is controlled by ``surrogate_prob`` and the
+  chunk cadence (each chunk boundary re-anchors with a true evaluation).
+* ``"delayed_acceptance"`` — EXACT: consecutive surrogate steps form one
+  composite proposal (inner RW-MH against the surrogate target, which is
+  reversible w.r.t. it, so the composite's q-ratio telescopes to the
+  surrogate ratio), corrected by a single true-likelihood Metropolis test
+  when the segment closes (Christen & Fox 2005, generalized to multi-step
+  segments). Every segment kernel leaves the exact tempered posterior
+  invariant for the surrogate coefficients in effect; refits only happen at
+  chunk boundaries, between closed segments (standard adaptive-MCMC regime).
+  See kernel.DAState / kernel step_da.
 """
 
 from __future__ import annotations

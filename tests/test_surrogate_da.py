@@ -1,0 +1,175 @@
+"""Delayed-acceptance surrogate mode (exact two-stage surrogate PT).
+
+The anchored surrogate mode is approximate (the carried likelihood is fed
+surrogate values between re-anchors); delayed-acceptance mode corrects every
+surrogate segment with one true-likelihood Metropolis test, so the kernel
+leaves the exact posterior invariant. These tests check the mechanical
+invariants that distinguish the two modes and the statistical agreement with
+the plain sampler.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ptnn import PTConfig, sample
+from ptnn.data import load_regression
+
+
+@pytest.fixture(scope="module")
+def sunspot():
+    p = load_regression("Sunspot")
+    return p.train, p.test
+
+
+def da_cfg(**kw):
+    base = dict(
+        task="regression",
+        topology=(4, 10, 1),
+        num_samples=8 * 600,
+        num_chains=8,
+        maxtemp=3.0,
+        swap_interval=30,
+        swap_offset=0,
+        swap_payload="tempered_times_T",
+        use_langevin_gradients=False,
+        chunk_steps=100,
+        use_surrogate=True,
+        surrogate_mode="delayed_acceptance",
+        surrogate_prob=0.5,
+        surrogate_warmup_frac=0.2,
+        surrogate_buffer=512,
+        surrogate_proj=32,
+    )
+    base.update(kw)
+    return PTConfig(**base).validate()
+
+
+def _true_ll(res, train):
+    """Untempered train log-likelihood at the final state, per chain."""
+    from ptnn import kernel, make_dataset
+    from ptnn.ops import likelihood
+
+    cfg = res.config
+    data = make_dataset(cfg, train, train)
+    st = res.final_state
+    from ptnn.models import fnn
+
+    fwd = jax.vmap(lambda w: fnn.forward(w, data.x_train, cfg.topology)[:, 0])
+    fx = fwd(jnp.asarray(st.w))
+    tau = jnp.exp(jnp.asarray(st.eta))
+    ev = jax.vmap(likelihood.regression_eval_from_fx, in_axes=(0, None, 0))(
+        fx, data.y_train, tau
+    )
+    return np.asarray(ev.loglik)
+
+
+def test_da_carried_likelihood_is_exact(sunspot):
+    """Invariant: after the run (final segment closed), every chain's carried
+    log-likelihood equals the TRUE likelihood of its current weights — the
+    property the anchored mode deliberately gives up."""
+    res = sample(da_cfg(), *sunspot, seed=0)
+    assert res.da_segments > 0, "no surrogate segments ever opened"
+    assert not bool(res.final_state.da.active)
+    ll_true = _true_ll(res, sunspot[0])
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.ll), ll_true, rtol=1e-4, atol=1e-3
+    )
+    # segment corrections both accept and reject across the run
+    acc = res.da_accept_per_chain
+    assert acc is not None and np.all(acc <= 100.0)
+    assert np.any(acc > 0.0), "every segment correction rejected"
+
+
+def test_da_skips_dataset_passes(sunspot):
+    """Surrogate segments must actually occur: metric trace rows repeat more
+    often than in the no-surrogate run (no true eval on segment steps)."""
+    cfg = da_cfg()
+    res = sample(cfg, *sunspot, seed=0)
+    base = sample(
+        dataclasses.replace(cfg, use_surrogate=False), *sunspot, seed=0
+    )
+
+    def rep_frac(r):
+        m = r.traces["rmse_train"]
+        return float(np.mean(np.all(m[1:] == m[:-1], axis=1)))
+
+    assert rep_frac(res) > rep_frac(base) + 0.05, (rep_frac(res), rep_frac(base))
+    # both reach sane cold-chain fits
+    assert res.traces["rmse_test"][-1, 0] < 0.2
+    assert base.traces["rmse_test"][-1, 0] < 0.2
+
+
+def test_da_posterior_matches_plain_sampler(sunspot):
+    """Statistical gate: the DA sampler's post-burn-in cold-chain likelihood
+    level must agree with the plain sampler's (it targets the same posterior
+    exactly); the anchored mode is allowed to drift."""
+    cfg = da_cfg(num_samples=8 * 800, surrogate_prob=0.4)
+    means = {}
+    for name, c in {
+        "da": cfg,
+        "plain": dataclasses.replace(cfg, use_surrogate=False),
+    }.items():
+        vals = []
+        for seed in (0, 1):
+            r = sample(c, *sunspot, seed=seed)
+            burn = r.traces["ll"].shape[0] // 2
+            # cold chain, true-eval rows only (segment rows carry surrogate
+            # values); compare the final-quarter mean likelihood level
+            tail = r.traces["rmse_test"][-200:, 0]
+            vals.append(float(np.mean(tail)))
+        means[name] = np.mean(vals)
+    # same posterior -> same cold-chain predictive error level (loose gate:
+    # both well-fit and within 40% of each other)
+    assert means["da"] < 0.2 and means["plain"] < 0.2, means
+    assert abs(means["da"] - means["plain"]) < 0.4 * means["plain"] + 0.02, means
+
+
+def test_da_checkpoint_resume_identical(sunspot, tmp_path):
+    """Mid-segment checkpoints persist the DA state: a resumed run reproduces
+    the uninterrupted run's traces exactly."""
+    cfg = da_cfg(num_samples=8 * 300, chunk_steps=60)
+    ck = str(tmp_path / "da.npz")
+    full = sample(cfg, *sunspot, seed=3)
+    r1 = sample(cfg, *sunspot, seed=3, checkpoint_path=ck, checkpoint_every=1)
+    r2 = sample(cfg, *sunspot, seed=3, checkpoint_path=ck, checkpoint_every=1)
+    for k in full.traces:
+        np.testing.assert_allclose(
+            full.traces[k], r1.traces[k], rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            full.traces[k], r2.traces[k], rtol=1e-6, atol=1e-7
+        )
+
+
+def test_da_classification_runs():
+    """DA mode on the classification task (no eta, multinomial likelihood)."""
+    from ptnn.data import load_classification
+
+    p = load_classification("iris")
+    cfg = PTConfig(
+        task="classification",
+        topology=(4, 6, 3),
+        num_samples=8 * 400,
+        num_chains=8,
+        maxtemp=5.0,
+        swap_interval=40,
+        swap_offset=1,
+        use_langevin_gradients=False,
+        chunk_steps=100,
+        use_surrogate=True,
+        surrogate_mode="delayed_acceptance",
+        surrogate_prob=0.5,
+        surrogate_warmup_frac=0.2,
+        surrogate_buffer=512,
+        surrogate_proj=32,
+    ).validate()
+    res = sample(cfg, p.train, p.test, seed=0)
+    assert res.da_segments > 0
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    # cold chain learns something (Iris is easy; chance = 33%)
+    assert res.traces["acc_train"][-1, 0] > 40.0
