@@ -117,6 +117,13 @@ class PTConfig:
     #                         exact posterior invariant for the surrogate
     #                         coefficients in effect.
     surrogate_mode: str = "anchored"
+    # Inner-move kind inside delayed-acceptance segments:
+    # "rw"   — symmetric random walk (no q-ratio);
+    # "mala" — Langevin drift on the ANALYTIC surrogate gradient (a few
+    #          matvecs, no dataset pass) with the standard MALA q-ratio;
+    #          mixes far better through a fitted surrogate. Exactness is
+    #          unaffected either way (any proposal + correct q-ratio).
+    surrogate_inner: str = "rw"
     surrogate_prob: float = 0.25  # per-step prob of surrogate eval post-warmup
     surrogate_warmup_frac: float = 0.25  # collect-only fraction of the run
     surrogate_buffer: int = 2048  # ring buffer rows (rounded up to chains)
@@ -177,6 +184,8 @@ class PTConfig:
             raise ValueError(f"unknown qratio {self.qratio!r}")
         if self.surrogate_mode not in ("anchored", "delayed_acceptance"):
             raise ValueError(f"unknown surrogate_mode {self.surrogate_mode!r}")
+        if self.surrogate_inner not in ("rw", "mala"):
+            raise ValueError(f"unknown surrogate_inner {self.surrogate_inner!r}")
         if self.eval_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown eval_dtype {self.eval_dtype!r}")
         if self.qratio == "ldpt_legacy" and self.adapt_step_size:

@@ -441,7 +441,7 @@ def make_step_fn(
             )
         surr_warmup_end = int(cfg.n_steps * cfg.surrogate_warmup_frac)
 
-    def _eval_bundle(state, w_prop, eta_prop, tau_prop):
+    def _eval_bundle(state, w_prop, eta_prop, tau_prop, do_push=True):
         """True proposal evaluation (the expensive full-dataset pass)."""
         if is_regression:
             ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train, tau_prop)
@@ -457,7 +457,7 @@ def make_step_fn(
         if cfg.record_fx:
             out += [ev_tr.fx, ev_te.fx]
         surr = state.surr
-        if cfg.use_surrogate:
+        if cfg.use_surrogate and do_push:
             z = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
             surr = surrogate_mod.push(surr, z, ev_tr.loglik)
         return tuple(out), surr
@@ -478,58 +478,64 @@ def make_step_fn(
         z = jnp.concatenate([w, eta[:, None]], axis=1)
         return surrogate_mod.predict(surr, surrogate_proj, z)
 
+    def _close_core(st: ChainState, i, kseg):
+        """Exact delayed-acceptance segment correction: one true-likelihood
+        Metropolis test for the composite surrogate proposal. Returns the
+        corrected state plus the fresh ``(z, ll_true, valid)`` surrogate
+        training row (the caller pushes it — keeping the ring-buffer write
+        OUT of conditional branches, see surrogate.push_masked)."""
+        da = st.da
+        adapttemp = jnp.where(i < switch_step, temps, 1.0)
+        if is_regression:
+            tau = jnp.exp(st.eta)
+            ev_tr = b_eval_tr(st.w, data.x_train, data.y_train, tau)
+            ev_te = b_eval_te(st.w, data.x_test, data.y_test, tau)
+            acc_tr = jnp.zeros((c,), jnp.float32)
+            acc_te = jnp.zeros((c,), jnp.float32)
+        else:
+            ev_tr = b_eval(st.w, data.x_train, data.y_train)
+            ev_te = b_eval(st.w, data.x_test, data.y_test)
+            acc_tr, acc_te = ev_tr.acc, ev_te.acc
+        ll_true = ev_tr.loglik
+        # pi(w_K)/pi(w_0) x s(w_0)/s(w_K); priors cancel (tracked exactly
+        # during inner steps on both sides of the inner MH ratio)
+        log_corr = (
+            (ll_true - st.ll) - (da.ll_surr - da.anchor_llsurr)
+        ) / adapttemp
+        u = jax.random.uniform(kseg, (c,))
+        acc = u < jnp.exp(jnp.minimum(log_corr, 0.0))
+        accw = acc[:, None]
+        # the fresh true pair is surrogate training data either way
+        z = jnp.concatenate([st.w, st.eta[:, None]], axis=1)
+        new = st._replace(
+            w=jnp.where(accw, st.w, da.anchor_w),
+            eta=jnp.where(acc, st.eta, da.anchor_eta),
+            ll=jnp.where(acc, ll_true, st.ll),
+            prior=jnp.where(acc, st.prior, da.anchor_prior),
+            w_last=jnp.where(accw, st.w, st.w_last),
+            rmse_train=jnp.where(acc, ev_tr.rmse, st.rmse_train),
+            rmse_test=jnp.where(acc, ev_te.rmse, st.rmse_test),
+            acc_train=jnp.where(acc, acc_tr, st.acc_train),
+            acc_test=jnp.where(acc, acc_te, st.acc_test),
+            da=da._replace(
+                active=jnp.zeros((), jnp.bool_),
+                n_seg_accepted=da.n_seg_accepted + acc.astype(jnp.int32),
+            ),
+        )
+        if cfg.record_fx:
+            new = new._replace(
+                fx_train=jnp.where(accw, ev_tr.fx, st.fx_train),
+                fx_test=jnp.where(accw, ev_te.fx, st.fx_test),
+            )
+        return new, (z, ll_true, jnp.ones((), jnp.bool_))
+
     def _close_segment(state: ChainState, i, kseg) -> ChainState:
-        """Delayed-acceptance segment close: one true-likelihood Metropolis
-        test for the composite surrogate proposal. No-op when no segment is
-        open (the cond skips the dataset pass entirely)."""
+        """Boundary closure for the sampler (chunk refits, run end): no-op
+        when no segment is open; otherwise correct and push the true pair."""
 
         def close(st: ChainState) -> ChainState:
-            da = st.da
-            adapttemp = jnp.where(i < switch_step, temps, 1.0)
-            if is_regression:
-                tau = jnp.exp(st.eta)
-                ev_tr = b_eval_tr(st.w, data.x_train, data.y_train, tau)
-                ev_te = b_eval_te(st.w, data.x_test, data.y_test, tau)
-                acc_tr = jnp.zeros((c,), jnp.float32)
-                acc_te = jnp.zeros((c,), jnp.float32)
-            else:
-                ev_tr = b_eval(st.w, data.x_train, data.y_train)
-                ev_te = b_eval(st.w, data.x_test, data.y_test)
-                acc_tr, acc_te = ev_tr.acc, ev_te.acc
-            ll_true = ev_tr.loglik
-            # pi(w_K)/pi(w_0) x s(w_0)/s(w_K); priors cancel (tracked exactly
-            # during inner steps on both sides of the inner MH ratio)
-            log_corr = (
-                (ll_true - st.ll) - (da.ll_surr - da.anchor_llsurr)
-            ) / adapttemp
-            u = jax.random.uniform(kseg, (c,))
-            acc = u < jnp.exp(jnp.minimum(log_corr, 0.0))
-            accw = acc[:, None]
-            # the fresh true pair is surrogate training data either way
-            z = jnp.concatenate([st.w, st.eta[:, None]], axis=1)
-            surr = surrogate_mod.push(st.surr, z, ll_true)
-            new = st._replace(
-                w=jnp.where(accw, st.w, da.anchor_w),
-                eta=jnp.where(acc, st.eta, da.anchor_eta),
-                ll=jnp.where(acc, ll_true, st.ll),
-                prior=jnp.where(acc, st.prior, da.anchor_prior),
-                w_last=jnp.where(accw, st.w, st.w_last),
-                rmse_train=jnp.where(acc, ev_tr.rmse, st.rmse_train),
-                rmse_test=jnp.where(acc, ev_te.rmse, st.rmse_test),
-                acc_train=jnp.where(acc, acc_tr, st.acc_train),
-                acc_test=jnp.where(acc, acc_te, st.acc_test),
-                surr=surr,
-                da=da._replace(
-                    active=jnp.zeros((), jnp.bool_),
-                    n_seg_accepted=da.n_seg_accepted + acc.astype(jnp.int32),
-                ),
-            )
-            if cfg.record_fx:
-                new = new._replace(
-                    fx_train=jnp.where(accw, ev_tr.fx, st.fx_train),
-                    fx_test=jnp.where(accw, ev_te.fx, st.fx_test),
-                )
-            return new
+            new, (z, ll, _v) = _close_core(st, i, kseg)
+            return new._replace(surr=surrogate_mod.push(new.surr, z, ll))
 
         return jax.lax.cond(state.da.active, close, lambda st: st, state)
 
@@ -662,11 +668,19 @@ def make_step_fn(
             jax.random.uniform(ksu, ()) < cfg.surrogate_prob,
         )
         use_surr = jnp.logical_and(use_surr, jnp.logical_not(swap_due(cfg, i)))
+        zdim = w_dim + 1
+
+        def _null_push():
+            return (
+                jnp.zeros((c, zdim), jnp.float32),
+                jnp.zeros((c,), jnp.float32),
+                jnp.zeros((), jnp.bool_),
+            )
 
         def surr_branch(st: ChainState):
             da = st.da
             ll_surr_cur = jnp.where(
-                da.active, da.ll_surr, _surr_ll(st.surr, st.w, st.eta)
+                da.active, da.ll_surr, _surr_ll(state.surr, st.w, st.eta)
             )
             da = da._replace(
                 anchor_w=jnp.where(da.active, da.anchor_w, st.w),
@@ -675,22 +689,47 @@ def make_step_fn(
                 anchor_llsurr=jnp.where(da.active, da.anchor_llsurr, ll_surr_cur),
                 n_seg=da.n_seg + jnp.where(da.active, 0, 1).astype(jnp.int32),
             )
-            # inner proposal: pure random walk (symmetric, so no q-ratio; and
-            # no dataset gradient pass — this is where the savings come from)
+            # inner proposal: no dataset pass either way (this is where the
+            # savings come from) — symmetric RW, or MALA on the ANALYTIC
+            # surrogate gradient (a few matvecs) with the standard q-ratio
             if cfg.adapt_step_size:
-                sw = jnp.exp(st.log_step_w)[:, None]
+                sw = jnp.exp(st.log_step_w)[:, None]  # (C, 1)
             else:
-                sw = step_w
-            w_prop = st.w + jax.random.normal(kp, (c, w_dim), jnp.float32) * sw
+                sw = jnp.full((c, 1), step_w, jnp.float32)
+            noise = jax.random.normal(kp, (c, w_dim), jnp.float32) * sw
             if is_regression:
                 eta_prop = st.eta + cfg.step_eta * jax.random.normal(ke, (c,))
-                prior_prop = b_prior(w_prop, jnp.exp(eta_prop))
             else:
                 eta_prop = st.eta
+            diff_q = jnp.zeros((c,), jnp.float32)
+            if cfg.surrogate_inner == "mala":
+                half = 0.5 * sw * sw  # sigma^2/2, (C, 1)
+                z_cur = jnp.concatenate([st.w, st.eta[:, None]], axis=1)
+                g_cur = surrogate_mod.grad_predict(
+                    state.surr, surrogate_proj, z_cur
+                )[:, :w_dim] / adapttemp[:, None]
+                mean_fwd = st.w + half * g_cur
+                w_prop = mean_fwd + noise
+                z_prop = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
+                g_prop = surrogate_mod.grad_predict(
+                    state.surr, surrogate_proj, z_prop
+                )[:, :w_dim] / adapttemp[:, None]
+                mean_rev = w_prop + half * g_prop
+                diff_q = (
+                    jnp.sum(jnp.square(w_prop - mean_fwd), axis=-1)
+                    - jnp.sum(jnp.square(st.w - mean_rev), axis=-1)
+                ) / (2.0 * sw[:, 0] * sw[:, 0])
+            else:
+                w_prop = st.w + noise
+            if is_regression:
+                prior_prop = b_prior(w_prop, jnp.exp(eta_prop))
+            else:
                 prior_prop = b_prior(w_prop)
-            ll_surr_prop = _surr_ll(st.surr, w_prop, eta_prop)
-            log_mh = (ll_surr_prop - ll_surr_cur) / adapttemp + (
-                prior_prop - st.prior
+            ll_surr_prop = _surr_ll(state.surr, w_prop, eta_prop)
+            log_mh = (
+                (ll_surr_prop - ll_surr_cur) / adapttemp
+                + (prior_prop - st.prior)
+                + diff_q
             )
             u = jax.random.uniform(ku, (c,))
             accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
@@ -718,10 +757,9 @@ def make_step_fn(
                     active=jnp.ones((), jnp.bool_),
                 ),
             )
-            return new_state, trace, log_mh
+            return new_state, trace, log_mh, _null_push(), _null_push()
 
-        def true_branch(st: ChainState):
-            st = _close_segment(st, i, kseg)
+        def _true_core(st: ChainState, push2):
             w_prop, diff_prop, n_langevin = propose(st, i, kp, kl)
             if is_regression:
                 eta_prop = st.eta + cfg.step_eta * jax.random.normal(ke, (c,))
@@ -731,9 +769,16 @@ def make_step_fn(
                 eta_prop = st.eta
                 tau_prop = jnp.exp(eta_prop)
                 prior_prop = b_prior(w_prop)
-            bundle, surr = _eval_bundle(st, w_prop, eta_prop, tau_prop)
+            bundle, _ = _eval_bundle(
+                st, w_prop, eta_prop, tau_prop, do_push=False
+            )
             (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop, acc_te_prop,
              *fx_props) = bundle
+            push1 = (
+                jnp.concatenate([w_prop, eta_prop[:, None]], axis=1),
+                ll_prop,
+                jnp.ones((), jnp.bool_),
+            )
             ll_record = ll_prop / adapttemp if is_regression else ll_prop
             log_mh = (
                 (ll_prop - st.ll) / adapttemp
@@ -763,7 +808,6 @@ def make_step_fn(
                 acc_test=trace["acc_test"],
                 n_accept=st.n_accept + accept.astype(jnp.int32),
                 n_langevin=n_langevin,
-                surr=surr,
             )
             if cfg.record_fx:
                 new_state = new_state._replace(
@@ -774,11 +818,33 @@ def make_step_fn(
                 trace["fx_test"] = new_state.fx_test
             if cfg.record_w:
                 trace["w"] = new_state.w_last
-            return new_state, trace, log_mh
+            return new_state, trace, log_mh, push1, push2
 
-        new_state, trace, log_mh = jax.lax.cond(
-            use_surr, surr_branch, true_branch, state
+        def plain_branch(st: ChainState):
+            return _true_core(st, _null_push())
+
+        def closure_branch(st: ChainState):
+            st2, push2 = _close_core(st, i, kseg)
+            return _true_core(st2, push2)
+
+        # one 3-way switch per step (plain true step / segment-closing true
+        # step / surrogate inner step) with the ring-buffer pushes hoisted
+        # outside as masked writes — nested conditionals and in-branch buffer
+        # updates were the dominant bookkeeping overhead on TPU
+        case = jnp.where(
+            use_surr, 2, jnp.where(state.da.active, 1, 0)
+        ).astype(jnp.int32)
+        # the ring buffer stays OUT of the switch: branches read only the
+        # surrogate coefficients (closure-captured theta); buffer writes are
+        # the masked pushes below
+        new_state, trace, log_mh, p1, p2 = jax.lax.switch(
+            case,
+            [plain_branch, closure_branch, surr_branch],
+            state._replace(surr=None),
         )
+        surr = surrogate_mod.push_masked(state.surr, *p2)
+        surr = surrogate_mod.push_masked(surr, *p1)
+        new_state = new_state._replace(surr=surr)
         if cfg.adapt_step_size:
             burn_end = int(cfg.samples_per_chain * cfg.burn_in) - 1
             mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))

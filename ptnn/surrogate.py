@@ -17,8 +17,11 @@ PT line of work), designed for the fused TPU sampler:
 * training pairs are the ``(w_proposal, ll_proposal)`` evaluations the
   sampler computes anyway, collected into an on-device ring buffer;
 * the surrogate decision is per STEP, not per chain — on a surrogate step
-  the true likelihood (the expensive full-dataset eval) is skipped for the
-  whole ladder, which is where the compute saving comes from;
+  the true likelihood (the full-dataset eval) is skipped for the whole
+  ladder. NOTE: skipping only pays when that eval costs well above the
+  ~0.3-0.6 ms/step conditional+bookkeeping overhead measured on TPU; at
+  reference problem scales it does NOT (COVERAGE.md "honest on-chip
+  picture") — the feature's value there is algorithmic, not wall-clock;
 * every chunk boundary refits the surrogate AND re-anchors each chain's
   carried likelihood with a true evaluation (the same recompute the 60%
   temper switch uses), bounding the surrogate bias between anchors.
@@ -112,6 +115,33 @@ def push(state: SurrogateState, w: jax.Array, ll: jax.Array) -> SurrogateState:
     )
 
 
+def push_masked(
+    state: SurrogateState, z: jax.Array, ll: jax.Array, valid: jax.Array
+) -> SurrogateState:
+    """Conditional-free masked block push: when scalar ``valid`` is False the
+    buffer, pointer, and count are all unchanged (the write blends the
+    existing rows back). Lets the sampler hoist pushes OUT of lax.switch
+    branches — per-step conditionals with large operands are the dominant
+    overhead of surrogate bookkeeping on TPU."""
+    c = z.shape[0]
+    b = state.buf_w.shape[0]
+    cur_w = jax.lax.dynamic_slice(state.buf_w, (state.ptr, 0), (c, z.shape[1]))
+    cur_ll = jax.lax.dynamic_slice(state.buf_ll, (state.ptr,), (c,))
+    buf_w = jax.lax.dynamic_update_slice(
+        state.buf_w, jnp.where(valid, z, cur_w), (state.ptr, 0)
+    )
+    buf_ll = jax.lax.dynamic_update_slice(
+        state.buf_ll, jnp.where(valid, ll, cur_ll), (state.ptr,)
+    )
+    adv = jnp.where(valid, c, 0).astype(jnp.int32)
+    return state._replace(
+        buf_w=buf_w,
+        buf_ll=buf_ll,
+        ptr=(state.ptr + adv) % b,
+        count=jnp.minimum(state.count + adv, b),
+    )
+
+
 def fit(
     state: SurrogateState,
     proj: jax.Array,
@@ -147,6 +177,27 @@ def fit(
 def predict(state: SurrogateState, proj: jax.Array, w: jax.Array) -> jax.Array:
     """Surrogate log-likelihood for a (C, W) block -> (C,)."""
     return features(w, proj) @ state.theta
+
+
+def grad_predict(
+    state: SurrogateState, proj: jax.Array, z: jax.Array
+) -> jax.Array:
+    """Analytic gradient of the surrogate log-likelihood, (C, Z) -> (C, Z).
+
+    d/dz [theta . phi(z)] with phi(z) = [1, z, z^2, (Pz)^2]:
+    ``theta_z + 2 theta_z2 * z + 2 P^T ((Pz) * theta_p)``. A few matvecs —
+    this is what makes surrogate-MALA inner moves nearly free (kernel
+    step_da with surrogate_inner="mala")."""
+    zdim = z.shape[1]
+    t_z = state.theta[1 : 1 + zdim]
+    t_z2 = state.theta[1 + zdim : 1 + 2 * zdim]
+    t_p = state.theta[1 + 2 * zdim :]
+    pz = jnp.einsum("kw,cw->ck", proj, z, precision=jax.lax.Precision.HIGHEST)
+    cross = jnp.einsum(
+        "ck,kw->cw", pz * t_p[None, :], proj,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return t_z[None, :] + 2.0 * t_z2[None, :] * z + 2.0 * cross
 
 
 def r_squared(state: SurrogateState, proj: jax.Array) -> jax.Array:

@@ -5,6 +5,13 @@ Compares, at equal step budgets on the real chip:
   * delayed-acceptance surrogate PT (exact; segments skip dataset+drift)
   * bfloat16 evaluation mode
 
+MEASUREMENT CAVEAT: the tunneled axon chip shows +-30-40% run-to-run
+variance for surrogate configs; a single A/B pass (what this script does) is
+indicative only. Conclusions in COVERAGE.md use interleaved repeated medians.
+At reference problem scales neither DA nor bf16 beats plain wall-clock on
+this chip — the per-step conditional/bookkeeping overhead (~0.3-0.6 ms)
+exceeds a reference-scale dataset pass; DA's value is exactness.
+
 Run SERIALLY (one process; concurrent TPU jobs wedge the tunneled worker).
 Usage: python scripts/bench_modes.py [--chains 64] [--samples-per-chain 2000]
 """
@@ -25,14 +32,23 @@ def main() -> None:
     ap.add_argument("--samples-per-chain", type=int, default=2000)
     ap.add_argument("--langevin", action="store_true", default=True)
     ap.add_argument("--no-langevin", dest="langevin", action="store_false")
+    ap.add_argument(
+        "--tile", type=int, default=1,
+        help="replicate the dataset rows N times (scales the true-eval cost; "
+        "the regime where surrogate segments pay off)",
+    )
+    ap.add_argument("--hidden", type=int, default=10)
     args = ap.parse_args()
 
     import ptnn
     from ptnn.data import load
 
     prob = load("Sunspot")
+    train = np.tile(prob.train, (args.tile, 1))
+    test = prob.test
     c = args.chains
     base = ptnn.regression_preset(
+        topology=(4, args.hidden, 1),
         num_samples=c * args.samples_per_chain,
         num_chains=c,
         use_langevin_gradients=args.langevin,
@@ -42,9 +58,9 @@ def main() -> None:
 
     def run(tag, cfg, seed=0):
         # warm once (compile), then time a fresh run
-        ptnn.sample(cfg, prob.train, prob.test, seed=seed)
+        ptnn.sample(cfg, train, test, seed=seed)
         t0 = time.perf_counter()
-        r = ptnn.sample(cfg, prob.train, prob.test, seed=seed + 1)
+        r = ptnn.sample(cfg, train, test, seed=seed + 1)
         dt = time.perf_counter() - t0
         out = {
             "mode": tag,
@@ -61,19 +77,22 @@ def main() -> None:
         return out
 
     run("plain", base)
-    run(
-        "delayed_acceptance",
-        dataclasses.replace(
-            base,
-            use_surrogate=True,
-            surrogate_mode="delayed_acceptance",
-            surrogate_prob=0.5,
-            surrogate_warmup_frac=0.2,
-            surrogate_buffer=4096,
-            surrogate_proj=64,
-        ),
+    da = dataclasses.replace(
+        base,
+        use_surrogate=True,
+        surrogate_mode="delayed_acceptance",
+        surrogate_prob=0.5,
+        surrogate_warmup_frac=0.2,
+        surrogate_buffer=4096,
+        surrogate_proj=64,
     )
+    run("delayed_acceptance_rw", da)
+    run("delayed_acceptance_mala", dataclasses.replace(da, surrogate_inner="mala"))
     run("bf16_eval", dataclasses.replace(base, eval_dtype="bfloat16"))
+    run(
+        "da_mala_bf16",
+        dataclasses.replace(da, surrogate_inner="mala", eval_dtype="bfloat16"),
+    )
 
 
 if __name__ == "__main__":

@@ -146,6 +146,48 @@ def test_da_checkpoint_resume_identical(sunspot, tmp_path):
         )
 
 
+def test_surrogate_grad_predict_matches_autodiff():
+    """The analytic surrogate gradient must equal jax.grad of predict."""
+    from ptnn import surrogate
+
+    zdim, n_proj, B = 11, 16, 256
+    key = jax.random.PRNGKey(3)
+    proj = surrogate.make_projection(key, zdim, n_proj)
+    st = surrogate.init(B, zdim, n_proj)
+    zs = jax.random.normal(jax.random.PRNGKey(4), (B, zdim), jnp.float32)
+    lls = -jnp.sum(zs * zs, axis=1) + 0.3 * zs[:, 0]
+    st = surrogate.push(st, zs, lls)
+    st = surrogate.fit(st, proj, ridge=1e-4)
+    assert bool(st.fitted)
+    z = zs[:5]
+    g_analytic = surrogate.grad_predict(st, proj, z)
+    g_auto = jax.vmap(
+        jax.grad(lambda zi: surrogate.predict(st, proj, zi[None, :])[0])
+    )(z)
+    np.testing.assert_allclose(
+        np.asarray(g_analytic), np.asarray(g_auto), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_da_mala_inner_moves(sunspot):
+    """Surrogate-MALA inner moves: exactness invariant still holds, and the
+    drifted inner proposals move further per segment than plain RW (higher
+    or comparable segment throughput at the same step size)."""
+    cfg = da_cfg(surrogate_inner="mala")
+    res = sample(cfg, *sunspot, seed=0)
+    assert res.da_segments > 0
+    assert not bool(res.final_state.da.active)
+    ll_true = _true_ll(res, sunspot[0])
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.ll), ll_true, rtol=1e-4, atol=1e-3
+    )
+    assert np.isfinite(res.traces["ll"][1:]).all()
+    assert res.traces["rmse_test"][-1, 0] < 0.2
+    # MH with the MALA q-ratio must not blow up acceptance to 0/100
+    acc = res.accept_ratio_per_chain
+    assert np.all(acc > 1.0) and np.all(acc < 99.0), acc
+
+
 def test_da_classification_runs():
     """DA mode on the classification task (no eta, multinomial likelihood)."""
     from ptnn.data import load_classification
