@@ -188,6 +188,34 @@ class PTConfig:
             raise ValueError(f"unknown surrogate_inner {self.surrogate_inner!r}")
         if self.eval_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown eval_dtype {self.eval_dtype!r}")
+        if (
+            self.use_surrogate
+            and self.surrogate_mode == "delayed_acceptance"
+            and self.stale_likelihood_after_swap
+        ):
+            raise ValueError(
+                "delayed_acceptance requires restore-likelihood swap "
+                "semantics: stale swaps permute (w, eta) but not ll, so the "
+                "segment-closure Metropolis test would correct against a "
+                "likelihood that does not correspond to the anchor weights, "
+                "voiding the mode's exactness guarantee"
+            )
+        if self.use_surrogate:
+            rounded = (
+                (self.surrogate_buffer + self.num_chains - 1)
+                // self.num_chains
+            ) * self.num_chains
+            # features span [w, eta]; see surrogate.init_for / feature_dim
+            fdim = 1 + 2 * (self.w_size + 1) + self.surrogate_proj
+            if rounded < fdim:
+                raise ValueError(
+                    f"surrogate_buffer={self.surrogate_buffer} (rounded to "
+                    f"{rounded}) is below the surrogate feature dimension "
+                    f"{fdim} for w_size={self.w_size}: the ridge fit would "
+                    "never activate while still paying per-step bookkeeping. "
+                    f"Raise surrogate_buffer to >= {fdim} or lower "
+                    "surrogate_proj."
+                )
         if self.qratio == "ldpt_legacy" and self.adapt_step_size:
             raise ValueError(
                 "adapt_step_size is incompatible with the legacy q-ratio "

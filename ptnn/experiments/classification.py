@@ -14,6 +14,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 from ptnn.config import classification_preset
 from ptnn.data import CLASSIFICATION_TOPOLOGIES, load_classification
@@ -60,7 +61,7 @@ def main(argv=None) -> None:
             use_langevin_gradients=args.langevin,
             learn_rate=args.lr,
         )
-        cfg = cfg.__class__(**{**cfg.__dict__, "drift_mode": args.drift_mode})
+        cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
         run_problem(
             prob,
             cfg,

@@ -15,6 +15,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 from ptnn.config import regression_preset
 from ptnn.data import REGRESSION_SETS, load_regression
@@ -68,7 +69,7 @@ def main(argv=None) -> None:
                 langevin_prob=lp,
                 learn_rate=args.lr,
             )
-            cfg = cfg.__class__(**{**cfg.__dict__, "drift_mode": args.drift_mode})
+            cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
             run_problem(
                 prob,
                 cfg,

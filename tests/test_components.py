@@ -181,6 +181,34 @@ def test_metropolis_requires_untempered_payload():
     assert cfg.swap_rule == "metropolis"
 
 
+def test_da_requires_restore_swap_semantics():
+    """Stale swaps permute (w, eta) but not ll, so DA segment closure would
+    correct against the wrong anchor likelihood — config must reject it."""
+    with pytest.raises(ValueError, match="delayed_acceptance"):
+        small_cfg(
+            use_surrogate=True,
+            surrogate_mode="delayed_acceptance",
+            stale_likelihood_after_swap=True,
+        )
+    # restore semantics (the default) stays valid
+    cfg = small_cfg(use_surrogate=True, surrogate_mode="delayed_acceptance")
+    assert cfg.surrogate_mode == "delayed_acceptance"
+
+
+def test_surrogate_buffer_must_cover_feature_dim():
+    """A ring buffer smaller than the surrogate feature dimension can never
+    fit — config errors instead of silently degrading to true evals."""
+    with pytest.raises(ValueError, match="feature dimension"):
+        small_cfg(
+            topology=(4, 200, 1),  # w_size=1401 -> fdim=2869 > 2048 default
+            use_surrogate=True,
+        )
+    # large enough buffer passes
+    cfg = small_cfg(topology=(4, 200, 1), use_surrogate=True,
+                    surrogate_buffer=4096)
+    assert cfg.use_surrogate
+
+
 def test_native_savetxt_matches_numpy(tmp_path):
     rng = np.random.default_rng(3)
     a = (rng.standard_normal((500, 7)) * 50).astype(np.float64)
