@@ -44,11 +44,15 @@ def save(
         f"state__{k}": np.asarray(v)
         for k, v in state._asdict().items()
         if v is not None and not isinstance(v, tuple)
-        # the nested surrogate buffer is rebuilt on resume (it refills within
-        # one chunk); the delayed-acceptance segment state below must round-
-        # trip exactly — a resumed mid-segment chain would otherwise carry a
-        # likelihood that does not match its weights
+        # nested NamedTuples (surrogate ring buffer, delayed-acceptance
+        # segment state) are flattened below so resume is bit-identical to an
+        # uninterrupted run in every mode
     }
+    if getattr(state, "surr", None) is not None:
+        payload |= {
+            f"state__surr__{k}": np.asarray(v)
+            for k, v in state.surr._asdict().items()
+        }
     if getattr(state, "da", None) is not None:
         payload |= {
             f"state__da__{k}": np.asarray(v)
@@ -79,6 +83,13 @@ def load(
         for name in ChainState._fields:
             key = f"state__{name}"
             fields[name] = z[key] if key in z else None
+        surr_keys = [k for k in z.files if k.startswith("state__surr__")]
+        if surr_keys:
+            from ptnn.surrogate import SurrogateState
+
+            fields["surr"] = SurrogateState(
+                **{k[len("state__surr__") :]: z[k] for k in surr_keys}
+            )
         da_keys = [k for k in z.files if k.startswith("state__da__")]
         if da_keys:
             from ptnn.kernel import DAState

@@ -206,8 +206,10 @@ def sample(
         if loaded is not None:
             ck_state, resume_at, ck_traces = loaded
             if cfg.use_surrogate and ck_state.surr is None:
-                # nested surrogate state is not checkpointed; rebuild empty
-                # (it refills within one chunk of true evaluations)
+                # legacy checkpoint format (pre surrogate-state flattening):
+                # rebuild empty; it refills within one chunk of true evals.
+                # New checkpoints round-trip the ring buffer, so resume is
+                # bit-identical to an uninterrupted run.
                 from ptnn import surrogate as surrogate_mod
 
                 ck_state = ck_state._replace(

@@ -360,9 +360,15 @@ def test_adaptive_step_size(sunspot):
     assert rate.mean() > 3 * base_rate.mean()
 
 
-def test_surrogate_checkpoint_resume(sunspot, tmp_path):
-    """Surrogate runs must checkpoint and resume (review finding: the nested
-    surrogate state is rebuilt on resume)."""
+def test_surrogate_checkpoint_resume(sunspot, tmp_path, monkeypatch):
+    """Anchored-surrogate resume from a MID-RUN checkpoint is identical to an
+    uninterrupted run: the ring buffer (and fitted coefficients) round-trip
+    through the checkpoint, so the post-resume refits see the same data."""
+    import shutil
+
+    from ptnn import checkpoint as ck_mod
+    from ptnn import kernel as kernel_mod
+
     cfg = small_cfg(
         num_samples=8 * 300,
         use_surrogate=True,
@@ -373,8 +379,29 @@ def test_surrogate_checkpoint_resume(sunspot, tmp_path):
         chunk_steps=75,
     )
     ck = str(tmp_path / "s.npz")
-    r1 = sample(cfg, *sunspot, seed=2, checkpoint_path=ck, checkpoint_every=1)
-    # resume from the final checkpoint (no crash, same shapes)
-    r2 = sample(cfg, *sunspot, seed=2, checkpoint_path=ck, checkpoint_every=1)
-    assert r2.traces["ll"].shape == r1.traces["ll"].shape
-    assert np.isfinite(r2.traces["ll"][1:]).all()
+    mid_ck = str(tmp_path / "mid.npz")
+    full = sample(cfg, *sunspot, seed=2)
+
+    # capture a true mid-run checkpoint (first one the sampler writes)
+    real_save = ck_mod.save
+
+    def capturing_save(path, *a, **kw):
+        real_save(path, *a, **kw)
+        if not os.path.exists(mid_ck):
+            shutil.copy(path, mid_ck)
+
+    monkeypatch.setattr(ck_mod, "save", capturing_save)
+    sample(cfg, *sunspot, seed=2, checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.undo()
+
+    st, done, _tr = ck_mod.load(mid_ck, cfg, 2, kernel_mod.default_spec(cfg).name)
+    assert 0 < done < cfg.n_steps  # genuinely mid-run
+    assert st.surr is not None  # ring buffer round-tripped
+    r = sample(cfg, *sunspot, seed=2, checkpoint_path=mid_ck)
+    for k in full.traces:
+        np.testing.assert_allclose(
+            full.traces[k], r.traces[k], rtol=1e-6, atol=1e-7
+        )
+    np.testing.assert_array_equal(
+        full.final_state.n_accept, r.final_state.n_accept
+    )
