@@ -42,6 +42,7 @@ def test_bf16_forward_close_to_f32():
     np.testing.assert_allclose(np.asarray(bf), np.asarray(f32), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_bf16_sampler_matches_f32_statistically(sunspot):
     """End-to-end: the bf16-eval sampler reaches the same cold-chain fit
     quality as the f32 sampler (identical kernels, perturbed likelihoods)."""

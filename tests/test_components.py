@@ -40,6 +40,7 @@ def small_cfg(**kw):
     return PTConfig(**base).validate()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_identical(sunspot, tmp_path):
     """A run interrupted at a checkpoint and resumed must produce exactly the
     traces of an uninterrupted run."""
@@ -58,6 +59,7 @@ def test_checkpoint_resume_identical(sunspot, tmp_path):
         np.testing.assert_allclose(full.traces[k], r2.traces[k], rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_checkpoint_partial_resume(sunspot, tmp_path, monkeypatch):
     """Resume from a genuine MID-RUN checkpoint reproduces the uninterrupted
     run exactly (covers resume_at > 0 slicing, trace concatenation, and the
@@ -222,6 +224,7 @@ def test_native_savetxt_matches_numpy(tmp_path):
     np.testing.assert_allclose(np.loadtxt(p1), a)
 
 
+@pytest.mark.slow
 def test_legacy_qratio_mode(sunspot):
     """legacy_lg reproduces the committed LG baselines' always-accept
     dynamics near modes (tiny run: acceptance should exceed the correct
@@ -303,6 +306,7 @@ def test_surrogate_ring_buffer(rng):
     assert float(st.buf_ll[0]) == 4.0 and float(st.buf_ll[8]) == 3.0
 
 
+@pytest.mark.slow
 def test_surrogate_assisted_sampler_runs(sunspot):
     """End-to-end surrogate-assisted PT: runs, saves dataset passes, and the
     cold chain still reaches sane fits."""
@@ -331,6 +335,7 @@ def test_surrogate_assisted_sampler_runs(sunspot):
     assert base.traces["rmse_test"][-1, 0] < 0.2
 
 
+@pytest.mark.slow
 def test_adaptive_step_size(sunspot):
     """Per-chain step-size adaptation converges acceptance toward the target
     during burn-in and freezes afterwards."""
@@ -360,6 +365,7 @@ def test_adaptive_step_size(sunspot):
     assert rate.mean() > 3 * base_rate.mean()
 
 
+@pytest.mark.slow
 def test_surrogate_checkpoint_resume(sunspot, tmp_path, monkeypatch):
     """Anchored-surrogate resume from a MID-RUN checkpoint is identical to an
     uninterrupted run: the ring buffer (and fitted coefficients) round-trip

@@ -57,6 +57,7 @@ def _run(nproc: int, timeout: int = 600) -> dict:
     raise AssertionError(f"no RESULT line:\n{outs[0][-3000:]}")
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process():
     ref = _run(1)
     dist = _run(2)

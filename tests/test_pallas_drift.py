@@ -39,6 +39,7 @@ def test_pallas_depth_two(rng):
     np.testing.assert_allclose(np.asarray(two), np.asarray(again), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sampler_with_pallas_drift_mode(monkeypatch):
     monkeypatch.setenv("PTNN_PALLAS_INTERPRET", "1")
     prob = load_regression("Sunspot")

@@ -15,6 +15,8 @@ import pytest
 from ptnn import regression_preset, sample
 from ptnn.data import load_regression
 
+pytestmark = pytest.mark.slow  # full-budget statistical gates (quick tier skips)
+
 
 @pytest.fixture(scope="module")
 def sunspot_rw_result():

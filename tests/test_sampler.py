@@ -60,6 +60,7 @@ def test_smoke_regression_rw(sunspot):
     assert res.temperatures[0] == 1.0
 
 
+@pytest.mark.slow
 def test_chunk_invariance(sunspot):
     """Traces must not depend on the host-streaming chunk size."""
     cfg_a = small_reg_cfg(chunk_steps=499)
@@ -73,6 +74,7 @@ def test_chunk_invariance(sunspot):
     )
 
 
+@pytest.mark.slow
 def test_seed_determinism_and_variation(sunspot):
     cfg = small_reg_cfg(num_samples=1600)
     r1 = sample(cfg, *sunspot, seed=11)
@@ -82,6 +84,7 @@ def test_seed_determinism_and_variation(sunspot):
     assert not np.array_equal(r1.traces["ll"], r3.traces["ll"])
 
 
+@pytest.mark.slow
 def test_langevin_regression_runs(sunspot):
     cfg = small_reg_cfg(
         num_samples=800,
@@ -98,6 +101,7 @@ def test_langevin_regression_runs(sunspot):
     assert res.traces["rmse_test"][-1].min() < 0.25
 
 
+@pytest.mark.slow
 def test_langevin_batch_mode_runs(sunspot):
     cfg = small_reg_cfg(
         num_samples=800,
@@ -109,6 +113,7 @@ def test_langevin_batch_mode_runs(sunspot):
     assert np.isfinite(res.traces["ll"][1:]).all()
 
 
+@pytest.mark.slow
 def test_classification_smoke():
     from ptnn.data import load_classification
 
@@ -125,6 +130,7 @@ def test_classification_smoke():
     assert res.accept_ratio_per_chain.mean() > 30.0
 
 
+@pytest.mark.slow
 def test_record_w_off(sunspot):
     cfg = small_reg_cfg(num_samples=800, record_w=False)
     res = sample(cfg, *sunspot, seed=0)

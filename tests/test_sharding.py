@@ -36,6 +36,7 @@ def test_eight_devices_present():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(sunspot):
     """One chain per device must give the same traces as unsharded (the
     permutation gather crosses every device boundary here)."""
@@ -53,6 +54,7 @@ def test_sharded_matches_single_device(sunspot):
     assert r_plain.swap_percent == r_mesh.swap_percent
 
 
+@pytest.mark.slow
 def test_sharded_langevin(sunspot):
     """Langevin drift (scan inside the chain axis) under sharding."""
     c = cfg(
@@ -66,6 +68,7 @@ def test_sharded_langevin(sunspot):
     assert np.isfinite(r.traces["ll"][1:]).all()
 
 
+@pytest.mark.slow
 def test_more_chains_than_devices(sunspot):
     """64 chains on 8 devices: 8 chains per device."""
     c = cfg(num_chains=64, num_samples=64 * 100, swap_interval=25)
@@ -90,6 +93,7 @@ def test_state_is_actually_sharded(sunspot):
     assert all(shape == (1, c.w_size) for shape in shard_shapes.values())
 
 
+@pytest.mark.slow
 def test_2d_mesh_data_sharding(sunspot):
     """(chains, data) mesh: dataset rows sharded, likelihood psum-reduced —
     results must match the unsharded run."""

@@ -68,6 +68,7 @@ def _true_ll(res, train):
     return np.asarray(ev.loglik)
 
 
+@pytest.mark.slow
 def test_da_carried_likelihood_is_exact(sunspot):
     """Invariant: after the run (final segment closed), every chain's carried
     log-likelihood equals the TRUE likelihood of its current weights — the
@@ -85,6 +86,7 @@ def test_da_carried_likelihood_is_exact(sunspot):
     assert np.any(acc > 0.0), "every segment correction rejected"
 
 
+@pytest.mark.slow
 def test_da_skips_dataset_passes(sunspot):
     """Surrogate segments must actually occur: metric trace rows repeat more
     often than in the no-surrogate run (no true eval on segment steps)."""
@@ -104,6 +106,7 @@ def test_da_skips_dataset_passes(sunspot):
     assert base.traces["rmse_test"][-1, 0] < 0.2
 
 
+@pytest.mark.slow
 def test_da_posterior_matches_plain_sampler(sunspot):
     """Statistical gate: the DA sampler's post-burn-in cold-chain likelihood
     level must agree with the plain sampler's (it targets the same posterior
@@ -129,6 +132,7 @@ def test_da_posterior_matches_plain_sampler(sunspot):
     assert abs(means["da"] - means["plain"]) < 0.4 * means["plain"] + 0.02, means
 
 
+@pytest.mark.slow
 def test_da_checkpoint_resume_identical(sunspot, tmp_path):
     """Mid-segment checkpoints persist the DA state: a resumed run reproduces
     the uninterrupted run's traces exactly."""
@@ -169,6 +173,7 @@ def test_surrogate_grad_predict_matches_autodiff():
     )
 
 
+@pytest.mark.slow
 def test_da_mala_inner_moves(sunspot):
     """Surrogate-MALA inner moves: exactness invariant still holds, and the
     drifted inner proposals move further per segment than plain RW (higher
@@ -188,6 +193,7 @@ def test_da_mala_inner_moves(sunspot):
     assert np.all(acc > 1.0) and np.all(acc < 99.0), acc
 
 
+@pytest.mark.slow
 def test_da_classification_runs():
     """DA mode on the classification task (no eta, multinomial likelihood)."""
     from ptnn.data import load_classification
