@@ -1,23 +1,42 @@
-"""Headline benchmark: chain-steps/sec on the Sunspot PT config.
+"""Headline benchmark: chain-steps/sec AND ESS/sec on the Sunspot PT config.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Baseline: the reference's 10-process CPU run aggregates ~370 chain-steps/sec
 on the regression suite (BASELINE.md "Throughput": ~35-45 steps/s/chain x 10
 chains, Res_RW master_result_file.txt). Here the whole 64-chain temperature
 ladder is one fused XLA scan on a single TPU chip.
+
+ESS/sec (the BASELINE.json quality-per-second metric) is reported for three
+flagship variants in the same JSON object:
+  * rw        — the reference's headline random-walk mode
+  * lg_pallas — Langevin proposals via the Pallas drift kernel
+  * adaptive  — RW with per-chain Robbins-Monro step-size adaptation
+                (adapt_rate=0.1; freezes after burn-in, so exact)
+Method: ESS-per-draw from a trace-recording run (multi_ess over post-burn-in
+cold-chain parameter draws), multiplied by the steady-state per-chain step
+rate of the matching fused (trace-free) config — i.e. steady-state ESS/sec
+with trace streaming amortized. Each variant carries its final cold-chain
+test RMSE so speed is never detached from posterior quality (reference
+committed Sunspot RW test RMSE: 0.0239, Res_RW/master_result_file.txt:2).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 
+sys.path.insert(0, ".")
+
 
 def main() -> None:
+    import numpy as np
+
     import ptnn
     from ptnn.data import load_regression
+    from ptnn.ops import ess as ess_mod
 
     prob = load_regression("Sunspot")
 
@@ -36,25 +55,46 @@ def main() -> None:
         record_w=False,
     ).validate()
 
-    stats = ptnn.throughput_run(cfg, prob.train, prob.test, seed=0)
-    value = stats["chain_steps_per_sec"]
+    variants = {
+        "rw": cfg,
+        "lg_pallas": dataclasses.replace(
+            cfg, use_langevin_gradients=True, drift_mode="pallas"
+        ).validate(),
+        "adaptive": dataclasses.replace(
+            cfg, adapt_step_size=True, adapt_rate=0.1
+        ).validate(),
+    }
 
-    # ESS/sec of the cold chain (BASELINE.json metric): quick streamed run
-    # with weight traces, ESS over post-burn-in parameter draws.
-    import dataclasses
+    headline = None
+    ess_per_sec = {}
+    quality = {}
+    notes = []
+    for tag, vcfg in variants.items():
+        stats = ptnn.throughput_run(vcfg, prob.train, prob.test, seed=0)
+        if tag == "rw":
+            headline = stats
+        # ESS-per-draw: shorter trace-recording run on the same config
+        ess_cfg = dataclasses.replace(
+            vcfg, num_samples=vcfg.num_chains * 4000, record_w=True,
+            chunk_steps=500,
+        ).validate()
+        res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
+        b = ess_cfg.samples_per_chain // 2
+        cold = np.asarray(res.traces["w"][b:, 0, :])
+        ess_val = ess_mod.multi_ess(cold, max_params=16)
+        steps_per_sec_per_chain = stats["chain_steps_per_sec"] / chains
+        ess_per_sec[tag] = round(
+            (ess_val / cold.shape[0]) * steps_per_sec_per_chain, 1
+        )
+        quality[tag] = round(float(res.traces["rmse_test"][-1, 0]), 4)
+        notes.append(
+            f"{tag}: {stats['chain_steps_per_sec']:,.0f} steps/s, ESS "
+            f"{ess_val:.0f}/{cold.shape[0]} draws -> {ess_per_sec[tag]} "
+            f"ESS/s, RMSE {quality[tag]}, accept {stats['accept_pct']:.1f}%, "
+            f"swap {stats['swap_pct']:.1f}%"
+        )
 
-    import numpy as np
-
-    from ptnn.ops import ess as ess_mod
-
-    ess_cfg = dataclasses.replace(cfg, num_samples=cfg.num_chains * 2000, record_w=True)
-    res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
-    b = ess_cfg.samples_per_chain // 2
-    cold = res.traces["w"][b:, 0, :]
-    ess_val = ess_mod.multi_ess(cold, max_params=16)
-    # steady-state ESS/sec: draws per second at the fused throughput rate
-    steps_per_sec_per_chain = value / chains
-    ess_per_sec = ess_val / (cold.shape[0] / steps_per_sec_per_chain)
+    value = headline["chain_steps_per_sec"]
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
     print(
         json.dumps(
@@ -63,17 +103,14 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "chain-steps/s",
                 "vs_baseline": round(value / baseline, 2),
+                "ess_per_sec": ess_per_sec,
+                "rmse_test_cold": quality,
+                "ref_rmse_test": 0.0239,
             }
         )
     )
-    print(
-        f"# elapsed {stats['elapsed_s']:.2f}s for {int(stats['steps'])} steps x "
-        f"{chains} chains; accept {stats['accept_pct']:.1f}%, swap "
-        f"{stats['swap_pct']:.1f}%, cold-chain final test RMSE "
-        f"{stats['final_rmse_test_cold']:.4f}; cold-chain ESS "
-        f"{ess_val:.0f} over {cold.shape[0]} draws -> {ess_per_sec:,.0f} ESS/s",
-        file=sys.stderr,
-    )
+    for n in notes:
+        print("# " + n, file=sys.stderr)
 
 
 if __name__ == "__main__":
