@@ -1,0 +1,198 @@
+"""Faithful single-process NumPy emulation of the reference PT sampler.
+
+The reference runs one OS process per chain plus a master doing queue/event
+rendezvous (pt_timeseries_regression.py:138-485, :659-771). For parity
+forensics we need its *literal semantics* runnable deterministically without
+multiprocessing: this module steps all chains in lockstep and performs the
+master's sequential bubbling swap sweep in-line at the reference's cadence.
+
+Semantics reproduced exactly (regression entry point):
+  * per-step: Bernoulli(l_prob) Langevin proposal with 2 per-sample-SGD
+    drift epochs and the simplified q-ratio divided by adapttemp
+    (pt_timeseries_regression.py:326-346), else RW N(w, step_w);
+  * eta RW proposal every step, tau = exp(eta) (:355-356);
+  * Gaussian likelihood / adapttemp (:200-205); tau^2 prior terms (:215-221);
+  * two-phase tempering: adapttemp = T until int(0.6*samples), then 1 with a
+    one-time likelihood recompute (:317-324);
+  * swap rendezvous when i % swap_interval == 0 and i != 0 (:427): payload
+    likelihood*T (:430), master sweep over adjacent pairs with
+    min(1, 0.5*exp(min(709, lh2-lh1))) (:683 classification, :659-698
+    regression), re-enqueued so accepted configs bubble; chains resume with
+    swapped (w, eta) but their PRE-swap likelihood (stale; :445-448);
+  * traces: rmse recorded on accept, carried on reject (:410-423);
+  * aggregation: per-chain post-burn-in pooling of rmse_test (show_results).
+
+The only deviation: ``evaluate_proposal``'s per-sample Python forward loop is
+replaced by an equivalent batched matmul (row-independent, identical math);
+the DRIFT keeps the reference's per-sample sequential update order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def split_w(w, topo):
+    i, h, o = topo
+    w1 = w[: i * h].reshape(i, h)
+    w2 = w[i * h : i * h + h * o].reshape(h, o)
+    b1 = w[i * h + h * o : i * h + h * o + h]
+    b2 = w[i * h + h * o + h :]
+    return w1, w2, b1, b2
+
+
+def forward(w, X, topo):
+    w1, w2, b1, b2 = split_w(w, topo)
+    hid = sigmoid(X @ w1 - b1)
+    return sigmoid(hid @ w2 - b2)
+
+
+def sgd_epoch(w, X, T, topo, lr):
+    """One epoch of the reference's per-sample SGD (langevin_gradient with
+    depth=1): sequential dataset order, deltas from the delta rule with
+    subtracted biases (pt_timeseries_regression.py:57-78, :99-118)."""
+    w1, w2, b1, b2 = (a.copy() for a in split_w(w, topo))
+    for xi, ti in zip(X, T):
+        hid = sigmoid(xi @ w1 - b1)
+        out = sigmoid(hid @ w2 - b2)
+        out_delta = (ti - out) * out * (1 - out)
+        hid_delta = (w2 @ out_delta) * hid * (1 - hid)
+        w2 += lr * np.outer(hid, out_delta)
+        b2 += -lr * out_delta
+        w1 += lr * np.outer(xi, hid_delta)
+        b1 += -lr * hid_delta
+    return np.concatenate([w1.ravel(), w2.ravel(), b1, b2])
+
+
+def reg_likelihood(w, X, y, tau_sq, topo, adapttemp):
+    fx = forward(w, X, topo)[:, 0]
+    rmse = float(np.sqrt(np.mean((fx - y) ** 2)))
+    loss = np.sum(-0.5 * np.log(2 * math.pi * tau_sq) - 0.5 * (y - fx) ** 2 / tau_sq)
+    return loss / adapttemp, rmse
+
+
+def reg_prior(w, tausq, topo, sigma_squared=25.0, nu_1=0.0, nu_2=0.0):
+    i, h, _ = topo
+    part1 = -1 * ((i * h + h + 2) / 2) * np.log(sigma_squared)
+    part2 = 1 / (2 * sigma_squared) * np.sum(np.square(w))
+    return part1 - part2 - (1 + nu_1) * np.log(tausq) - (nu_2 / tausq)
+
+
+def assign_temperatures_ref(num_chains, maxtemp):
+    """Geometric ladder as the reference's assign_temperatures builds it
+    (betas from logspace, inverted; pt_classification.py:616,624-645)."""
+    betas = np.logspace(0, -np.log10(maxtemp), num_chains)
+    return 1.0 / betas
+
+
+def run_reference_pt_regression(
+    train,
+    test,
+    topo=(4, 5, 1),
+    num_chains=10,
+    samples_per_chain=10_000,
+    maxtemp=5.0,
+    swap_interval=100,
+    l_prob=0.5,
+    lr=0.1,
+    use_langevin=True,
+    seed=0,
+    burn_in=0.5,
+):
+    """Returns dict with pooled post-burn-in rmse stats and accept/swap %."""
+    rng = np.random.RandomState(seed)
+    topo = tuple(topo)
+    i_dim, h, o = topo
+    w_size = i_dim * h + h * o + h + o
+    step_w, step_eta = 0.025, 0.2
+    X_tr, y_tr = train[:, :i_dim], train[:, i_dim]
+    X_te, y_te = test[:, :i_dim], test[:, i_dim]
+    T_tr = train[:, i_dim:]
+    temps = assign_temperatures_ref(num_chains, maxtemp)
+    pt_samples = int(samples_per_chain * 0.6)
+
+    C = num_chains
+    w = rng.randn(C, w_size)
+    eta = np.empty(C)
+    ll = np.empty(C)  # tempered, as carried by each chain
+    prior = np.empty(C)
+    adapt = temps.copy()
+    for c in range(C):
+        fx = forward(w[c], X_tr, topo)[:, 0]
+        eta[c] = np.log(np.var(fx - y_tr))
+        tau = math.exp(eta[c])
+        ll[c], _ = reg_likelihood(w[c], X_tr, y_tr, tau, topo, adapt[c])
+        prior[c] = reg_prior(w[c], tau, topo)
+
+    rmse_test = np.zeros((samples_per_chain, C))
+    n_acc = np.zeros(C, dtype=int)
+    n_swap = 0
+    n_swap_prop = 0
+
+    for i in range(samples_per_chain - 1):
+        if i == pt_samples:
+            adapt[:] = 1.0
+            for c in range(C):
+                tau = math.exp(eta[c])
+                ll[c], _ = reg_likelihood(w[c], X_tr, y_tr, tau, topo, adapt[c])
+        for c in range(C):
+            lx = rng.uniform()
+            if use_langevin and lx < l_prob:
+                w_gd = sgd_epoch(w[c], X_tr, T_tr, topo, lr)
+                w_prop = rng.normal(w_gd, step_w, w_size)
+                w_prop_gd = sgd_epoch(w_prop, X_tr, T_tr, topo, lr)
+                sq = step_w * step_w
+                first = -0.5 * np.sum((w[c] - w_prop_gd) ** 2) / sq
+                second = -0.5 * np.sum((w_prop - w_gd) ** 2) / sq
+                diff_prop = (first - second) / adapt[c]
+            else:
+                diff_prop = 0.0
+                w_prop = rng.normal(w[c], step_w, w_size)
+            eta_prop = eta[c] + rng.normal(0, step_eta)
+            tau_prop = math.exp(eta_prop)
+            ll_prop, _ = reg_likelihood(w_prop, X_tr, y_tr, tau_prop, topo, adapt[c])
+            _, rte = reg_likelihood(w_prop, X_te, y_te, tau_prop, topo, adapt[c])
+            prior_prop = reg_prior(w_prop, tau_prop, topo)
+            try:
+                mh = min(1.0, math.exp((ll_prop - ll[c]) + (prior_prop - prior[c]) + diff_prop))
+            except OverflowError:
+                mh = 1.0
+            if rng.uniform() < mh:
+                n_acc[c] += 1
+                ll[c], prior[c], eta[c] = ll_prop, prior_prop, eta_prop
+                w[c] = w_prop
+                rmse_test[i + 1, c] = rte
+            else:
+                rmse_test[i + 1, c] = rmse_test[i, c]
+        # master swap sweep (stale likelihood on resume)
+        if i % swap_interval == 0 and i != 0:
+            payload = ll * temps  # chains enqueue likelihood*T (:430)
+            for k in range(C - 1):
+                n_swap_prop += 1
+                lh1, lh2 = payload[k], payload[k + 1]
+                try:
+                    a = min(1.0, 0.5 * math.exp(min(709.0, lh2 - lh1)))
+                except OverflowError:
+                    a = 1.0
+                if rng.uniform() < a:
+                    n_swap += 1
+                    w[[k, k + 1]] = w[[k + 1, k]]
+                    eta[[k, k + 1]] = eta[[k + 1, k]]
+                    payload[[k, k + 1]] = payload[[k + 1, k]]
+                    # ll/prior deliberately NOT swapped (stale, :445-448)
+
+    b = int(samples_per_chain * burn_in)
+    pooled = rmse_test[b:, :].ravel()
+    return {
+        "rmse_test_mean": float(pooled.mean()),
+        "rmse_test_std": float(pooled.std()),
+        "rmse_test_best": float(pooled[pooled > 0].min()) if (pooled > 0).any() else float("nan"),
+        "accept_pct": float(100.0 * n_acc.sum() / (C * samples_per_chain)),
+        "swap_pct": float(100.0 * n_swap / max(n_swap_prop, 1)),
+    }
