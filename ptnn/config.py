@@ -44,6 +44,20 @@ class PTConfig:
     # "unclamped" (older variants), "metropolis" (detailed-balance rule with
     # untempered payloads — pairs with swap_payload="untempered").
     swap_rule: str = "half_exp"
+    # Sweep structure over the ladder's adjacent pairs:
+    # "bubbling" — the reference master's sequential sweep (0,1),(1,2),…
+    #              where pair k+1 sees pair k's output, so a configuration
+    #              can travel several rungs per sweep (pt_classification.py
+    #              :747-755; SURVEY §3.4). Parity default.
+    # "even_odd" — DEO-style disjoint pairs, alternating (0,1),(2,3),… and
+    #              (1,2),(3,4),… on successive swap events (Okabe et al.
+    #              2001; Syed et al. 2021 non-reversible PT). NOT reference
+    #              behavior. Every row moves at most one rung per sweep, so
+    #              on a sharded chain axis the permutation is a neighbor
+    #              ppermute instead of an all-gather (swap_collective_bench
+    #              .md), and round-trip behavior is the modern recommended
+    #              scheme. Pairs naturally with swap_rule="metropolis".
+    swap_style: str = "bubbling"
     # After a swap, the CURRENT reference entry points keep the chain's
     # pre-swap likelihood (stale — pt_classification.py:448 comments out the
     # restore), which freezes chains that swapped a good likelihood against a
@@ -178,6 +192,8 @@ class PTConfig:
             raise ValueError(f"unknown swap_rule {self.swap_rule!r}")
         if self.swap_rule == "metropolis" and self.swap_payload != "untempered":
             raise ValueError("metropolis swap rule requires untempered payloads")
+        if self.swap_style not in ("bubbling", "even_odd"):
+            raise ValueError(f"unknown swap_style {self.swap_style!r}")
         if self.drift_mode not in ("sequential", "batch", "pallas"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
         if self.qratio not in ("reference", "ldpt_legacy"):

@@ -394,9 +394,18 @@ def make_step_fn(
             payload = (state.ll / adapttemp) * temps
         else:  # untempered
             payload = state.ll
-        res = swap_mod.sweep_permutation(
-            payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp
-        )
+        if cfg.swap_style == "even_odd":
+            res = swap_mod.disjoint_pair_permutation(
+                payload,
+                ks,
+                rule=cfg.swap_rule,
+                betas=1.0 / adapttemp,
+                parity=(i // cfg.swap_interval) % 2,
+            )
+        else:
+            res = swap_mod.sweep_permutation(
+                payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp
+            )
         w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
         if cfg.stale_likelihood_after_swap:
             ll, prior = state.ll, state.prior

@@ -112,6 +112,65 @@ def sweep_permutation(
     )
 
 
+def _pair_accept_prob(lh1, lh2, rule, beta1, beta2):
+    if rule == "half_exp":
+        return jnp.minimum(1.0, 0.5 * jnp.exp(jnp.minimum(_EXP_CLAMP, lh2 - lh1)))
+    if rule == "unclamped":
+        return jnp.minimum(1.0, 0.5 * jnp.exp(lh2 - lh1))
+    if rule == "metropolis":
+        return jnp.minimum(
+            1.0, jnp.exp(jnp.minimum(_EXP_CLAMP, (beta1 - beta2) * (lh2 - lh1)))
+        )
+    raise ValueError(f"unknown swap rule {rule!r}")
+
+
+def disjoint_pair_permutation(
+    payload_ll: jax.Array,
+    key: jax.Array,
+    rule: str = "metropolis",
+    betas: jax.Array | None = None,
+    parity: jax.Array | int = 0,
+) -> SwapResult:
+    """One even/odd (DEO-style) sweep: disjoint adjacent pairs only.
+
+    Pairs (k, k+1) with ``k % 2 == parity`` are proposed simultaneously —
+    alternate ``parity`` 0/1 on successive swap events for the deterministic
+    even-odd scheme (Okabe et al. 2001; the non-reversible-PT round-trip
+    argument is Syed et al. 2021). NOT reference behavior (the reference's
+    master sweeps sequentially with re-enqueueing — ``sweep_permutation``);
+    opt in via ``PTConfig(swap_style="even_odd")``. Because every row moves
+    at most one rung, the resulting permutation is neighbor-exchange only —
+    the cheap collective case measured in swap_collective_bench.md.
+
+    Fully vectorized: no ``lax.scan``, one uniform draw per adjacent pair.
+    """
+    c = payload_ll.shape[0]
+    if rule == "metropolis" and betas is None:
+        raise ValueError("metropolis swap rule requires betas")
+    if betas is None:
+        betas = jnp.ones((c,), payload_ll.dtype)
+    us = jax.random.uniform(key, (c - 1,), dtype=payload_ll.dtype)
+    a = _pair_accept_prob(
+        payload_ll[:-1], payload_ll[1:], rule, betas[:-1], betas[1:]
+    )
+    active = (jnp.arange(c - 1) % 2) == (jnp.asarray(parity) % 2)
+    swap = (us < a) & active
+    # perm[k] = k+1 where pair k swapped, k-1 where pair k-1 swapped, else k.
+    # Disjoint pairs guarantee the two shifts never collide.
+    up = jnp.concatenate([swap, jnp.zeros((1,), bool)])
+    down = jnp.concatenate([jnp.zeros((1,), bool), swap])
+    perm = (
+        jnp.arange(c, dtype=jnp.int32)
+        + up.astype(jnp.int32)
+        - down.astype(jnp.int32)
+    )
+    return SwapResult(
+        perm=perm,
+        n_accepted=jnp.sum(swap.astype(jnp.int32)),
+        n_proposed=jnp.sum(active.astype(jnp.int32)),
+    )
+
+
 def apply_permutation(perm: jax.Array, *arrays: jax.Array) -> Tuple[jax.Array, ...]:
     """Gather chain-axis arrays through the sweep permutation.
 

@@ -411,3 +411,55 @@ def test_surrogate_checkpoint_resume(sunspot, tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         full.final_state.n_accept, r.final_state.n_accept
     )
+
+
+def test_even_odd_swap_sampler(sunspot):
+    """swap_style="even_odd" (DEO, opt-in — NOT reference behavior) runs
+    end-to-end with the detailed-balance rule and counts disjoint pairs:
+    alternating sweeps over 8 chains propose 4 and 3 pairs."""
+    train, test = sunspot
+    cfg = PTConfig(
+        task="regression",
+        topology=(4, 5, 1),
+        num_samples=8 * 400,
+        num_chains=8,
+        maxtemp=5.0,
+        swap_interval=100,
+        swap_offset=0,
+        swap_payload="untempered",
+        swap_rule="metropolis",
+        swap_style="even_odd",
+        use_langevin_gradients=False,
+        record_w=False,
+    ).validate()
+    res = sample(cfg, train, test, seed=0)
+    st = res.final_state
+    # sweeps fire at i=100,200,300 -> parities 1,0,1 -> 3+4+3 pairs
+    assert int(st.n_swap_proposed) == 10
+    assert 0 <= int(st.n_swap_accepted) <= 10
+    assert np.isfinite(np.asarray(res.traces["rmse_test"])).all()
+
+
+def test_oracle_pt_batched_matches_scalar():
+    """oracle_pt's chain-batched drift/forward must agree with the scalar
+    reference-faithful versions (same math, vectorized chain loop)."""
+    import oracle_pt
+
+    rng = np.random.RandomState(0)
+    topo = (4, 5, 1)
+    X = rng.rand(17, 4)
+    T = rng.rand(17, 1)
+    wb = rng.randn(3, 31)
+    scalar = np.stack(
+        [oracle_pt.sgd_epoch(wb[i], X, T, topo, 0.1) for i in range(3)]
+    )
+    batched = oracle_pt.sgd_epoch_chains(wb, X, T, topo, 0.1)
+    np.testing.assert_allclose(batched, scalar, rtol=0, atol=1e-13)
+    y = rng.rand(17)
+    ll_s = np.array(
+        [oracle_pt.reg_likelihood(wb[i], X, y, 0.7, topo, 2.0)[0] for i in range(3)]
+    )
+    ll_b, rmse_b = oracle_pt.reg_likelihood_chains(
+        wb, X, y, np.full(3, 0.7), np.full(3, 2.0), topo
+    )
+    np.testing.assert_allclose(ll_b, ll_s, rtol=1e-12)

@@ -60,3 +60,61 @@ def test_apply_permutation_bubbles_payloads():
     w2, eta2 = swap.apply_permutation(perm, w, eta)
     np.testing.assert_array_equal(np.asarray(eta2), [2.0, 0.0, 3.0, 1.0])
     np.testing.assert_array_equal(np.asarray(w2)[0], np.asarray(w)[2])
+
+
+def test_disjoint_pair_even_odd_structure():
+    """Even/odd sweeps touch only pairs of the requested parity, move every
+    row at most one rung, and alternate coverage across parities."""
+    rng = np.random.default_rng(7)
+    c = 10
+    ll = jnp.asarray(rng.normal(0, 5, c), jnp.float32)
+    betas = jnp.asarray(np.linspace(1.0, 0.2, c), jnp.float32)
+    for parity, n_pairs in ((0, 5), (1, 4)):
+        res = swap.disjoint_pair_permutation(
+            ll, jax.random.PRNGKey(3), rule="metropolis", betas=betas,
+            parity=parity,
+        )
+        perm = np.asarray(res.perm)
+        assert int(res.n_proposed) == n_pairs
+        # a valid permutation, distance <= 1
+        assert sorted(perm.tolist()) == list(range(c))
+        assert np.all(np.abs(perm - np.arange(c)) <= 1)
+        # only pairs of this parity may have moved
+        moved = np.where(perm != np.arange(c))[0]
+        for k in moved[::2]:
+            assert k % 2 == parity
+
+
+def test_disjoint_pair_always_accepts_uphill_metropolis():
+    """beta1 > beta2 and lh2 >> lh1 -> certain swap under metropolis."""
+    ll = jnp.asarray([-100.0, 100.0])
+    betas = jnp.asarray([1.0, 0.5])
+    res = swap.disjoint_pair_permutation(
+        ll, jax.random.PRNGKey(0), rule="metropolis", betas=betas, parity=0
+    )
+    np.testing.assert_array_equal(np.asarray(res.perm), [1, 0])
+    assert int(res.n_accepted) == 1
+
+
+def test_disjoint_pair_matches_independent_oracle():
+    """Each active pair's decision must equal the scalar rule applied to the
+    SAME uniforms (vectorization must not change any decision)."""
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        c = int(rng.integers(3, 12))
+        ll = rng.normal(0, 3, c).astype(np.float32)
+        key = jax.random.PRNGKey(trial)
+        us = np.asarray(jax.random.uniform(key, (c - 1,), jnp.float32))
+        parity = trial % 2
+        res = swap.disjoint_pair_permutation(
+            jnp.asarray(ll), key, rule="half_exp", parity=parity
+        )
+        perm = np.arange(c)
+        n_acc = 0
+        for k in range(parity, c - 1, 2):
+            a = min(1.0, 0.5 * np.exp(min(709.0, ll[k + 1] - ll[k])))
+            if us[k] < a:
+                perm[[k, k + 1]] = perm[[k + 1, k]]
+                n_acc += 1
+        np.testing.assert_array_equal(np.asarray(res.perm), perm)
+        assert int(res.n_accepted) == n_acc
