@@ -79,6 +79,12 @@ class PTConfig:
     # "pallas" (Pallas TPU kernel, bit-compatible with sequential)
     drift_mode: str = "sequential"
     drift_unroll: int = 8
+    # Chain-microbatched drift: >1 splits the (C, w_size) drift into this
+    # many sequential chunks (lax.map) to bound activation memory — the
+    # grad-based CNN drift at 1024 chains keeps ~2.6 GB of conv activations
+    # alive per direction under plain vmap, which crashed the 16 GB chip.
+    # 1 = full vmap (default). Must divide num_chains.
+    drift_chain_microbatch: int = 1
     # Langevin MH q-ratio:
     # "reference"   — the current entry points' simplified difference form
     #                 (pt_classification.py:340-351), a correct MALA ratio;
@@ -196,6 +202,13 @@ class PTConfig:
             raise ValueError(f"unknown swap_style {self.swap_style!r}")
         if self.drift_mode not in ("sequential", "batch", "pallas"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
+        if self.drift_chain_microbatch < 1 or (
+            self.num_chains % self.drift_chain_microbatch
+        ):
+            raise ValueError(
+                f"drift_chain_microbatch={self.drift_chain_microbatch} must "
+                f"be >=1 and divide num_chains={self.num_chains}"
+            )
         if self.qratio not in ("reference", "ldpt_legacy"):
             raise ValueError(f"unknown qratio {self.qratio!r}")
         if self.surrogate_mode not in ("anchored", "delayed_acceptance"):

@@ -69,6 +69,11 @@ def main(argv=None) -> None:
     p.add_argument("--step-w", type=float, default=0.01)
     p.add_argument("--swap-interval", type=int, default=100)
     p.add_argument("--mnist-dir", default=None)
+    p.add_argument(
+        "--drift-microbatch", type=int, default=0,
+        help="split the grad drift into N sequential chain chunks to bound "
+        "activation memory (0 = auto: 4 at >=1024 chains, else 1)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results/cnn")
     p.add_argument("--mesh", action="store_true")
@@ -99,6 +104,11 @@ def main(argv=None) -> None:
         ),
         swap_interval=args.swap_interval,
         step_w=args.step_w,
+        drift_chain_microbatch=(
+            args.drift_microbatch
+            if args.drift_microbatch
+            else (4 if args.chains >= 1024 else 1)
+        ),
         adapt_step_size=args.adapt,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
         chunk_steps=500,

@@ -137,7 +137,10 @@ class Dataset(NamedTuple):
 
 def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
     """Chain-batched eval + prior closures for a model spec."""
-    _fwd_raw = jax.vmap(spec.forward, in_axes=(0, None))  # (C,W),(N,I)->(C,N,O)
+    if spec.batched_forward is not None:
+        _fwd_raw = spec.batched_forward  # (C, W), (N, I) -> (C, N, O)
+    else:
+        _fwd_raw = jax.vmap(spec.forward, in_axes=(0, None))
     if cfg.eval_dtype == "bfloat16":
         # bf16 forward pass (half the HBM traffic); outputs return to f32 so
         # every likelihood reduction and the MH decision stay full precision
@@ -333,6 +336,26 @@ def make_step_fn(
             b_drift = jax.vmap(
                 lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
             )
+        if cfg.drift_chain_microbatch > 1:
+            # Sequential chain chunks bound drift activation memory (the
+            # grad-based CNN drift keeps GBs of conv activations alive per
+            # vmapped chain; config.drift_chain_microbatch).
+            mb = cfg.drift_chain_microbatch
+            _inner_drift = b_drift
+
+            def b_drift(w):
+                chunks = w.reshape(mb, c // mb, w_dim)
+                return jax.lax.map(_inner_drift, chunks).reshape(c, w_dim)
+
+            if adapt_tied_drift:
+                _inner_per = b_drift_per
+
+                def b_drift_per(w, lr):
+                    out = jax.lax.map(
+                        lambda args: _inner_per(*args),
+                        (w.reshape(mb, c // mb, w_dim), lr.reshape(mb, c // mb)),
+                    )
+                    return out.reshape(c, w_dim)
 
     def propose(state: ChainState, i, kp, kl):
         """Weight proposal + q-ratio correction + langevin counter."""

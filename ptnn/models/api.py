@@ -40,6 +40,11 @@ class ModelSpec:
     # optional chain-batched drift: (C, w_size, lrate) -> (C, w_size); takes
     # precedence over vmap(drift) — used by the Pallas kernel
     batched_drift: Optional[Callable] = None
+    # optional chain-batched forward: (C, w_size) x (N, I) -> (C, N, O);
+    # takes precedence over vmap(forward) in the eval path — used by specs
+    # with a Pallas-fused eval stage (e.g. cnn.digits_spec(fused_eval=True)).
+    # Drift is unaffected (gradients flow through `forward`).
+    batched_forward: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.name, self.w_size))

@@ -70,34 +70,62 @@ def unpack(w: jax.Array, cfg: CnnConfig):
     return out
 
 
-def forward(w: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Array:
-    """``x``: (N, H*W) flat pixels -> (N, n_classes) logits."""
-    params = unpack(w, cfg)
-    n = x.shape[0]
-    h = x.reshape(n, cfg.image_hw, cfg.image_hw, 1)
-    pi = 0
-    for _ in cfg.channels:
-        cw, cb = params[pi], params[pi + 1]
+def _conv_stage(h: jax.Array, cw: jax.Array, cb: jax.Array) -> jax.Array:
+    """conv(SAME) + bias + relu + 2x2 avg-pool (one stage of the stack)."""
+    h = jax.lax.conv_general_dilated(
+        h,
+        cw,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.relu(h + cb)
+    return jax.lax.reduce_window(
+        h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    ) / 4.0
+
+
+def _tail(params, h: jax.Array, cfg: CnnConfig, stage: int) -> jax.Array:
+    """Stages ``stage``.. plus the dense head; ``h``: (N, hw', hw', C_in)."""
+    n = h.shape[0]
+    pi = 2 * stage
+    for _ in cfg.channels[stage:]:
+        h = _conv_stage(h, params[pi], params[pi + 1])
         pi += 2
-        h = jax.lax.conv_general_dilated(
-            h,
-            cw,
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
-        h = jax.nn.relu(h + cb)
-        h = jax.lax.reduce_window(
-            h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
-        ) / 4.0
     h = h.reshape(n, -1)
     dw, db, ow, ob = params[pi], params[pi + 1], params[pi + 2], params[pi + 3]
     h = jax.nn.relu(jnp.matmul(h, dw, precision=jax.lax.Precision.HIGHEST) + db)
     return jnp.matmul(h, ow, precision=jax.lax.Precision.HIGHEST) + ob
 
 
-def spec(cfg: CnnConfig) -> api.ModelSpec:
+def forward(w: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Array:
+    """``x``: (N, H*W) flat pixels -> (N, n_classes) logits."""
+    params = unpack(w, cfg)
+    n = x.shape[0]
+    h = x.reshape(n, cfg.image_hw, cfg.image_hw, 1)
+    return _tail(params, h, cfg, stage=0)
+
+
+def batched_forward_fused(ws: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Array:
+    """(C, w_size) x (N, hw*hw) -> (C, N, n_classes) with the Pallas stage-1.
+
+    Stage 1's input is chain-independent, so the fused kernel
+    (ops/pallas_conv.py) computes conv1+bias+relu+pool for all chains with
+    chains on lanes and never materializes the 2.6 GB pre-pool tensor; the
+    chain-dependent stages stay on the XLA conv path (cnn_conv_decision.md).
+    """
+    from ptnn.ops import pallas_conv
+
+    params = jax.vmap(lambda w: unpack(w, cfg))(ws)
+    h = pallas_conv.conv1_relu_pool(
+        x, params[0], params[1], hw=cfg.image_hw, in_ch=1,
+        out_ch=cfg.channels[0],
+    )  # (C, N, hw/2, hw/2, c1)
+    return jax.vmap(lambda p, hi: _tail(p, hi, cfg, stage=1))(params, h)
+
+
+def spec(cfg: CnnConfig, fused_eval: bool = False) -> api.ModelSpec:
     ws = w_size(cfg)
 
     def fwd(w, x):
@@ -111,20 +139,30 @@ def spec(cfg: CnnConfig) -> api.ModelSpec:
         logp = jax.nn.log_softmax(forward(w, x, cfg), axis=-1)
         return -jnp.sum(t * logp)
 
+    bf = None
+    if fused_eval:
+        def bf(ws_batch, x):
+            return batched_forward_fused(ws_batch, x, cfg)
+
     return api.ModelSpec(
-        name=f"cnn{cfg.image_hw}x{cfg.image_hw}c{cfg.channels}",
+        name=f"cnn{cfg.image_hw}x{cfg.image_hw}c{cfg.channels}"
+        + ("-fused" if fused_eval else ""),
         w_size=ws,
         forward=fwd,
         log_probs=log_probs,
         drift=api.grad_drift(xent),
         prior_dim_classification=ws,
         prior_dim_regression=ws,
+        batched_forward=bf,
     )
 
 
-def digits_spec(channels=(8, 16), hidden=32) -> api.ModelSpec:
+def digits_spec(channels=(8, 16), hidden=32, fused_eval=False) -> api.ModelSpec:
     """CNN for the bundled sklearn 8x8 digits set."""
-    return spec(CnnConfig(image_hw=8, n_classes=10, channels=channels, hidden=hidden))
+    return spec(
+        CnnConfig(image_hw=8, n_classes=10, channels=channels, hidden=hidden),
+        fused_eval=fused_eval,
+    )
 
 
 def mnist_spec(channels=(8, 16), hidden=64) -> api.ModelSpec:

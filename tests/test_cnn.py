@@ -137,3 +137,34 @@ def test_deep_mlp_regression():
     )
     res = ptnn.sample(cfg, p.train, p.test, seed=0, model_spec=spec)
     assert np.isfinite(res.traces["rmse_test"][1:]).all()
+
+
+def test_drift_chain_microbatch_equivalent():
+    """drift_chain_microbatch must not change the sampler's numerics, only
+    its memory profile: traces identical to the full-vmap drift."""
+    import dataclasses
+
+    import numpy as np
+
+    import ptnn
+    from ptnn.data import load_digits
+    from ptnn.models import cnn as cnn_mod
+
+    prob = load_digits(0)
+    spec = cnn_mod.digits_spec()
+    base = dataclasses.replace(
+        ptnn.classification_preset(
+            prob.topology, num_samples=8 * 60, num_chains=8,
+            use_langevin_gradients=True, learn_rate=0.00005,
+        ),
+        swap_interval=30, step_w=0.01, record_w=False, chunk_steps=30,
+    ).validate()
+    r1 = ptnn.sample(base, prob.train[:200], prob.test[:100], seed=0,
+                     model_spec=spec)
+    mb = dataclasses.replace(base, drift_chain_microbatch=4).validate()
+    r2 = ptnn.sample(mb, prob.train[:200], prob.test[:100], seed=0,
+                     model_spec=spec)
+    np.testing.assert_allclose(
+        np.asarray(r1.traces["acc_test"]), np.asarray(r2.traces["acc_test"]),
+        rtol=1e-5, atol=1e-5,
+    )
