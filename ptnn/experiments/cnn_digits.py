@@ -70,6 +70,12 @@ def main(argv=None) -> None:
     p.add_argument("--swap-interval", type=int, default=100)
     p.add_argument("--mnist-dir", default=None)
     p.add_argument(
+        "--chunk-steps", type=int, default=500,
+        help="steps per device chunk; the tunneled single-chip worker "
+        "crashes on trace fetches overlapped with compute, so set equal to "
+        "--steps there (one fetch at the end)",
+    )
+    p.add_argument(
         "--drift-microbatch", type=int, default=0,
         help="split the grad drift into N sequential chain chunks to bound "
         "activation memory (0 = auto: 4 at >=1024 chains, else 1)",
@@ -111,7 +117,7 @@ def main(argv=None) -> None:
         ),
         adapt_step_size=args.adapt,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
-        chunk_steps=500,
+        chunk_steps=min(args.chunk_steps, args.steps),
     )
     mesh = None
     if args.mesh:

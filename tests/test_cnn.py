@@ -168,3 +168,45 @@ def test_drift_chain_microbatch_equivalent():
         np.asarray(r1.traces["acc_test"]), np.asarray(r2.traces["acc_test"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_mnist_idx_loader_synthetic(tmp_path):
+    """The MNIST loader parses IDX files correctly (synthetic fixtures —
+    real MNIST is blocked by the no-egress environment, VERDICT r1 #4)."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from ptnn.experiments.cnn_digits import load_mnist
+
+    rng = np.random.RandomState(0)
+    imgs_tr = rng.randint(0, 256, (12, 28, 28), dtype=np.uint8)
+    lab_tr = rng.randint(0, 10, (12,), dtype=np.uint8)
+    imgs_te = rng.randint(0, 256, (5, 28, 28), dtype=np.uint8)
+    lab_te = rng.randint(0, 10, (5,), dtype=np.uint8)
+
+    def write_idx(path, arr, gz=False):
+        dims = arr.shape
+        hdr = struct.pack(">HBB", 0, 0x08, len(dims)) + struct.pack(
+            f">{len(dims)}I", *dims
+        )
+        op = gzip.open if gz else open
+        with op(path, "wb") as f:
+            f.write(hdr + arr.tobytes())
+
+    # train files raw, test files gzipped — both naming paths exercised
+    write_idx(tmp_path / "train-images-idx3-ubyte", imgs_tr)
+    write_idx(tmp_path / "train-labels-idx1-ubyte", lab_tr)
+    write_idx(tmp_path / "t10k-images-idx3-ubyte.gz", imgs_te, gz=True)
+    write_idx(tmp_path / "t10k-labels-idx1-ubyte.gz", lab_te, gz=True)
+
+    prob = load_mnist(str(tmp_path))
+    assert prob.train.shape == (12, 28 * 28 + 1)
+    assert prob.test.shape == (5, 28 * 28 + 1)
+    np.testing.assert_allclose(
+        prob.train[:, :-1], imgs_tr.reshape(12, -1) / 255.0
+    )
+    np.testing.assert_array_equal(prob.train[:, -1], lab_tr)
+    np.testing.assert_array_equal(prob.test[:, -1], lab_te)
+    assert prob.topology == (28 * 28, 64, 10)
