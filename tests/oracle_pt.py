@@ -70,10 +70,64 @@ def sgd_epoch(w, X, T, topo, lr):
     return np.concatenate([w1.ravel(), w2.ravel(), b1, b2])
 
 
+def sgd_epoch_chains(w_batch, X, T, topo, lr):
+    """``sgd_epoch`` for a (B, w_size) batch of chains at once.
+
+    Identical math per chain (the per-sample update order is preserved; only
+    the loop over chains is vectorized into einsums), ~10x less Python
+    overhead — the full-budget LG forensics are unusable without it on this
+    1-core box. Agreement with ``sgd_epoch`` is checked in
+    tests/test_components.py.
+    """
+    i_dim, h, o = topo
+    B = w_batch.shape[0]
+    w1 = w_batch[:, : i_dim * h].reshape(B, i_dim, h).copy()
+    w2 = w_batch[:, i_dim * h : i_dim * h + h * o].reshape(B, h, o).copy()
+    b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h].copy()
+    b2 = w_batch[:, i_dim * h + h * o + h :].copy()
+    for xi, ti in zip(X, T):
+        hid = sigmoid(np.einsum("i,bih->bh", xi, w1) - b1)  # (B, h)
+        out = sigmoid(np.einsum("bh,bho->bo", hid, w2) - b2)  # (B, o)
+        out_delta = (ti - out) * out * (1 - out)  # (B, o)
+        hid_delta = np.einsum("bho,bo->bh", w2, out_delta) * hid * (1 - hid)
+        w2 += lr * np.einsum("bh,bo->bho", hid, out_delta)
+        b2 += -lr * out_delta
+        w1 += lr * np.einsum("i,bh->bih", xi, hid_delta)
+        b1 += -lr * hid_delta
+    return np.concatenate(
+        [w1.reshape(B, -1), w2.reshape(B, -1), b1, b2], axis=1
+    )
+
+
 def reg_likelihood(w, X, y, tau_sq, topo, adapttemp):
     fx = forward(w, X, topo)[:, 0]
     rmse = float(np.sqrt(np.mean((fx - y) ** 2)))
     loss = np.sum(-0.5 * np.log(2 * math.pi * tau_sq) - 0.5 * (y - fx) ** 2 / tau_sq)
+    return loss / adapttemp, rmse
+
+
+def forward_chains(w_batch, X, topo):
+    """(B, w_size) x (N, i) -> (B, N) scalar outputs, chain-batched."""
+    i_dim, h, o = topo
+    B = w_batch.shape[0]
+    w1 = w_batch[:, : i_dim * h].reshape(B, i_dim, h)
+    w2 = w_batch[:, i_dim * h : i_dim * h + h * o].reshape(B, h, o)
+    b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h]
+    b2 = w_batch[:, i_dim * h + h * o + h :]
+    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1) - b1[:, None, :])
+    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2) - b2[:, None, :])
+    return out[:, :, 0]
+
+
+def reg_likelihood_chains(w_batch, X, y, tau_sq, adapttemp, topo):
+    """Chain-batched likelihood: (B,) tempered loglik and (B,) rmse."""
+    fx = forward_chains(w_batch, X, topo)  # (B, N)
+    rmse = np.sqrt(np.mean((fx - y) ** 2, axis=1))
+    loss = np.sum(
+        -0.5 * np.log(2 * math.pi * tau_sq)[:, None]
+        - 0.5 * (y - fx) ** 2 / tau_sq[:, None],
+        axis=1,
+    )
     return loss / adapttemp, rmse
 
 
@@ -135,41 +189,48 @@ def run_reference_pt_regression(
     n_swap = 0
     n_swap_prop = 0
 
+    sq = step_w * step_w
     for i in range(samples_per_chain - 1):
         if i == pt_samples:
             adapt[:] = 1.0
-            for c in range(C):
-                tau = math.exp(eta[c])
-                ll[c], _ = reg_likelihood(w[c], X_tr, y_tr, tau, topo, adapt[c])
-        for c in range(C):
-            lx = rng.uniform()
-            if use_langevin and lx < l_prob:
-                w_gd = sgd_epoch(w[c], X_tr, T_tr, topo, lr)
-                w_prop = rng.normal(w_gd, step_w, w_size)
-                w_prop_gd = sgd_epoch(w_prop, X_tr, T_tr, topo, lr)
-                sq = step_w * step_w
-                first = -0.5 * np.sum((w[c] - w_prop_gd) ** 2) / sq
-                second = -0.5 * np.sum((w_prop - w_gd) ** 2) / sq
-                diff_prop = (first - second) / adapt[c]
-            else:
-                diff_prop = 0.0
-                w_prop = rng.normal(w[c], step_w, w_size)
-            eta_prop = eta[c] + rng.normal(0, step_eta)
-            tau_prop = math.exp(eta_prop)
-            ll_prop, _ = reg_likelihood(w_prop, X_tr, y_tr, tau_prop, topo, adapt[c])
-            _, rte = reg_likelihood(w_prop, X_te, y_te, tau_prop, topo, adapt[c])
-            prior_prop = reg_prior(w_prop, tau_prop, topo)
-            try:
-                mh = min(1.0, math.exp((ll_prop - ll[c]) + (prior_prop - prior[c]) + diff_prop))
-            except OverflowError:
-                mh = 1.0
-            if rng.uniform() < mh:
-                n_acc[c] += 1
-                ll[c], prior[c], eta[c] = ll_prop, prior_prop, eta_prop
-                w[c] = w_prop
-                rmse_test[i + 1, c] = rte
-            else:
-                rmse_test[i + 1, c] = rmse_test[i, c]
+            ll, _ = reg_likelihood_chains(w, X_tr, y_tr, np.exp(eta), adapt, topo)
+        # Chain loop vectorized (the reference steps chains in independent
+        # processes; any interleaving of their RNG draws is equivalent —
+        # parity is distributional, SURVEY §7 hard-part 4).
+        lx = rng.uniform(size=C)
+        use_l = np.zeros(C, bool) if not use_langevin else (lx < l_prob)
+        sel = np.where(use_l)[0]
+        w_gd = w.copy()
+        if sel.size:
+            w_gd[sel] = sgd_epoch_chains(w[sel], X_tr, T_tr, topo, lr)
+        w_prop = rng.normal(w_gd, step_w)  # == N(w, step_w) for RW chains
+        diff_prop = np.zeros(C)
+        if sel.size:
+            w_prop_gd = sgd_epoch_chains(w_prop[sel], X_tr, T_tr, topo, lr)
+            first = -0.5 * np.sum((w[sel] - w_prop_gd) ** 2, axis=1) / sq
+            second = -0.5 * np.sum((w_prop[sel] - w_gd[sel]) ** 2, axis=1) / sq
+            diff_prop[sel] = (first - second) / adapt[sel]
+        eta_prop = eta + rng.normal(0, step_eta, C)
+        tau_prop = np.exp(eta_prop)
+        ll_prop, _ = reg_likelihood_chains(w_prop, X_tr, y_tr, tau_prop, adapt, topo)
+        _, rte = reg_likelihood_chains(w_prop, X_te, y_te, tau_prop, adapt, topo)
+        i_d, h_d, _o = topo
+        prior_prop = (
+            -((i_d * h_d + h_d + 2) / 2) * np.log(25.0)
+            - np.sum(np.square(w_prop), axis=1) / 50.0
+            - np.log(tau_prop)
+        )
+        with np.errstate(over="ignore"):
+            mh = np.minimum(
+                1.0, np.exp(np.minimum(709.0, (ll_prop - ll) + (prior_prop - prior) + diff_prop))
+            )
+        accept = rng.uniform(size=C) < mh
+        n_acc += accept
+        ll = np.where(accept, ll_prop, ll)
+        prior = np.where(accept, prior_prop, prior)
+        eta = np.where(accept, eta_prop, eta)
+        w = np.where(accept[:, None], w_prop, w)
+        rmse_test[i + 1] = np.where(accept, rte, rmse_test[i])
         # master swap sweep (stale likelihood on resume)
         if i % swap_interval == 0 and i != 0:
             payload = ll * temps  # chains enqueue likelihood*T (:430)
