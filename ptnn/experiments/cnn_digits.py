@@ -80,6 +80,12 @@ def main(argv=None) -> None:
         help="split the grad drift into N sequential chain chunks to bound "
         "activation memory (0 = auto: 4 at >=1024 chains, else 1)",
     )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint file path: resume transparently after a crash of "
+        "the (flaky) tunneled single-chip worker; identical results to an "
+        "uninterrupted run",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results/cnn")
     p.add_argument("--mesh", action="store_true")
@@ -127,7 +133,10 @@ def main(argv=None) -> None:
 
         if jax.device_count() > 1:
             mesh = mesh_mod.make_mesh()
-    res = ptnn.sample(cfg, prob.train, prob.test, seed=args.seed, mesh=mesh, model_spec=spec)
+    res = ptnn.sample(
+        cfg, prob.train, prob.test, seed=args.seed, mesh=mesh, model_spec=spec,
+        checkpoint_path=args.checkpoint,
+    )
     os.makedirs(args.out, exist_ok=True)
     path = results_mod.versioned_dir(args.out, prob.name)
     summary = results_mod.write_artifacts(res, path, prob.name, plots=True)

@@ -257,3 +257,136 @@ def run_reference_pt_regression(
         "accept_pct": float(100.0 * n_acc.sum() / (C * samples_per_chain)),
         "swap_pct": float(100.0 * n_swap / max(n_swap_prop, 1)),
     }
+
+
+def cls_eval_chains(w_batch, X, y, topo, adapttemp):
+    """Chain-batched classification eval: tempered multinomial loglik over
+    softmax(sigmoid outputs) (pt_classification.py:209-222, :108-110),
+    plus accuracy of argmax predictions (:55, :199-206)."""
+    i_dim, h, o = topo
+    B = w_batch.shape[0]
+    w1 = w_batch[:, : i_dim * h].reshape(B, i_dim, h)
+    w2 = w_batch[:, i_dim * h : i_dim * h + h * o].reshape(B, h, o)
+    b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h]
+    b2 = w_batch[:, i_dim * h + h * o + h :]
+    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1) - b1[:, None, :])
+    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2) - b2[:, None, :])  # (B,N,O)
+    e = np.exp(out)
+    prob = e / e.sum(axis=2, keepdims=True)
+    n = X.shape[0]
+    ll = np.log(prob[:, np.arange(n), y.astype(int)]).sum(axis=1) / adapttemp
+    pred = np.argmax(out, axis=2)
+    acc = 100.0 * (pred == y.astype(int)[None, :]).mean(axis=1)
+    return ll, acc
+
+
+def run_reference_pt_classification(
+    train,
+    test,
+    topo,
+    num_chains=10,
+    samples_per_chain=5_000,
+    maxtemp=10.0,
+    swap_interval=100,
+    l_prob=0.5,
+    lr=0.01,
+    use_langevin=False,
+    seed=0,
+    burn_in=0.5,
+):
+    """Classification twin of ``run_reference_pt_regression``.
+
+    Deltas mirrored from pt_classification.py: no eta/tau (pure multinomial
+    likelihood :209-222); full-dimension prior normalization (:224-230);
+    swap rendezvous at (i+1) % swap_interval == 0 (:438) with the TEMPERED
+    carried likelihood as payload (:439); temper switch only fires when
+    0.6*samples is integral (:302 float comparison); the master performs
+    int(samples/swap_interval) sweeps — one more than the chains trigger,
+    consuming the end-of-run puts (:724) — mirrored as a final sweep so the
+    swap%% denominator matches. RW drift only (the committed LG class tables
+    came from the legacy variants; SURVEY §2.2).
+    """
+    rng = np.random.RandomState(seed)
+    topo = tuple(topo)
+    i_dim, h, o = topo
+    w_size = i_dim * h + h * o + h + o
+    step_w = 0.025
+    X_tr, y_tr = train[:, :i_dim], train[:, i_dim]
+    X_te, y_te = test[:, :i_dim], test[:, i_dim]
+    T_tr = np.eye(o)[y_tr.astype(int)]
+    temps = assign_temperatures_ref(num_chains, maxtemp)
+    pt_cut = samples_per_chain * 0.6  # float: switch fires only if integral
+    prior_dim = i_dim * h + h + o + h * o
+
+    C = num_chains
+    w = rng.randn(C, w_size)
+    adapt = temps.copy()
+    ll, _ = cls_eval_chains(w, X_tr, y_tr, topo, adapt)
+    prior = -(prior_dim / 2) * np.log(25.0) - np.sum(np.square(w), axis=1) / 50.0
+
+    acc_test = np.zeros((samples_per_chain, C))
+    n_acc = np.zeros(C, dtype=int)
+    n_swap = 0
+    n_swap_prop = 0
+
+    def sweep(payload):
+        nonlocal n_swap, n_swap_prop
+        for k in range(C - 1):
+            n_swap_prop += 1
+            try:
+                a = min(1.0, 0.5 * math.exp(min(709.0, payload[k + 1] - payload[k])))
+            except OverflowError:
+                a = 1.0
+            if rng.uniform() < a:
+                n_swap += 1
+                w[[k, k + 1]] = w[[k + 1, k]]
+                payload[[k, k + 1]] = payload[[k + 1, k]]
+
+    for i in range(samples_per_chain - 1):
+        if i == pt_cut:
+            adapt[:] = 1.0
+            ll, _ = cls_eval_chains(w, X_tr, y_tr, topo, adapt)
+        lx = rng.uniform(size=C)
+        use_l = np.zeros(C, bool) if not use_langevin else (lx < l_prob)
+        sel = np.where(use_l)[0]
+        w_gd = w.copy()
+        if sel.size:
+            w_gd[sel] = sgd_epoch_chains(w[sel], X_tr, T_tr, topo, lr)
+        w_prop = rng.normal(w_gd, step_w)
+        diff_prop = np.zeros(C)
+        if sel.size:
+            sq = step_w * step_w
+            w_prop_gd = sgd_epoch_chains(w_prop[sel], X_tr, T_tr, topo, lr)
+            first = -0.5 * np.sum((w[sel] - w_prop_gd) ** 2, axis=1) / sq
+            second = -0.5 * np.sum((w_prop[sel] - w_gd[sel]) ** 2, axis=1) / sq
+            diff_prop[sel] = (first - second) / adapt[sel]
+        ll_prop, _ = cls_eval_chains(w_prop, X_tr, y_tr, topo, adapt)
+        _, acc_te = cls_eval_chains(w_prop, X_te, y_te, topo, adapt)
+        prior_prop = (
+            -(prior_dim / 2) * np.log(25.0) - np.sum(np.square(w_prop), axis=1) / 50.0
+        )
+        with np.errstate(over="ignore"):
+            mh = np.minimum(
+                1.0,
+                np.exp(np.minimum(709.0, (ll_prop - ll) + (prior_prop - prior) + diff_prop)),
+            )
+        accept = rng.uniform(size=C) < mh
+        n_acc += accept
+        ll = np.where(accept, ll_prop, ll)
+        prior = np.where(accept, prior_prop, prior)
+        w = np.where(accept[:, None], w_prop, w)
+        acc_test[i + 1] = np.where(accept, acc_te, acc_test[i])
+        if (i + 1) % swap_interval == 0:
+            # payload is the carried (tempered) ll (:439); sweep() bubbles its
+            # own copy — the chains' carried ll stays STALE (:448)
+            sweep(ll.copy())
+    sweep(ll.copy())  # the master's extra end-of-run sweep (denominator parity)
+
+    b = int(samples_per_chain * burn_in)
+    pooled = acc_test[b:, :].ravel()
+    return {
+        "acc_test_mean": float(pooled.mean()),
+        "acc_test_best": float(pooled.max()),
+        "accept_pct": float(100.0 * n_acc.sum() / (C * samples_per_chain)),
+        "swap_pct": float(100.0 * n_swap / max(n_swap_prop, 1)),
+    }
