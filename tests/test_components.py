@@ -463,3 +463,31 @@ def test_oracle_pt_batched_matches_scalar():
         wb, X, y, np.full(3, 0.7), np.full(3, 2.0), topo
     )
     np.testing.assert_allclose(ll_b, ll_s, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_oracle_pt_agrees_with_ptnn_stale_mode():
+    """The NumPy PT oracle (literal reference semantics) and ptnn with
+    stale_likelihood_after_swap=True are independent implementations of the
+    same sampler; their pooled statistics must land in the same region.
+    Loose bands — parity is distributional (SURVEY §7 hard-part 4) and the
+    budget here is small; this guards the forensic asset against rot."""
+    import oracle_pt
+
+    train, test = load_regression("Lazer").train, load_regression("Lazer").test
+    o = oracle_pt.run_reference_pt_regression(
+        train, test, samples_per_chain=3000, use_langevin=False, seed=0
+    )
+    cfg = dataclasses.replace(
+        regression_preset(
+            num_samples=30_000, maxtemp=5.0, use_langevin_gradients=False,
+            learn_rate=0.1,
+        ),
+        stale_likelihood_after_swap=True,
+        record_w=False,
+    ).validate()
+    res = sample(cfg, train, test, seed=0)
+    swap_p = res.swap_percent
+    accept_p = float(np.mean(res.accept_ratio_per_chain))
+    assert abs(o["swap_pct"] - swap_p) < 25.0, (o["swap_pct"], swap_p)
+    assert abs(o["accept_pct"] - accept_p) < 15.0, (o["accept_pct"], accept_p)
