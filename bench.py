@@ -78,20 +78,25 @@ def main() -> None:
             vcfg, num_samples=vcfg.num_chains * 4000, record_w=True,
             chunk_steps=500,
         ).validate()
-        res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
-        b = ess_cfg.samples_per_chain // 2
-        cold = np.asarray(res.traces["w"][b:, 0, :])
-        ess_val = ess_mod.multi_ess(cold, max_params=16)
+        # ESS estimates over 2000 draws are noisy (2-3x seed spread):
+        # average ESS-per-draw across 3 seeds for a stable report
+        ess_vals, rmses, draws = [], [], 0
+        for seed in (1, 2, 3):
+            res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=seed)
+            b = ess_cfg.samples_per_chain // 2
+            cold = np.asarray(res.traces["w"][b:, 0, :])
+            draws = cold.shape[0]
+            ess_vals.append(ess_mod.multi_ess(cold, max_params=16))
+            rmses.append(float(res.traces["rmse_test"][-1, 0]))
+        ess_val = float(np.mean(ess_vals))
         steps_per_sec_per_chain = stats["chain_steps_per_sec"] / chains
-        ess_per_sec[tag] = round(
-            (ess_val / cold.shape[0]) * steps_per_sec_per_chain, 1
-        )
-        quality[tag] = round(float(res.traces["rmse_test"][-1, 0]), 4)
+        ess_per_sec[tag] = round((ess_val / draws) * steps_per_sec_per_chain, 1)
+        quality[tag] = round(float(np.mean(rmses)), 4)
         notes.append(
             f"{tag}: {stats['chain_steps_per_sec']:,.0f} steps/s, ESS "
-            f"{ess_val:.0f}/{cold.shape[0]} draws -> {ess_per_sec[tag]} "
-            f"ESS/s, RMSE {quality[tag]}, accept {stats['accept_pct']:.1f}%, "
-            f"swap {stats['swap_pct']:.1f}%"
+            f"{ess_val:.0f}/{draws} draws (3-seed mean) -> "
+            f"{ess_per_sec[tag]} ESS/s, RMSE {quality[tag]}, "
+            f"accept {stats['accept_pct']:.1f}%, swap {stats['swap_pct']:.1f}%"
         )
 
     value = headline["chain_steps_per_sec"]

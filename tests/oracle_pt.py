@@ -86,13 +86,13 @@ def sgd_epoch_chains(w_batch, X, T, topo, lr):
     b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h].copy()
     b2 = w_batch[:, i_dim * h + h * o + h :].copy()
     for xi, ti in zip(X, T):
-        hid = sigmoid(np.einsum("i,bih->bh", xi, w1) - b1)  # (B, h)
-        out = sigmoid(np.einsum("bh,bho->bo", hid, w2) - b2)  # (B, o)
+        hid = sigmoid(np.einsum("i,bih->bh", xi, w1, optimize=True) - b1)  # (B, h)
+        out = sigmoid(np.einsum("bh,bho->bo", hid, w2, optimize=True) - b2)  # (B, o)
         out_delta = (ti - out) * out * (1 - out)  # (B, o)
-        hid_delta = np.einsum("bho,bo->bh", w2, out_delta) * hid * (1 - hid)
-        w2 += lr * np.einsum("bh,bo->bho", hid, out_delta)
+        hid_delta = np.einsum("bho,bo->bh", w2, out_delta, optimize=True) * hid * (1 - hid)
+        w2 += lr * np.einsum("bh,bo->bho", hid, out_delta, optimize=True)
         b2 += -lr * out_delta
-        w1 += lr * np.einsum("i,bh->bih", xi, hid_delta)
+        w1 += lr * np.einsum("i,bh->bih", xi, hid_delta, optimize=True)
         b1 += -lr * hid_delta
     return np.concatenate(
         [w1.reshape(B, -1), w2.reshape(B, -1), b1, b2], axis=1
@@ -114,8 +114,8 @@ def forward_chains(w_batch, X, topo):
     w2 = w_batch[:, i_dim * h : i_dim * h + h * o].reshape(B, h, o)
     b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h]
     b2 = w_batch[:, i_dim * h + h * o + h :]
-    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1) - b1[:, None, :])
-    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2) - b2[:, None, :])
+    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1, optimize=True) - b1[:, None, :])
+    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2, optimize=True) - b2[:, None, :])
     return out[:, :, 0]
 
 
@@ -269,8 +269,8 @@ def cls_eval_chains(w_batch, X, y, topo, adapttemp):
     w2 = w_batch[:, i_dim * h : i_dim * h + h * o].reshape(B, h, o)
     b1 = w_batch[:, i_dim * h + h * o : i_dim * h + h * o + h]
     b2 = w_batch[:, i_dim * h + h * o + h :]
-    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1) - b1[:, None, :])
-    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2) - b2[:, None, :])  # (B,N,O)
+    hid = sigmoid(np.einsum("ni,bih->bnh", X, w1, optimize=True) - b1[:, None, :])
+    out = sigmoid(np.einsum("bnh,bho->bno", hid, w2, optimize=True) - b2[:, None, :])  # (B,N,O)
     e = np.exp(out)
     prob = e / e.sum(axis=2, keepdims=True)
     n = X.shape[0]
