@@ -119,7 +119,12 @@ def main(argv=None) -> None:
         drift_chain_microbatch=(
             args.drift_microbatch
             if args.drift_microbatch
-            else (4 if args.chains >= 1024 else 1)
+            # auto: largest divisor of the chain count <= 4, only at the
+            # scale where the vmapped grad drift overruns device memory
+            else next(
+                m for m in (4, 2, 1)
+                if args.chains >= 1024 and args.chains % m == 0
+            ) if args.chains >= 1024 else 1
         ),
         adapt_step_size=args.adapt,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only

@@ -137,7 +137,16 @@ class Dataset(NamedTuple):
 
 def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
     """Chain-batched eval + prior closures for a model spec."""
-    if spec.batched_forward is not None:
+    use_batched_fwd = (
+        spec.batched_forward is not None
+        # the fused-eval kernels are Mosaic TPU programs; off-TPU (CPU test
+        # mesh, GPU) fall back to the vmapped forward rather than crashing —
+        # mirrors the batched_drift guard below
+        and jax.default_backend() == "tpu"
+        # the Pallas out_shape is f32; bf16 eval mode stays on the XLA path
+        and cfg.eval_dtype != "bfloat16"
+    )
+    if use_batched_fwd:
         _fwd_raw = spec.batched_forward  # (C, W), (N, I) -> (C, N, O)
     else:
         _fwd_raw = jax.vmap(spec.forward, in_axes=(0, None))

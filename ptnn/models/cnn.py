@@ -107,7 +107,9 @@ def forward(w: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Array:
     return _tail(params, h, cfg, stage=0)
 
 
-def batched_forward_fused(ws: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Array:
+def batched_forward_fused(
+    ws: jax.Array, x: jax.Array, cfg: CnnConfig, interpret: bool = False
+) -> jax.Array:
     """(C, w_size) x (N, hw*hw) -> (C, N, n_classes) with the Pallas stage-1.
 
     Stage 1's input is chain-independent, so the fused kernel
@@ -120,7 +122,7 @@ def batched_forward_fused(ws: jax.Array, x: jax.Array, cfg: CnnConfig) -> jax.Ar
     params = jax.vmap(lambda w: unpack(w, cfg))(ws)
     h = pallas_conv.conv1_relu_pool(
         x, params[0], params[1], hw=cfg.image_hw, in_ch=1,
-        out_ch=cfg.channels[0],
+        out_ch=cfg.channels[0], interpret=interpret,
     )  # (C, N, hw/2, hw/2, c1)
     return jax.vmap(lambda p, hi: _tail(p, hi, cfg, stage=1))(params, h)
 
@@ -165,5 +167,10 @@ def digits_spec(channels=(8, 16), hidden=32, fused_eval=False) -> api.ModelSpec:
     )
 
 
-def mnist_spec(channels=(8, 16), hidden=64) -> api.ModelSpec:
-    return spec(CnnConfig(image_hw=28, n_classes=10, channels=channels, hidden=hidden))
+def mnist_spec(channels=(8, 16), hidden=64, fused_eval=False) -> api.ModelSpec:
+    """28x28 MNIST layout — the regime where the fused conv1 stage is
+    expected to pay off (cnn_conv_decision.md §3)."""
+    return spec(
+        CnnConfig(image_hw=28, n_classes=10, channels=channels, hidden=hidden),
+        fused_eval=fused_eval,
+    )

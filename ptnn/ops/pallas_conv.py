@@ -82,9 +82,13 @@ def conv1_relu_pool(
     patches = jnp.pad(patches, ((0, n_pad - n), (0, 0), (0, 0))).reshape(
         n_pad * hw * hw, k_taps
     )
-    # (K, OC, C): taps-major so the kernel reads (1, C) rows per (t, oc)
+    # (K, OC, C): taps-major so the kernel reads (1, C) rows per (t, oc).
+    # conv_general_dilated_patches emits the patch features CHANNEL-major
+    # (ic, kh, kw) — see its docstring — so the (kh, kw, in_ch, out_ch)
+    # weights must be transposed to (in_ch, kh, kw) tap order to match.
     w1p = jnp.pad(
-        w1.reshape(c, k_taps, out_ch), ((0, c_pad - c), (0, 0), (0, 0))
+        w1.transpose(0, 3, 1, 2, 4).reshape(c, k_taps, out_ch),
+        ((0, c_pad - c), (0, 0), (0, 0)),
     ).transpose(1, 2, 0)
     b1p = jnp.pad(b1, ((0, c_pad - c), (0, 0))).T
 

@@ -80,9 +80,24 @@ def features(w: jax.Array, proj: jax.Array) -> jax.Array:
 def init_for(cfg, w_size: int) -> SurrogateState:
     """Surrogate state for a config: buffer rounded to a multiple of the
     chain count (block pushes never wrap mid-write) and features over
-    [w, eta] (the regression noise variance is part of the input)."""
+    [w, eta] (the regression noise variance is part of the input).
+
+    Re-checks the buffer-vs-feature-dim guard with the REAL ``w_size``:
+    PTConfig.validate() can only see the topology-derived size, which
+    understates the feature dim when a custom ``model_spec`` (CNN/MLP) is
+    passed to ``sample()`` — without this, an undersized buffer would leave
+    the ridge fit silently inactive (the failure mode config validation
+    exists to reject)."""
     c = cfg.num_chains
     buf = ((cfg.surrogate_buffer + c - 1) // c) * c
+    fdim = feature_dim(w_size + 1, cfg.surrogate_proj)
+    if buf < fdim:
+        raise ValueError(
+            f"surrogate_buffer={cfg.surrogate_buffer} (rounded to {buf}) is "
+            f"below the surrogate feature dimension {fdim} for the model's "
+            f"w_size={w_size}: the ridge fit would never activate. Raise "
+            f"surrogate_buffer to >= {fdim} or lower surrogate_proj."
+        )
     return init(buf, w_size + 1, cfg.surrogate_proj)
 
 

@@ -1,5 +1,12 @@
 """ESS/sec of the flagship Sunspot PT config across sampler variants.
 
+SUPERSEDED by bench.py, which now reports ess_per_sec for the same three
+variants using the canonical methodology (3-seed mean ESS-per-draw x fused
+steady-state step rate). This script measures a DIFFERENT quantity — ESS
+divided by a single trace-recording run's wall-clock, i.e. trace streaming
+INCLUDED — kept for that complementary view; do not compare its numbers
+against bench.py's.
+
 VERDICT r1 weak #4: raw chain-steps/s is huge but cold-chain ESS was 11/1000
 draws (354 ESS/s) on the RW flagship, and `adapt_step_size` was never pointed
 at it. This script measures ESS/s (quality-per-second, the BASELINE.json
