@@ -89,7 +89,10 @@ def run_classification(problems, restarts, out, reference_settings=False):
                     f"{name} {solver} {te.mean():.4f} {te.std():.4f} {te.max():.4f}"
                 )
             print(rows[-1], flush=True)
-    _write(out, rows)
+        # flush after every dataset: reference-settings restarts take hours
+        # on big sets and an end-only write loses all rows on interruption
+        _write(out, rows)
+        rows = []
 
 
 def run_regression(problems, restarts, out, reference_settings=False):
@@ -142,7 +145,8 @@ def run_regression(problems, restarts, out, reference_settings=False):
                     f"{name} {tag} {te.mean():.4f} {te.std():.4f} {te.min():.4f}"
                 )
             print(rows[-1], flush=True)
-    _write(out, rows)
+        _write(out, rows)
+        rows = []
 
 
 def _write(out, rows):
