@@ -111,6 +111,33 @@ class PTConfig:
     adapt_target_accept: float = 0.234
     adapt_rate: float = 0.05
 
+    # Proposal family (TPU-first flagship modes; NOT reference behavior).
+    # "reference"    — the reference's RW / epoch-SGD Langevin machinery
+    #                  (use_langevin_gradients & friends above).
+    # "precond_rw"   — random walk with a per-chain DIAGONAL preconditioner:
+    #                  noise ~ N(0, sigma_c^2 M_c), M_c the normalized
+    #                  per-parameter posterior variance estimated by Welford
+    #                  accumulation during burn-in; sigma_c Robbins-Monro
+    #                  adapted. Both freeze at burn-in end -> exact.
+    # "precond_mala" — preconditioned MALA: proposal mean
+    #                  w + (sigma_c^2/2) M_c grad log pi_T(w), cov
+    #                  sigma_c^2 M_c, with the exact reverse-kernel q-ratio.
+    #                  grad log pi_T = grad(ll)/adapttemp + grad(log prior)
+    #                  via jax.value_and_grad fused with the likelihood
+    #                  forward pass (one fwd+bwd per proposal; the gradient
+    #                  at the current point is carried in ChainState.g_like
+    #                  and never recomputed). This replaces the reference's
+    #                  epoch-SGD drift with the actual tempered-posterior
+    #                  gradient — the mode built to win the ESS/s benchmark.
+    proposal: str = "reference"
+    # Step at which M_c activates, as a fraction of samples_per_chain (before
+    # that: identity preconditioner while Welford statistics accumulate).
+    precond_start_frac: float = 0.125
+    # Robbins-Monro acceptance target for precond_mala (0.574 is the optimal
+    # MALA acceptance rate, Roberts & Rosenthal 1998); precond_rw uses
+    # adapt_target_accept (0.234, the RW optimum).
+    mala_target_accept: float = 0.574
+
     # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
     # with a likelihood rescale (pt_classification.py:302,317-324). The
     # reference's switch only fires when 0.6*samples is integral; mirrored in
@@ -245,6 +272,37 @@ class PTConfig:
                     f"Raise surrogate_buffer to >= {fdim} or lower "
                     "surrogate_proj."
                 )
+        if self.proposal not in ("reference", "precond_rw", "precond_mala"):
+            raise ValueError(f"unknown proposal {self.proposal!r}")
+        if self.proposal != "reference":
+            if self.use_langevin_gradients:
+                raise ValueError(
+                    "precond_* proposals replace the reference proposal "
+                    "machinery entirely; use_langevin_gradients must be False"
+                )
+            if self.use_surrogate:
+                raise ValueError(
+                    "precond_* proposals are not combined with surrogate "
+                    "modes (the surrogate inner kernels have their own "
+                    "proposal machinery)"
+                )
+            if self.adapt_step_size:
+                raise ValueError(
+                    "precond_* proposals always adapt their per-chain scale "
+                    "during burn-in; leave adapt_step_size=False"
+                )
+            if not 0.0 < self.precond_start_frac < self.burn_in:
+                raise ValueError(
+                    "precond_start_frac must lie in (0, burn_in): the "
+                    "preconditioner freezes at burn-in end and needs Welford "
+                    "samples before activating"
+                )
+        if self.proposal == "precond_mala" and self.stale_likelihood_after_swap:
+            raise ValueError(
+                "precond_mala requires restore-likelihood swap semantics: "
+                "the cached gradient permutes with (w, eta) at swaps, which "
+                "is only coherent when ll/prior permute too"
+            )
         if self.qratio == "ldpt_legacy" and self.adapt_step_size:
             raise ValueError(
                 "adapt_step_size is incompatible with the legacy q-ratio "

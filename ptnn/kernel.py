@@ -116,8 +116,15 @@ class ChainState(NamedTuple):
     # Optional delayed-acceptance segment state (None unless
     # cfg.surrogate_mode == "delayed_acceptance"):
     da: Any
-    # Optional per-chain log step-size (None unless cfg.adapt_step_size):
+    # Optional per-chain log step-size (None unless cfg.adapt_step_size or a
+    # precond_* proposal):
     log_step_w: Any
+    # Optional preconditioned-proposal state (None unless cfg.proposal is
+    # "precond_rw"/"precond_mala"):
+    g_like: Any  # (C, W) gradient of the tau/temp-independent likelihood
+    #            # term at the current w (precond_mala only)
+    pc_mean: Any  # (C, W) Welford running mean of w over burn-in
+    pc_m2: Any  # (C, W) Welford running sum of squared deviations
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -189,6 +196,50 @@ def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
     return b_eval, b_prior
 
 
+def _like_value_and_grad(cfg: PTConfig, spec: model_api.ModelSpec, data: Dataset):
+    """Chain-batched fused likelihood eval + gradient (precond_mala).
+
+    Returns ``fn(w) -> ((val, aux), g)`` with ``val``: (C,) the temperature-
+    and tau-independent likelihood term — the full multinomial log-likelihood
+    for classification (pt_classification.py:209-222 semantics), or
+    ``-0.5 * SSE`` for regression (the tau-dependent normalizer of
+    pt_timeseries_regression.py:200-205 is added by the caller) — ``aux`` the
+    raw outputs needed for metrics, and ``g = d val / d w``: (C, W). One
+    fused forward+backward per call; the MALA proposal recombines ``g`` with
+    the prior gradient and the chain's temperature, so the cache stays valid
+    across eta updates, swaps (permuted), and the 60% temper switch.
+    """
+    if cfg.task == "regression":
+
+        def f(wi):
+            fx = spec.forward(wi, data.x_train)[:, 0]
+            val = -0.5 * jnp.sum(jnp.square(data.y_train - fx))
+            return val, fx
+    else:
+
+        def f(wi):
+            out = spec.forward(wi, data.x_train)
+            logp = spec.log_probs(out)
+            yi = data.y_train.astype(jnp.int32)
+            val = jnp.sum(jnp.take_along_axis(logp, yi[:, None], axis=-1))
+            return val, out
+
+    b = jax.vmap(jax.value_and_grad(f, has_aux=True))
+    if cfg.drift_chain_microbatch > 1:
+        # bound fwd+bwd activation memory exactly like the drift path
+        mb = cfg.drift_chain_microbatch
+
+        def batched(w):
+            cc, wd = w.shape
+            out = jax.lax.map(b, w.reshape(mb, cc // mb, wd))
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((cc,) + a.shape[2:]), out
+            )
+
+        return batched
+    return b
+
+
 def init_state(
     key: jax.Array,
     cfg: PTConfig,
@@ -229,8 +280,15 @@ def init_state(
         fx_train = fx_test = None
 
     log_step_w = None
-    if cfg.adapt_step_size:
+    if cfg.adapt_step_size or cfg.proposal != "reference":
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
+
+    g_like = pc_mean = pc_m2 = None
+    if cfg.proposal != "reference":
+        pc_mean = jnp.zeros((c, w_dim), jnp.float32)
+        pc_m2 = jnp.zeros((c, w_dim), jnp.float32)
+        if cfg.proposal == "precond_mala":
+            (_, _), g_like = _like_value_and_grad(cfg, spec, data)(w)
 
     surr = None
     da = None
@@ -255,6 +313,9 @@ def init_state(
         surr=surr,
         da=da,
         log_step_w=log_step_w,
+        g_like=g_like,
+        pc_mean=pc_mean,
+        pc_m2=pc_m2,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -443,7 +504,7 @@ def make_step_fn(
             ll, prior = state.ll, state.prior
         else:
             (ll, prior) = swap_mod.apply_permutation(res.perm, state.ll, state.prior)
-        return state._replace(
+        out = state._replace(
             w=w,
             eta=eta,
             ll=ll,
@@ -451,6 +512,13 @@ def make_step_fn(
             n_swap_accepted=state.n_swap_accepted + res.n_accepted,
             n_swap_proposed=state.n_swap_proposed + res.n_proposed,
         )
+        if state.g_like is not None:
+            # the cached likelihood gradient belongs to the traveling
+            # configuration (it is a function of w alone) — permute with w.
+            # Preconditioner/step-size state stays with the RUNG (temperature).
+            (g_like,) = swap_mod.apply_permutation(res.perm, state.g_like)
+            out = out._replace(g_like=g_like)
+        return out
 
     def recompute_ll(s: ChainState) -> ChainState:
         """Refresh the carried log-likelihood from the CURRENT (w, eta).
@@ -904,6 +972,193 @@ def make_step_fn(
         )
         return new_state, trace
 
+    if cfg.proposal != "reference":
+        is_mala = cfg.proposal == "precond_mala"
+        pc_start = int(cfg.samples_per_chain * cfg.precond_start_frac)
+        burn_end_p = int(cfg.samples_per_chain * cfg.burn_in) - 1
+        target_acc = (
+            cfg.mala_target_accept if is_mala else cfg.adapt_target_accept
+        )
+        if is_mala:
+            b_vg = _like_value_and_grad(cfg, spec, data)
+            n_train = data.y_train.shape[0]
+
+        def _precond_diag(state: ChainState, i) -> jax.Array:
+            """Per-chain diagonal mass matrix from the Welford buffers:
+            normalized per-parameter posterior variance (the overall scale
+            lives in the adapted sigma). Identity until ``pc_start``;
+            constant after burn-in because the accumulators freeze."""
+            cnt = jnp.maximum(
+                jnp.minimum(i, burn_end_p).astype(jnp.float32), 1.0
+            )
+            var = state.pc_m2 / cnt
+            m = var / jnp.maximum(jnp.mean(var, axis=1, keepdims=True), 1e-30)
+            m = jnp.clip(m, 1e-4, 1e4)
+            return jnp.where(i >= pc_start, m, jnp.ones_like(m))
+
+        def _g_post(g_like, w, tau_sq, adapttemp):
+            """Tempered-posterior gradient from the cached likelihood-term
+            gradient: g_like/(tau^2 adapttemp) - w/sigma^2 (regression) or
+            g_like/adapttemp - w/sigma^2 (classification)."""
+            g = g_like / tau_sq[:, None] if is_regression else g_like
+            return g / adapttemp[:, None] - w / cfg.sigma_sq
+
+        def step_precond(
+            state: ChainState, xs
+        ) -> Tuple[ChainState, Dict[str, jax.Array]]:
+            """Preconditioned proposal step (precond_rw / precond_mala).
+
+            TPU-first flagship mode, not reference behavior: the exact MH
+            correction (preconditioned-Gaussian q-ratio for MALA, symmetric
+            for RW) keeps every chain's tempered posterior invariant once
+            sigma and M freeze at burn-in end.
+            """
+            i, key = xs
+            kp, ke, ku, ks = jax.random.split(key, 4)
+            adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
+            sig = jnp.exp(state.log_step_w)  # (C,)
+            m = _precond_diag(state, i)  # (C, W)
+            noise = (
+                jax.random.normal(kp, (c, w_dim), jnp.float32)
+                * sig[:, None]
+                * jnp.sqrt(m)
+            )
+            if is_mala:
+                sig2m = (sig * sig)[:, None] * m
+                g_cur = _g_post(
+                    state.g_like, state.w, jnp.exp(state.eta), adapttemp
+                )
+                mean_fwd = state.w + 0.5 * sig2m * g_cur
+            else:
+                mean_fwd = state.w
+            w_prop = mean_fwd + noise
+
+            if is_regression:
+                eta_prop = state.eta + cfg.step_eta * jax.random.normal(ke, (c,))
+                tau_prop = jnp.exp(eta_prop)
+                prior_prop = b_prior(w_prop, tau_prop)
+            else:
+                eta_prop = state.eta
+                tau_prop = jnp.exp(eta_prop)
+                prior_prop = b_prior(w_prop)
+
+            g_like_prop = None
+            fx_props = []
+            if is_mala:
+                # one fused fwd+bwd: proposal likelihood AND its gradient
+                (val, aux), g_like_prop = b_vg(w_prop)
+                if is_regression:
+                    ll_prop = (-0.5 * n_train) * (
+                        likelihood._LOG_2PI + jnp.log(tau_prop)
+                    ) + val / tau_prop
+                    rmse_tr_prop = jnp.sqrt(-2.0 * val / n_train)
+                    acc_tr_prop = jnp.zeros((c,), jnp.float32)
+                    ev_te = b_eval_te(
+                        w_prop, data.x_test, data.y_test, tau_prop
+                    )
+                    acc_te_prop = jnp.zeros((c,), jnp.float32)
+                    if cfg.record_fx:
+                        fx_props = [aux, ev_te.fx]
+                else:
+                    ll_prop = val
+                    pred = jnp.argmax(aux, axis=-1).astype(jnp.float32)
+                    yf = data.y_train.astype(jnp.float32)[None, :]
+                    rmse_tr_prop = jnp.sqrt(
+                        jnp.mean(jnp.square(pred - yf), axis=-1)
+                    )
+                    acc_tr_prop = 100.0 * jnp.mean(
+                        (pred == yf).astype(jnp.float32), axis=-1
+                    )
+                    ev_te = b_eval(w_prop, data.x_test, data.y_test)
+                    acc_te_prop = ev_te.acc
+                    if cfg.record_fx:
+                        fx_props = [pred, ev_te.fx]
+                rmse_te_prop = ev_te.rmse
+                # exact reverse-kernel q-ratio for the preconditioned
+                # Gaussian proposal (regression: the reverse drift uses the
+                # PROPOSED tau — the reverse move starts from (w', eta'))
+                g_prop = _g_post(g_like_prop, w_prop, tau_prop, adapttemp)
+                mean_rev = w_prop + 0.5 * sig2m * g_prop
+                diff_prop = (
+                    jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
+                    - jnp.sum(jnp.square(state.w - mean_rev) / m, axis=-1)
+                ) / (2.0 * sig * sig)
+            else:
+                bundle, _ = _eval_bundle(state, w_prop, eta_prop, tau_prop)
+                (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop,
+                 acc_te_prop, *fx_props) = bundle
+                diff_prop = jnp.zeros((c,), jnp.float32)
+
+            ll_record = ll_prop / adapttemp if is_regression else ll_prop
+            log_mh = (
+                (ll_prop - state.ll) / adapttemp
+                + (prior_prop - state.prior)
+                + diff_prop
+            )
+            u = jax.random.uniform(ku, (c,))
+            accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
+            trace = {
+                "ll": ll_record,
+                "rmse_train": jnp.where(accept, rmse_tr_prop, state.rmse_train),
+                "rmse_test": jnp.where(accept, rmse_te_prop, state.rmse_test),
+                "acc_train": jnp.where(accept, acc_tr_prop, state.acc_train),
+                "acc_test": jnp.where(accept, acc_te_prop, state.acc_test),
+                "accept_count": state.n_accept,
+            }
+            accept_w = accept[:, None]
+            new_state = state._replace(
+                w=jnp.where(accept_w, w_prop, state.w),
+                eta=jnp.where(accept, eta_prop, state.eta),
+                ll=jnp.where(accept, ll_prop, state.ll),
+                prior=jnp.where(accept, prior_prop, state.prior),
+                w_last=jnp.where(accept_w, w_prop, state.w_last),
+                rmse_train=trace["rmse_train"],
+                rmse_test=trace["rmse_test"],
+                acc_train=trace["acc_train"],
+                acc_test=trace["acc_test"],
+                n_accept=state.n_accept + accept.astype(jnp.int32),
+            )
+            if is_mala:
+                new_state = new_state._replace(
+                    g_like=jnp.where(accept_w, g_like_prop, state.g_like)
+                )
+            if cfg.record_fx:
+                new_state = new_state._replace(
+                    fx_train=jnp.where(accept_w, fx_props[0], state.fx_train),
+                    fx_test=jnp.where(accept_w, fx_props[1], state.fx_test),
+                )
+                trace["fx_train"] = new_state.fx_train
+                trace["fx_test"] = new_state.fx_test
+            if cfg.record_w:
+                trace["w"] = new_state.w_last
+
+            # Welford accumulation of the post-decision w (burn-in only, so
+            # the preconditioner estimate freezes with the adaptation)
+            upd = (i < burn_end_p).astype(jnp.float32)
+            cnt_new = jnp.minimum(i + 1, burn_end_p).astype(jnp.float32)
+            delta = new_state.w - state.pc_mean
+            mean_new = state.pc_mean + upd * delta / jnp.maximum(cnt_new, 1.0)
+            m2_new = state.pc_m2 + upd * delta * (new_state.w - mean_new)
+            # Robbins-Monro on the per-chain scale (frozen after burn-in,
+            # same freeze index as the adapt_step_size path)
+            mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
+            dlt = cfg.adapt_rate * (mh_prob - target_acc)
+            new_lsw = jnp.clip(
+                state.log_step_w + jnp.where(i < burn_end_p, dlt, 0.0),
+                jnp.log(1e-6),
+                jnp.log(10.0),
+            )
+            new_state = new_state._replace(
+                log_step_w=new_lsw, pc_mean=mean_new, pc_m2=m2_new
+            )
+            new_state = jax.lax.cond(
+                swap_due(cfg, i),
+                lambda s: do_swap(s, i, ks),
+                lambda s: s,
+                new_state,
+            )
+            return new_state, trace
+
     def refit_surrogate(st: ChainState) -> ChainState:
         """Refit the surrogate on the current buffer (sampler calls this at
         chunk boundaries, together with recompute_ll to re-anchor)."""
@@ -914,7 +1169,12 @@ def make_step_fn(
         )
 
     da_mode = cfg.use_surrogate and cfg.surrogate_mode == "delayed_acceptance"
-    chosen = step_da if da_mode else step
+    if cfg.proposal != "reference":
+        chosen = step_precond
+    elif da_mode:
+        chosen = step_da
+    else:
+        chosen = step
     chosen.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
     chosen.refit_surrogate = refit_surrogate
     chosen.close_segment = _close_segment  # (state, idx, key) boundary closure
