@@ -155,6 +155,24 @@ def _write(out, rows):
         f.write("\n".join(rows) + "\n")
 
 
+def _write_run_header(out) -> None:
+    """Stamp each run before its first flush: per-dataset appends are
+    routine, so without a delimiter a re-run (or a --reference-settings run
+    into a fast-mode file) silently concatenates rows of mixed provenance."""
+    import datetime
+    import sys as _sys
+
+    _write(
+        out,
+        [
+            "# run "
+            + datetime.datetime.now().isoformat(timespec="seconds")
+            + " :: "
+            + " ".join(_sys.argv)
+        ],
+    )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--task", choices=("classification", "regression"), required=True)
@@ -170,6 +188,7 @@ def main(argv=None) -> None:
         "Compare_Benchmark outputs",
     )
     args = p.parse_args(argv)
+    _write_run_header(args.out)
     if args.task == "classification":
         probs = (
             list(CLASSIFICATION_TOPOLOGIES) if args.problem == "all" else [args.problem]

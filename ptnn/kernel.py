@@ -125,6 +125,7 @@ class ChainState(NamedTuple):
     #            # term at the current w (precond_mala only)
     pc_mean: Any  # (C, W) Welford running mean of w over burn-in
     pc_m2: Any  # (C, W) Welford running sum of squared deviations
+    log_step_eta: Any  # (C,) adapted eta RW scale (precond_* regression only)
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -152,6 +153,10 @@ def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
         and jax.default_backend() == "tpu"
         # the Pallas out_shape is f32; bf16 eval mode stays on the XLA path
         and cfg.eval_dtype != "bfloat16"
+        # written for a single chip (chain axis on lanes): under a multi-
+        # device mesh GSPMD cannot partition the pallas_call — fall back to
+        # the vmapped forward, which shards cleanly along the chain axis
+        and jax.device_count() == 1
     )
     if use_batched_fwd:
         _fwd_raw = spec.batched_forward  # (C, W), (N, I) -> (C, N, O)
@@ -283,10 +288,12 @@ def init_state(
     if cfg.adapt_step_size or cfg.proposal != "reference":
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
 
-    g_like = pc_mean = pc_m2 = None
+    g_like = pc_mean = pc_m2 = log_step_eta = None
     if cfg.proposal != "reference":
         pc_mean = jnp.zeros((c, w_dim), jnp.float32)
         pc_m2 = jnp.zeros((c, w_dim), jnp.float32)
+        if cfg.task == "regression":
+            log_step_eta = jnp.full((c,), jnp.log(cfg.step_eta), jnp.float32)
         if cfg.proposal == "precond_mala":
             (_, _), g_like = _like_value_and_grad(cfg, spec, data)(w)
 
@@ -316,6 +323,7 @@ def init_state(
         g_like=g_like,
         pc_mean=pc_mean,
         pc_m2=pc_m2,
+        log_step_eta=log_step_eta,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -343,11 +351,19 @@ def make_step_fn(
     temps: jax.Array,
     spec: model_api.ModelSpec = None,
     surrogate_proj: jax.Array = None,
+    swap_interval_t: jax.Array = None,
+    langevin_prob_t: jax.Array = None,
 ):
     """Build the scanned step: ``(state, (i, key)) -> (state, trace_dict)``.
 
     ``temps``: (C,) ladder temperatures, chain 0 at T=1. ``spec`` selects the
     model family (default: the reference FNN).
+
+    ``swap_interval_t`` / ``langevin_prob_t`` optionally override the config
+    values with TRACED scalars, so a hyperparameter sweep over swap cadence
+    or Langevin probability vmaps into one compiled grid (ptnn/sweeps.py) —
+    cadence only enters the step as a step-index mask and l_prob only as a
+    Bernoulli threshold, so neither changes the compiled structure.
     """
     cfg.validate()
     if spec is None:
@@ -358,6 +374,24 @@ def make_step_fn(
     step_w = cfg.step_w
     sigma_sq_w = step_w * step_w
     is_regression = cfg.task == "regression"
+    langevin_prob = (
+        cfg.langevin_prob if langevin_prob_t is None else langevin_prob_t
+    )
+    swap_interval = (
+        cfg.swap_interval if swap_interval_t is None else swap_interval_t
+    )
+
+    def _swap_due(i) -> jax.Array:
+        if swap_interval_t is None:
+            return swap_due(cfg, i)
+        k = i + cfg.swap_offset
+        si = jnp.maximum(swap_interval_t, 1)
+        live = jnp.logical_and(
+            swap_interval_t > 0, swap_interval_t <= cfg.n_steps
+        )
+        return jnp.logical_and(
+            live, jnp.logical_and(k % si == 0, k > 0)
+        )
 
     _b_eval, b_prior = _batched_evals(cfg, spec)
     if is_regression:
@@ -440,7 +474,7 @@ def make_step_fn(
         if not cfg.use_langevin_gradients:
             return state.w + noise, jnp.zeros((c,), jnp.float32), state.n_langevin
         lx = jax.random.uniform(kl, (c,))
-        use_l = lx < cfg.langevin_prob
+        use_l = lx < langevin_prob
         if adapt_tied_drift:
             lr_chain = 0.5 * jnp.exp(2.0 * state.log_step_w)  # sigma^2/2
             drift_fn = lambda w: b_drift_per(w, lr_chain)
@@ -493,7 +527,7 @@ def make_step_fn(
                 ks,
                 rule=cfg.swap_rule,
                 betas=1.0 / adapttemp,
-                parity=(i // cfg.swap_interval) % 2,
+                parity=(i // swap_interval) % 2,
             )
         else:
             res = swap_mod.sweep_permutation(
@@ -748,7 +782,7 @@ def make_step_fn(
             trace["w"] = new_state.w_last
 
         new_state = jax.lax.cond(
-            swap_due(cfg, i),
+            _swap_due(i),
             lambda s: do_swap(s, i, ks),
             lambda s: s,
             new_state,
@@ -776,7 +810,7 @@ def make_step_fn(
             jnp.logical_and(i >= surr_warmup_end, state.surr.fitted),
             jax.random.uniform(ksu, ()) < cfg.surrogate_prob,
         )
-        use_surr = jnp.logical_and(use_surr, jnp.logical_not(swap_due(cfg, i)))
+        use_surr = jnp.logical_and(use_surr, jnp.logical_not(_swap_due(i)))
         zdim = w_dim + 1
 
         def _null_push():
@@ -965,7 +999,7 @@ def make_step_fn(
             )
             new_state = new_state._replace(log_step_w=new_lsw)
         new_state = jax.lax.cond(
-            swap_due(cfg, i),
+            _swap_due(i),
             lambda s: do_swap(s, i, ks),
             lambda s: s,
             new_state,
@@ -979,9 +1013,9 @@ def make_step_fn(
         target_acc = (
             cfg.mala_target_accept if is_mala else cfg.adapt_target_accept
         )
+        n_train = data.y_train.shape[0]
         if is_mala:
             b_vg = _like_value_and_grad(cfg, spec, data)
-            n_train = data.y_train.shape[0]
 
         def _precond_diag(state: ChainState, i) -> jax.Array:
             """Per-chain diagonal mass matrix from the Welford buffers:
@@ -1003,21 +1037,40 @@ def make_step_fn(
             g = g_like / tau_sq[:, None] if is_regression else g_like
             return g / adapttemp[:, None] - w / cfg.sigma_sq
 
+        ETA_TARGET_ACCEPT = 0.44  # 1-D RW-MH optimum (Gelman/Roberts/Gilks)
+
         def step_precond(
             state: ChainState, xs
         ) -> Tuple[ChainState, Dict[str, jax.Array]]:
             """Preconditioned proposal step (precond_rw / precond_mala).
 
-            TPU-first flagship mode, not reference behavior: the exact MH
-            correction (preconditioned-Gaussian q-ratio for MALA, symmetric
-            for RW) keeps every chain's tempered posterior invariant once
-            sigma and M freeze at burn-in end.
+            TPU-first flagship mode, not reference behavior. Two MH blocks
+            per step (componentwise Metropolis-within-Gibbs — each block
+            leaves the tempered posterior invariant, so their composition
+            does):
+
+            1. w-block: preconditioned RW or MALA move on the weights at
+               fixed eta, with the exact preconditioned-Gaussian q-ratio.
+               Its per-chain scale adapts on the block's OWN acceptance
+               probability — a joint (w, eta) decision would let the
+               fixed-scale eta walk pin joint acceptance below the MALA
+               target and drive sigma_w into a death spiral (observed:
+               sigma -> the clip floor, chain frozen between swaps).
+            2. eta-block (regression only): RW move on the log noise
+               variance with its own adapted scale. Needs NO dataset pass —
+               the tau-independent ``-SSE/2`` is recovered algebraically
+               from the carried log-likelihood, so the block is a handful
+               of scalar ops per chain.
+
+            All scales and the Welford preconditioner freeze at burn-in end;
+            the post-burn-in sampler is an exact MH kernel per chain.
             """
             i, key = xs
-            kp, ke, ku, ks = jax.random.split(key, 4)
+            kp, ke, ku, kue, ks = jax.random.split(key, 5)
             adapttemp = jnp.where(i < switch_step, temps, 1.0)  # (C,)
             sig = jnp.exp(state.log_step_w)  # (C,)
             m = _precond_diag(state, i)  # (C, W)
+            tau_cur = jnp.exp(state.eta)  # (C,)
             noise = (
                 jax.random.normal(kp, (c, w_dim), jnp.float32)
                 * sig[:, None]
@@ -1025,22 +1078,14 @@ def make_step_fn(
             )
             if is_mala:
                 sig2m = (sig * sig)[:, None] * m
-                g_cur = _g_post(
-                    state.g_like, state.w, jnp.exp(state.eta), adapttemp
-                )
+                g_cur = _g_post(state.g_like, state.w, tau_cur, adapttemp)
                 mean_fwd = state.w + 0.5 * sig2m * g_cur
             else:
                 mean_fwd = state.w
             w_prop = mean_fwd + noise
-
-            if is_regression:
-                eta_prop = state.eta + cfg.step_eta * jax.random.normal(ke, (c,))
-                tau_prop = jnp.exp(eta_prop)
-                prior_prop = b_prior(w_prop, tau_prop)
-            else:
-                eta_prop = state.eta
-                tau_prop = jnp.exp(eta_prop)
-                prior_prop = b_prior(w_prop)
+            prior_prop = (
+                b_prior(w_prop, tau_cur) if is_regression else b_prior(w_prop)
+            )
 
             g_like_prop = None
             fx_props = []
@@ -1049,13 +1094,11 @@ def make_step_fn(
                 (val, aux), g_like_prop = b_vg(w_prop)
                 if is_regression:
                     ll_prop = (-0.5 * n_train) * (
-                        likelihood._LOG_2PI + jnp.log(tau_prop)
-                    ) + val / tau_prop
+                        likelihood._LOG_2PI + state.eta
+                    ) + val / tau_cur
                     rmse_tr_prop = jnp.sqrt(-2.0 * val / n_train)
                     acc_tr_prop = jnp.zeros((c,), jnp.float32)
-                    ev_te = b_eval_te(
-                        w_prop, data.x_test, data.y_test, tau_prop
-                    )
+                    ev_te = b_eval_te(w_prop, data.x_test, data.y_test, tau_cur)
                     acc_te_prop = jnp.zeros((c,), jnp.float32)
                     if cfg.record_fx:
                         fx_props = [aux, ev_te.fx]
@@ -1075,16 +1118,16 @@ def make_step_fn(
                         fx_props = [pred, ev_te.fx]
                 rmse_te_prop = ev_te.rmse
                 # exact reverse-kernel q-ratio for the preconditioned
-                # Gaussian proposal (regression: the reverse drift uses the
-                # PROPOSED tau — the reverse move starts from (w', eta'))
-                g_prop = _g_post(g_like_prop, w_prop, tau_prop, adapttemp)
+                # Gaussian proposal (eta is fixed in this block, so both
+                # directions scale the cached gradient by the same tau)
+                g_prop = _g_post(g_like_prop, w_prop, tau_cur, adapttemp)
                 mean_rev = w_prop + 0.5 * sig2m * g_prop
                 diff_prop = (
                     jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
                     - jnp.sum(jnp.square(state.w - mean_rev) / m, axis=-1)
                 ) / (2.0 * sig * sig)
             else:
-                bundle, _ = _eval_bundle(state, w_prop, eta_prop, tau_prop)
+                bundle, _ = _eval_bundle(state, w_prop, state.eta, tau_cur)
                 (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop,
                  acc_te_prop, *fx_props) = bundle
                 diff_prop = jnp.zeros((c,), jnp.float32)
@@ -1108,7 +1151,6 @@ def make_step_fn(
             accept_w = accept[:, None]
             new_state = state._replace(
                 w=jnp.where(accept_w, w_prop, state.w),
-                eta=jnp.where(accept, eta_prop, state.eta),
                 ll=jnp.where(accept, ll_prop, state.ll),
                 prior=jnp.where(accept, prior_prop, state.prior),
                 w_last=jnp.where(accept_w, w_prop, state.w_last),
@@ -1132,6 +1174,44 @@ def make_step_fn(
             if cfg.record_w:
                 trace["w"] = new_state.w_last
 
+            if is_regression:
+                # eta-block: RW-MH on log noise variance, dataset-free.
+                # val = -SSE/2 recovered from the carried ll:
+                #   ll = -N/2 (log 2pi + eta) + val * e^-eta
+                sig_e = jnp.exp(state.log_step_eta)
+                eta_prop = state.eta + sig_e * jax.random.normal(ke, (c,))
+                val_cur = (
+                    new_state.ll
+                    + 0.5 * n_train * (likelihood._LOG_2PI + state.eta)
+                ) * jnp.exp(state.eta)
+                ll_eta = (-0.5 * n_train) * (
+                    likelihood._LOG_2PI + eta_prop
+                ) + val_cur * jnp.exp(-eta_prop)
+                # prior tau terms: -(1+nu1) log tau^2 - nu2 / tau^2
+                dprior = -(1.0 + cfg.nu_1) * (eta_prop - state.eta) - cfg.nu_2 * (
+                    jnp.exp(-eta_prop) - jnp.exp(-state.eta)
+                )
+                log_mh_e = (ll_eta - new_state.ll) / adapttemp + dprior
+                ue = jax.random.uniform(kue, (c,))
+                acc_e = ue < jnp.exp(jnp.minimum(log_mh_e, 0.0))
+                new_state = new_state._replace(
+                    eta=jnp.where(acc_e, eta_prop, state.eta),
+                    ll=jnp.where(acc_e, ll_eta, new_state.ll),
+                    prior=new_state.prior + jnp.where(acc_e, dprior, 0.0),
+                )
+                mh_e_prob = jnp.exp(jnp.minimum(log_mh_e, 0.0))
+                new_lse = jnp.clip(
+                    state.log_step_eta
+                    + jnp.where(
+                        i < burn_end_p,
+                        cfg.adapt_rate * (mh_e_prob - ETA_TARGET_ACCEPT),
+                        0.0,
+                    ),
+                    jnp.log(1e-4),
+                    jnp.log(10.0),
+                )
+                new_state = new_state._replace(log_step_eta=new_lse)
+
             # Welford accumulation of the post-decision w (burn-in only, so
             # the preconditioner estimate freezes with the adaptation)
             upd = (i < burn_end_p).astype(jnp.float32)
@@ -1139,8 +1219,9 @@ def make_step_fn(
             delta = new_state.w - state.pc_mean
             mean_new = state.pc_mean + upd * delta / jnp.maximum(cnt_new, 1.0)
             m2_new = state.pc_m2 + upd * delta * (new_state.w - mean_new)
-            # Robbins-Monro on the per-chain scale (frozen after burn-in,
-            # same freeze index as the adapt_step_size path)
+            # Robbins-Monro on the per-chain w-scale, driven by the w-block's
+            # own acceptance (frozen after burn-in, same freeze index as the
+            # adapt_step_size path)
             mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
             dlt = cfg.adapt_rate * (mh_prob - target_acc)
             new_lsw = jnp.clip(
@@ -1152,7 +1233,7 @@ def make_step_fn(
                 log_step_w=new_lsw, pc_mean=mean_new, pc_m2=m2_new
             )
             new_state = jax.lax.cond(
-                swap_due(cfg, i),
+                _swap_due(i),
                 lambda s: do_swap(s, i, ks),
                 lambda s: s,
                 new_state,

@@ -66,6 +66,16 @@ def conv1_relu_pool(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused conv1(SAME, 3x3)+bias+relu+avgpool2 -> (C, N, hw/2, hw/2, out_ch)."""
+    # fused-eval constraints: the kernel unrolls exactly 3x3 taps (k_taps
+    # below) and the in-VMEM pool reshape (n_t, hw/2, 2, hw/2, 2, LANES)
+    # only decomposes an EVEN image side; anything else must stay on the
+    # vmapped XLA path (cnn.spec(fused_eval=False))
+    if w1.shape[1:3] != (3, 3):
+        raise ValueError(
+            f"conv1_relu_pool supports 3x3 kernels only, got {w1.shape[1:3]}"
+        )
+    if hw % 2 != 0:
+        raise ValueError(f"conv1_relu_pool needs an even image side, got {hw}")
     c = w1.shape[0]
     n = x.shape[0]
     hw2 = hw // 2

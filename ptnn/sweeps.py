@@ -73,7 +73,69 @@ def maxtemp_sweep(
     return _run_grid(cfg, temps_batch, keys, train, test)
 
 
-def _run_grid(cfg, temps_batch, keys, train, test) -> Dict[str, np.ndarray]:
+def swap_interval_sweep(
+    cfg: PTConfig,
+    intervals: Sequence[int],
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """The reference's Res_SwapInterval sweep (multicore-pt-regression/
+    Res_SwapInterval/master_result_file.txt) as ONE vmapped program: swap
+    cadence enters the compiled step only as a step-index mask, so the
+    interval can be a per-cell traced scalar (kernel.make_step_fn
+    ``swap_interval_t``) instead of a recompile axis."""
+    cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
+    temps = jnp.asarray(
+        ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        ),
+        jnp.float32,
+    )
+    n = len(intervals)
+    temps_batch = jnp.broadcast_to(temps, (n,) + temps.shape)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    si = jnp.asarray(list(intervals), jnp.int32)
+    return _run_grid(cfg, temps_batch, keys, train, test, si_batch=si)
+
+
+def lprob_sweep(
+    cfg: PTConfig,
+    lprobs: Sequence[float],
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """The reference's Langevin-probability sweep (the regression driver's
+    ``l_prob = i/10`` loop, pt_timeseries_regression.py:991; committed as
+    Res_LG-Lprob/master_result_file.txt) as one vmapped program. Every cell
+    pays the Langevin drift (the Bernoulli threshold is traced), so the
+    l_prob=0 cell costs the same as l_prob=1 — one compile for the grid."""
+    cfg = dataclasses.replace(
+        cfg, record_w=False, record_fx=False, use_langevin_gradients=True
+    ).validate()
+    temps = jnp.asarray(
+        ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        ),
+        jnp.float32,
+    )
+    n = len(lprobs)
+    temps_batch = jnp.broadcast_to(temps, (n,) + temps.shape)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    lp = jnp.asarray(list(lprobs), jnp.float32)
+    return _run_grid(cfg, temps_batch, keys, train, test, lp_batch=lp)
+
+
+def _run_grid(
+    cfg,
+    temps_batch,
+    keys,
+    train,
+    test,
+    si_batch=None,
+    lp_batch=None,
+) -> Dict[str, np.ndarray]:
     data = make_dataset(cfg, train, test)
     n_steps = cfg.n_steps
     switch = cfg.temper_switch_step
@@ -81,12 +143,15 @@ def _run_grid(cfg, temps_batch, keys, train, test) -> Dict[str, np.ndarray]:
     is_reg = cfg.task == "regression"
     metric = "rmse_test" if is_reg else "acc_test"
 
-    def run_one(temps, key):
-        # make_step_fn closes over `temps`, which is a tracer here — the
-        # whole sampler vmaps over the sweep axis.
+    def run_one(temps, key, si, lp):
+        # make_step_fn closes over `temps` (and optionally the traced swap
+        # interval / langevin prob), which are tracers here — the whole
+        # sampler vmaps over the sweep axis.
         k_init, k_run = jax.random.split(key)
         state = kernel.init_state(k_init, cfg, data)
-        step = kernel.make_step_fn(cfg, data, temps)
+        step = kernel.make_step_fn(
+            cfg, data, temps, swap_interval_t=si, langevin_prob_t=lp
+        )
         bounds = [(0, switch), (switch, n_steps)] if 0 < switch < n_steps else [
             (0, n_steps)
         ]
@@ -115,5 +180,16 @@ def _run_grid(cfg, temps_batch, keys, train, test) -> Dict[str, np.ndarray]:
             "swap_pct": swap_pct,
         }
 
-    out = fast_jit(jax.vmap(run_one))(temps_batch, keys)
+    n_cells = temps_batch.shape[0]
+    if si_batch is None:
+        si_batch = jnp.full((n_cells,), cfg.swap_interval, jnp.int32)
+        run = lambda t, k, si, lp: run_one(t, k, None, lp)
+    else:
+        run = run_one
+    if lp_batch is None:
+        lp_batch = jnp.full((n_cells,), cfg.langevin_prob, jnp.float32)
+        run2 = lambda t, k, si, lp, _r=run: _r(t, k, si, None)
+    else:
+        run2 = run
+    out = fast_jit(jax.vmap(run2))(temps_batch, keys, si_batch, lp_batch)
     return {k: np.asarray(v) for k, v in out.items()}

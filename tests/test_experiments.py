@@ -82,8 +82,15 @@ def test_compare_benchmark_cli(tmp_path):
         ["--task", "regression", "--problem", "Sunspot", "--restarts", "2", "--out", out]
     )
     rows = open(out).read().strip().splitlines()
-    assert len(rows) == 3  # adam, sgd, rf
-    assert rows[0].startswith("Sunspot adam")
+    assert len(rows) == 4  # run header + adam, sgd, rf
+    assert rows[0].startswith("# run ")  # provenance delimiter per run
+    assert rows[1].startswith("Sunspot adam")
+    # a second run appends with its own header (mixed-provenance guard)
+    cb_cli.main(
+        ["--task", "regression", "--problem", "Sunspot", "--restarts", "2", "--out", out]
+    )
+    rows = open(out).read().strip().splitlines()
+    assert len(rows) == 8 and rows[4].startswith("# run ")
 
 
 def test_preprocess_pipelines_regenerate_bundled_files():

@@ -105,44 +105,44 @@ def test_gradient_cache_consistency(sunspot):
 
 
 def test_preconditioner_freezes_after_burnin(sunspot):
-    """pc_mean/pc_m2 and log_step_w stop changing after burn-in: compare the
-    final state of a full run against a run truncated at the burn-in end —
-    adaptation state must be identical (frozen) while w keeps moving."""
+    """pc_mean/pc_m2, log_step_w, and log_step_eta stop changing after
+    burn-in: drive one trajectory with a single compiled chunk executable,
+    snapshot at the first chunk boundary past the freeze index, and compare
+    against the end of the run — the adaptation state must be bit-identical
+    (the masked updates multiply by exactly zero) while w keeps moving."""
     steps = 400
-    cfg_full = mala_cfg(num_samples=8 * steps, chunk_steps=100)
-    burn_end = int(cfg_full.samples_per_chain * cfg_full.burn_in) - 1
-    res = sample(cfg_full, *sunspot, seed=2)
-    # rerun and capture the state exactly at the freeze point by using the
-    # chunked sampler with chunk boundary at burn_end
-    cfg_half = mala_cfg(num_samples=8 * steps, chunk_steps=100)
-    data = make_dataset(cfg_half, *sunspot)
+    cfg = mala_cfg(num_samples=8 * steps, chunk_steps=100)
+    burn_end = int(cfg.samples_per_chain * cfg.burn_in) - 1  # 199
+    data = make_dataset(cfg, *sunspot)
     from ptnn.ops import ladder
     from ptnn.sampler import _step_keys
 
     temps = jax.numpy.asarray(
-        ladder.assign_temperatures(cfg_half.num_chains, cfg_half.maxtemp),
+        ladder.assign_temperatures(cfg.num_chains, cfg.maxtemp),
         jax.numpy.float32,
     )
     key = jax.random.PRNGKey(2)
     k_init, k_run = jax.random.split(key)
-    state = kernel.init_state(k_init, cfg_half, data)
-    step = kernel.make_step_fn(cfg_half, data, temps)
+    state = kernel.init_state(k_init, cfg, data)
+    step = kernel.make_step_fn(cfg, data, temps)
 
     @jax.jit
-    def run(st):
-        idx = jax.numpy.arange(burn_end)
-        st, _ = jax.lax.scan(step, st, (idx, _step_keys(k_run, 0, burn_end)))
+    def chunk(st, start):
+        idx = start + jax.numpy.arange(100)
+        st, _ = jax.lax.scan(step, st, (idx, _step_keys(k_run, start, 100)))
         return st
 
-    st_burn = jax.device_get(run(state))
-    st_final = res.final_state
-    # the adaptation state at burn-in end must match the END-of-run state
-    # (post-burn-in steps leave it untouched); tolerance because the two
-    # scans compile to differently-fused programs
-    np.testing.assert_allclose(st_burn.pc_m2, st_final.pc_m2, rtol=1e-3)
-    np.testing.assert_allclose(st_burn.pc_mean, st_final.pc_mean, rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(st_burn.log_step_w, st_final.log_step_w, rtol=1e-4)
-    assert not np.array_equal(st_burn.w, st_final.w)
+    snap = None
+    for start in range(0, 300, 100):  # chunk boundaries at 100, 200, 300
+        state = chunk(state, jax.numpy.asarray(start, jax.numpy.int32))
+        if start + 100 > burn_end and snap is None:
+            snap = jax.device_get(state)  # first boundary past the freeze
+    st_final = jax.device_get(state)
+    np.testing.assert_array_equal(snap.pc_m2, st_final.pc_m2)
+    np.testing.assert_array_equal(snap.pc_mean, st_final.pc_mean)
+    np.testing.assert_array_equal(snap.log_step_w, st_final.log_step_w)
+    np.testing.assert_array_equal(snap.log_step_eta, st_final.log_step_eta)
+    assert not np.array_equal(snap.w, st_final.w)
 
 
 def test_mala_classification_smoke():
