@@ -133,10 +133,29 @@ class PTConfig:
     # Step at which M_c activates, as a fraction of samples_per_chain (before
     # that: identity preconditioner while Welford statistics accumulate).
     precond_start_frac: float = 0.125
+    # Shrinkage exponent on the normalized variance estimate:
+    # M = clip(var/mean(var))^power. 1.0 = full empirical preconditioner,
+    # 0.0 = identity (pure adaptive MALA/RW). Fractional powers damp noisy
+    # Welford ratios — essential at high parameter counts (CNN: d~4k with a
+    # burn-in of ~1.5k samples gives variance ratios that are mostly noise;
+    # a full-power M freezes most dimensions).
+    precond_power: float = 1.0
     # Robbins-Monro acceptance target for precond_mala (0.574 is the optimal
     # MALA acceptance rate, Roberts & Rosenthal 1998); precond_rw uses
     # adapt_target_accept (0.234, the RW optimum).
     mala_target_accept: float = 0.574
+    # Deterministic warm start (precond_mala only): for the first
+    # ``warmstart_frac`` of the run, chains take normalized gradient-ascent
+    # steps on their tempered log-posterior (per-coordinate RMS step
+    # ``warmstart_step``) with no MH test. An MCMC initialization scheme, not
+    # a sampling kernel — it ends well inside burn-in (validation requires
+    # warmstart_frac < precond_start_frac < burn_in), so posterior exactness
+    # is untouched while chains reach the typical set in O(100) steps instead
+    # of O(10k) tiny MALA moves (the d~4k CNN stalls at ~16% test acc in
+    # 3000 steps without it). Scale and Welford adaptation only start after
+    # the warm start, so M is estimated around the mode it lands in.
+    warmstart_frac: float = 0.0
+    warmstart_step: float = 0.01
 
     # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
     # with a likelihood rescale (pt_classification.py:302,317-324). The
@@ -274,6 +293,10 @@ class PTConfig:
                 )
         if self.proposal not in ("reference", "precond_rw", "precond_mala"):
             raise ValueError(f"unknown proposal {self.proposal!r}")
+        if self.warmstart_frac and self.proposal != "precond_mala":
+            raise ValueError(
+                "warmstart_frac needs gradients: precond_mala only"
+            )
         if self.proposal != "reference":
             if self.use_langevin_gradients:
                 raise ValueError(
@@ -296,6 +319,12 @@ class PTConfig:
                     "precond_start_frac must lie in (0, burn_in): the "
                     "preconditioner freezes at burn-in end and needs Welford "
                     "samples before activating"
+                )
+            if not 0.0 <= self.warmstart_frac < self.precond_start_frac:
+                raise ValueError(
+                    "warmstart_frac must lie in [0, precond_start_frac): "
+                    "Welford statistics are collected between warm-start end "
+                    "and preconditioner activation"
                 )
         if self.proposal == "precond_mala" and self.stale_likelihood_after_swap:
             raise ValueError(

@@ -94,6 +94,36 @@ def main(argv=None) -> None:
         action="store_true",
         help="adapt per-chain step sizes toward 23.4%% acceptance in burn-in",
     )
+    p.add_argument(
+        "--mala",
+        action="store_true",
+        help="preconditioned MALA proposals (PTConfig.proposal="
+        "'precond_mala'): per-chain adapted scales + Welford diagonal "
+        "preconditioner, the flagship gradient mode — supersedes "
+        "--adapt/--lr (the epoch-drift machinery is bypassed entirely)",
+    )
+    p.add_argument(
+        "--warmstart-frac", type=float, default=0.0,
+        help="fraction of the run spent on normalized-gradient warm start "
+        "before MALA sampling begins (PTConfig.warmstart_frac; ends inside "
+        "burn-in, so posterior draws are unaffected)",
+    )
+    p.add_argument("--warmstart-step", type=float, default=0.01)
+    p.add_argument(
+        "--precond-start", type=float, default=0.125,
+        help="PTConfig.precond_start_frac (must exceed --warmstart-frac)",
+    )
+    p.add_argument(
+        "--precond-power", type=float, default=1.0,
+        help="shrinkage exponent on the MALA diagonal preconditioner "
+        "(PTConfig.precond_power); 0 disables the empirical M",
+    )
+    p.add_argument(
+        "--swap-style", default=None, choices=("bubbling", "even_odd"),
+        help="replica-exchange sweep structure (default: bubbling; "
+        "even_odd is the vectorized DEO scheme, recommended with --mala "
+        "and small --swap-interval)",
+    )
     args = p.parse_args(argv)
 
     if args.lr is None:
@@ -111,7 +141,7 @@ def main(argv=None) -> None:
             num_samples=args.chains * args.steps,
             num_chains=args.chains,
             maxtemp=args.maxtemp,
-            use_langevin_gradients=True,
+            use_langevin_gradients=not args.mala,
             learn_rate=args.lr,
         ),
         swap_interval=args.swap_interval,
@@ -120,15 +150,23 @@ def main(argv=None) -> None:
             args.drift_microbatch
             if args.drift_microbatch
             # auto: largest divisor of the chain count <= 4, only at the
-            # scale where the vmapped grad drift overruns device memory
+            # scale where the vmapped grad drift/eval-grad overruns memory
             else next(
                 m for m in (4, 2, 1)
                 if args.chains >= 1024 and args.chains % m == 0
             ) if args.chains >= 1024 else 1
         ),
-        adapt_step_size=args.adapt,
+        adapt_step_size=args.adapt and not args.mala,
+        proposal="precond_mala" if args.mala else "reference",
+        precond_power=args.precond_power,
+        precond_start_frac=args.precond_start,
+        warmstart_frac=args.warmstart_frac,
+        warmstart_step=args.warmstart_step,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
         chunk_steps=min(args.chunk_steps, args.steps),
+        **(
+            {"swap_style": args.swap_style} if args.swap_style else {}
+        ),
     )
     mesh = None
     if args.mesh:

@@ -1014,6 +1014,9 @@ def make_step_fn(
             cfg.mala_target_accept if is_mala else cfg.adapt_target_accept
         )
         n_train = data.y_train.shape[0]
+        warm_end = (
+            int(cfg.samples_per_chain * cfg.warmstart_frac) if is_mala else 0
+        )
         if is_mala:
             b_vg = _like_value_and_grad(cfg, spec, data)
 
@@ -1023,11 +1026,15 @@ def make_step_fn(
             lives in the adapted sigma). Identity until ``pc_start``;
             constant after burn-in because the accumulators freeze."""
             cnt = jnp.maximum(
-                jnp.minimum(i, burn_end_p).astype(jnp.float32), 1.0
+                (jnp.minimum(i, burn_end_p) - warm_end).astype(jnp.float32),
+                1.0,
             )
             var = state.pc_m2 / cnt
             m = var / jnp.maximum(jnp.mean(var, axis=1, keepdims=True), 1e-30)
             m = jnp.clip(m, 1e-4, 1e4)
+            if cfg.precond_power != 1.0:
+                # geometric shrinkage toward identity (config.precond_power)
+                m = jnp.power(m, cfg.precond_power)
             return jnp.where(i >= pc_start, m, jnp.ones_like(m))
 
         def _g_post(g_like, w, tau_sq, adapttemp):
@@ -1083,6 +1090,18 @@ def make_step_fn(
             else:
                 mean_fwd = state.w
             w_prop = mean_fwd + noise
+            if warm_end > 0:
+                # deterministic warm start: per-coordinate-RMS-normalized
+                # gradient ascent on the tempered log posterior (see
+                # PTConfig.warmstart_frac — an initialization scheme, forced
+                # accept below, all adaptation masked until it ends)
+                g_rms = jnp.sqrt(
+                    jnp.mean(jnp.square(g_cur), axis=-1, keepdims=True)
+                )
+                w_warm = state.w + cfg.warmstart_step * g_cur / jnp.maximum(
+                    g_rms, 1e-12
+                )
+                w_prop = jnp.where(i < warm_end, w_warm, w_prop)
             prior_prop = (
                 b_prior(w_prop, tau_cur) if is_regression else b_prior(w_prop)
             )
@@ -1140,6 +1159,8 @@ def make_step_fn(
             )
             u = jax.random.uniform(ku, (c,))
             accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
+            if warm_end > 0:
+                accept = jnp.logical_or(accept, i < warm_end)
             trace = {
                 "ll": ll_record,
                 "rmse_train": jnp.where(accept, rmse_tr_prop, state.rmse_train),
@@ -1212,10 +1233,18 @@ def make_step_fn(
                 )
                 new_state = new_state._replace(log_step_eta=new_lse)
 
-            # Welford accumulation of the post-decision w (burn-in only, so
-            # the preconditioner estimate freezes with the adaptation)
-            upd = (i < burn_end_p).astype(jnp.float32)
-            cnt_new = jnp.minimum(i + 1, burn_end_p).astype(jnp.float32)
+            # Welford accumulation of the post-decision w (between warm-start
+            # end and burn-in end, so the preconditioner is estimated around
+            # the landed mode and freezes with the adaptation)
+            upd = jnp.logical_and(i >= warm_end, i < burn_end_p).astype(
+                jnp.float32
+            )
+            cnt_new = jnp.maximum(
+                (jnp.minimum(i + 1, burn_end_p) - warm_end).astype(
+                    jnp.float32
+                ),
+                1.0,
+            )
             delta = new_state.w - state.pc_mean
             mean_new = state.pc_mean + upd * delta / jnp.maximum(cnt_new, 1.0)
             m2_new = state.pc_m2 + upd * delta * (new_state.w - mean_new)
@@ -1225,7 +1254,10 @@ def make_step_fn(
             mh_prob = jnp.exp(jnp.minimum(log_mh, 0.0))
             dlt = cfg.adapt_rate * (mh_prob - target_acc)
             new_lsw = jnp.clip(
-                state.log_step_w + jnp.where(i < burn_end_p, dlt, 0.0),
+                state.log_step_w
+                + jnp.where(
+                    jnp.logical_and(i >= warm_end, i < burn_end_p), dlt, 0.0
+                ),
                 jnp.log(1e-6),
                 jnp.log(10.0),
             )
