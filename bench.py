@@ -8,18 +8,39 @@ on the regression suite (BASELINE.md "Throughput": ~35-45 steps/s/chain x 10
 chains, Res_RW master_result_file.txt). Here the whole 64-chain temperature
 ladder is one fused XLA scan on a single TPU chip.
 
-ESS/sec (the BASELINE.json quality-per-second metric) is reported for three
-flagship variants in the same JSON object:
-  * rw        — the reference's headline random-walk mode
-  * lg_pallas — Langevin proposals via the Pallas drift kernel
-  * adaptive  — RW with per-chain Robbins-Monro step-size adaptation
-                (adapt_rate=0.1; freezes after burn-in, so exact)
-Method: ESS-per-draw from a trace-recording run (multi_ess over post-burn-in
-cold-chain parameter draws), multiplied by the steady-state per-chain step
-rate of the matching fused (trace-free) config — i.e. steady-state ESS/sec
-with trace streaming amortized. Each variant carries its final cold-chain
-test RMSE so speed is never detached from posterior quality (reference
-committed Sunspot RW test RMSE: 0.0239, Res_RW/master_result_file.txt:2).
+Measurement protocol (the tunneled single-chip backend has ±30-40% run-to-run
+variance, so single-shot numbers are meaningless):
+
+* throughput: every variant is compiled once, then the reps are INTERLEAVED
+  across variants (rep 1 of each, rep 2 of each, ...); the JSON reports the
+  per-variant median and IQR over >=3 reps.
+* ESS/sec: ESS-per-draw over the post-burn-in cold-chain parameter draws
+  (ops/ess.multi_ess) from 3 seeded trace runs, each converted to ESS/sec
+  with the variant's median steady-state step rate; reported as the
+  median + IQR over seeds. RMSE follows the committed table's semantics —
+  the reference pools post-burn-in rows across ALL chains
+  (pt_timeseries_regression.py show_results), so the quality figure is the
+  pooled mean of the rmse_test trace, median over seeds; the cold chain's
+  own posterior mean is reported alongside.
+
+Variants (canonical names — COVERAGE/README cite this file's output):
+  * rw          — the reference's headline random-walk mode, reference swap
+                  machinery (bubbling sweep every 100 steps)
+  * rw_adaptive — rw + per-chain Robbins-Monro step-size adaptation
+                  (formerly reported as "adaptive")
+  * lg_pallas   — reference Langevin proposals via the Pallas drift kernel
+                  (opt-in via --full: its compile+run time pushes the default
+                  bench past the tunneled backend's comfort zone)
+  * mala        — the TPU-first flagship: preconditioned MALA (fused
+                  value_and_grad proposals, Welford diagonal M, warm start)
+                  with even/odd (DEO) swaps every 10 steps
+                  (PTConfig.proposal="precond_mala", swap_style="even_odd")
+
+Reference quality bar: committed Sunspot RW test RMSE 0.0239
+(multicore-pt-regression/Res_RW/master_result_file.txt:2).
+
+``--scaling`` runs the chain-count scaling curve instead (64..4096 FNN
+chains + digits-CNN points) and writes results/scaling.md.
 """
 
 from __future__ import annotations
@@ -31,17 +52,19 @@ import sys
 sys.path.insert(0, ".")
 
 
-def main() -> None:
+def _median_iqr(xs):
     import numpy as np
 
+    xs = np.asarray(xs, float)
+    return (
+        float(np.median(xs)),
+        [float(np.percentile(xs, 25)), float(np.percentile(xs, 75))],
+    )
+
+
+def _variants(chains: int, steps_per_chain: int, full: bool = False):
     import ptnn
-    from ptnn.data import load_regression
-    from ptnn.ops import ess as ess_mod
 
-    prob = load_regression("Sunspot")
-
-    chains = 64
-    steps_per_chain = 5000
     cfg = ptnn.PTConfig(
         task="regression",
         topology=(4, 10, 1),
@@ -54,52 +77,100 @@ def main() -> None:
         use_langevin_gradients=False,  # RW: the reference's headline mode
         record_w=False,
     ).validate()
-
-    variants = {
+    out = {
         "rw": cfg,
-        "lg_pallas": dataclasses.replace(
-            cfg, use_langevin_gradients=True, drift_mode="pallas"
-        ).validate(),
-        "adaptive": dataclasses.replace(
+        "rw_adaptive": dataclasses.replace(
             cfg, adapt_step_size=True, adapt_rate=0.1
         ).validate(),
+        "mala": dataclasses.replace(
+            cfg,
+            proposal="precond_mala",
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+        ).validate(),
     }
+    if full:
+        out["lg_pallas"] = dataclasses.replace(
+            cfg, use_langevin_gradients=True, drift_mode="pallas"
+        ).validate()
+    return out
 
-    headline = None
+
+def main() -> None:
+    import numpy as np
+
+    import ptnn
+    from ptnn.data import load_regression
+    from ptnn.ops import ess as ess_mod
+
+    prob = load_regression("Sunspot")
+    chains = 64
+    variants = _variants(
+        chains, steps_per_chain=5000, full="--full" in sys.argv[1:]
+    )
+
+    # compile all runners, then interleave the timed reps
+    runners = {
+        tag: ptnn.throughput_runner(vcfg, prob.train, prob.test, seed=0)
+        for tag, vcfg in variants.items()
+    }
+    reps = {tag: [] for tag in variants}
+    last = {}
+    for _ in range(3):
+        for tag, runner in runners.items():
+            st = runner()
+            reps[tag].append(st["chain_steps_per_sec"])
+            last[tag] = st
+
     ess_per_sec = {}
     quality = {}
+    quality_cold = {}
     notes = []
     for tag, vcfg in variants.items():
-        stats = ptnn.throughput_run(vcfg, prob.train, prob.test, seed=0)
-        if tag == "rw":
-            headline = stats
-        # ESS-per-draw: shorter trace-recording run on the same config
+        sps_med, sps_iqr = _median_iqr(reps[tag])
         ess_cfg = dataclasses.replace(
-            vcfg, num_samples=vcfg.num_chains * 4000, record_w=True,
+            vcfg,
+            num_samples=vcfg.num_chains * 4000,
+            record_w=True,
             chunk_steps=500,
         ).validate()
-        # ESS estimates over 2000 draws are noisy (2-3x seed spread):
-        # average ESS-per-draw across 3 seeds for a stable report
-        ess_vals, rmses, draws = [], [], 0
+        ess_s_seeds, rmse_seeds, rmse_cold_seeds, ess_draws = [], [], [], []
+        draws = 0
         for seed in (1, 2, 3):
             res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=seed)
             b = ess_cfg.samples_per_chain // 2
             cold = np.asarray(res.traces["w"][b:, 0, :])
             draws = cold.shape[0]
-            ess_vals.append(ess_mod.multi_ess(cold, max_params=16))
-            rmses.append(float(res.traces["rmse_test"][-1, 0]))
-        ess_val = float(np.mean(ess_vals))
-        steps_per_sec_per_chain = stats["chain_steps_per_sec"] / chains
-        ess_per_sec[tag] = round((ess_val / draws) * steps_per_sec_per_chain, 1)
-        quality[tag] = round(float(np.mean(rmses)), 4)
+            e = ess_mod.multi_ess(cold, max_params=16)
+            ess_draws.append(e)
+            ess_s_seeds.append((e / draws) * (sps_med / chains))
+            # reference table semantics: post-burn-in rows pooled over all
+            # chains (show_results drops 50% then averages everything)
+            rmse_seeds.append(
+                float(np.mean(res.traces["rmse_test"][b:, :]))
+            )
+            rmse_cold_seeds.append(
+                float(np.mean(res.traces["rmse_test"][b:, 0]))
+            )
+        e_med, e_iqr = _median_iqr(ess_s_seeds)
+        ess_per_sec[tag] = {
+            "value": round(e_med, 1),
+            "iqr": [round(x, 1) for x in e_iqr],
+        }
+        quality[tag] = round(float(np.median(rmse_seeds)), 4)
+        quality_cold[tag] = round(float(np.median(rmse_cold_seeds)), 4)
         notes.append(
-            f"{tag}: {stats['chain_steps_per_sec']:,.0f} steps/s, ESS "
-            f"{ess_val:.0f}/{draws} draws (3-seed mean) -> "
-            f"{ess_per_sec[tag]} ESS/s, RMSE {quality[tag]}, "
-            f"accept {stats['accept_pct']:.1f}%, swap {stats['swap_pct']:.1f}%"
+            f"{tag}: {sps_med:,.0f} steps/s (IQR {sps_iqr[0]:,.0f}-"
+            f"{sps_iqr[1]:,.0f}), ESS {np.median(ess_draws):.0f}/{draws} "
+            f"draws -> {e_med:.0f} ESS/s (IQR {e_iqr[0]:.0f}-{e_iqr[1]:.0f})"
+            f", pooled RMSE {quality[tag]} (cold {quality_cold[tag]}), accept "
+            f"{last[tag]['accept_pct']:.1f}%, swap {last[tag]['swap_pct']:.1f}%"
         )
 
-    value = headline["chain_steps_per_sec"]
+    value, iqr = _median_iqr(reps["rw"])
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
     print(
         json.dumps(
@@ -108,9 +179,13 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "chain-steps/s",
                 "vs_baseline": round(value / baseline, 2),
+                "iqr": [round(x, 1) for x in iqr],
+                "reps": 3,
                 "ess_per_sec": ess_per_sec,
-                "rmse_test_cold": quality,
+                "rmse_test_pooled_mean": quality,
+                "rmse_test_cold_posterior_mean": quality_cold,
                 "ref_rmse_test": 0.0239,
+                "flagship": "mala",
             }
         )
     )
@@ -118,5 +193,74 @@ def main() -> None:
         print("# " + n, file=sys.stderr)
 
 
+def scaling() -> None:
+    """Chain-count scaling on one chip: steps/s and cold-chain ESS/s,
+    FNN (Sunspot) 64..4096 chains + digits-CNN 256/1024. Writes
+    results/scaling.md (VERDICT r2 item 7)."""
+    import numpy as np
+
+    import ptnn
+    from ptnn.data import load_digits, load_regression
+    from ptnn.models import cnn
+    from ptnn.ops import ess as ess_mod
+
+    prob = load_regression("Sunspot")
+    rows = []
+    for chains in (64, 256, 1024, 4096):
+        cfg = _variants(chains, steps_per_chain=2000)["mala"]
+        runner = ptnn.throughput_runner(cfg, prob.train, prob.test, seed=0)
+        sps = float(np.median([runner()["chain_steps_per_sec"] for _ in range(3)]))
+        ess_cfg = dataclasses.replace(
+            cfg, num_samples=chains * 2000, record_w=True, chunk_steps=500
+        ).validate()
+        res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
+        b = ess_cfg.samples_per_chain // 2
+        cold = np.asarray(res.traces["w"][b:, 0, :])
+        e = ess_mod.multi_ess(cold, max_params=16)
+        ess_s = (e / cold.shape[0]) * (sps / chains)
+        rows.append(
+            f"| fnn-sunspot mala | {chains} | {sps:,.0f} | {e:.0f}/{cold.shape[0]} | {ess_s:.0f} |"
+        )
+        print(rows[-1], flush=True)
+    digits = load_digits(0)
+    for chains in (256, 1024):
+        cfg = dataclasses.replace(
+            ptnn.classification_preset(
+                digits.topology,
+                num_samples=chains * 1000,
+                num_chains=chains,
+                maxtemp=5.0,
+            ),
+            swap_interval=10,
+            swap_style="even_odd",
+            proposal="precond_mala",
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            step_w=0.01,
+            record_w=False,
+            drift_chain_microbatch=4 if chains >= 1024 else 1,
+        ).validate()
+        spec = cnn.digits_spec()
+        runner = ptnn.throughput_runner(
+            cfg, digits.train, digits.test, seed=0, model_spec=spec
+        )
+        sps = float(np.median([runner()["chain_steps_per_sec"] for _ in range(3)]))
+        rows.append(f"| cnn-digits mala | {chains} | {sps:,.0f} | - | - |")
+        print(rows[-1], flush=True)
+    header = (
+        "# Chain-count scaling (single chip)\n\n"
+        "Median of 3 reps per point; ESS on the cold chain over the last\n"
+        "1000 draws (seed 1). Generated by `python bench.py --scaling`.\n\n"
+        "| config | chains | chain-steps/s | ESS/draws | ESS/s |\n"
+        "|---|---|---|---|---|\n"
+    )
+    with open("results/scaling.md", "w") as f:
+        f.write(header + "\n".join(rows) + "\n")
+    print("wrote results/scaling.md")
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        scaling()
+    else:
+        main()

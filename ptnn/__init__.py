@@ -10,7 +10,13 @@ XLA program with a ``(chains, ...)`` leading axis, sharded over a TPU mesh.
 
 from ptnn.config import PTConfig, classification_preset, regression_preset
 from ptnn.kernel import ChainState, Dataset, init_state, make_step_fn
-from ptnn.sampler import SampleResult, make_dataset, sample, throughput_run
+from ptnn.sampler import (
+    SampleResult,
+    make_dataset,
+    sample,
+    throughput_run,
+    throughput_runner,
+)
 from ptnn import checkpoint, data, mcmc, profiling, results, sweeps
 
 __version__ = "0.1.0"
@@ -27,6 +33,7 @@ __all__ = [
     "make_dataset",
     "sample",
     "throughput_run",
+    "throughput_runner",
     "checkpoint",
     "data",
     "mcmc",
