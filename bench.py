@@ -204,14 +204,24 @@ def scaling() -> None:
     from ptnn.models import cnn
     from ptnn.ops import ess as ess_mod
 
+    only = [int(a) for a in sys.argv[1:] if a.isdigit()]
     prob = load_regression("Sunspot")
     rows = []
     for chains in (64, 256, 1024, 4096):
+        if "cnn" in sys.argv[1:] or (only and chains not in only):
+            continue
         cfg = _variants(chains, steps_per_chain=2000)["mala"]
         runner = ptnn.throughput_runner(cfg, prob.train, prob.test, seed=0)
         sps = float(np.median([runner()["chain_steps_per_sec"] for _ in range(3)]))
+        # cold-chain-only w trace (record_w_chains=1): the full-w trace at
+        # >=1024 chains is a multi-100MB tunnel transfer (wedges); this keeps
+        # the bench-consistent multi-parameter w ESS at a few-MB fetch
         ess_cfg = dataclasses.replace(
-            cfg, num_samples=chains * 2000, record_w=True, chunk_steps=500
+            cfg,
+            num_samples=chains * 2000,
+            record_w=True,
+            record_w_chains=1,
+            chunk_steps=500,
         ).validate()
         res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=1)
         b = ess_cfg.samples_per_chain // 2
@@ -224,10 +234,15 @@ def scaling() -> None:
         print(rows[-1], flush=True)
     digits = load_digits(0)
     for chains in (256, 1024):
+        if only and ("cnn" not in sys.argv[1:] or chains not in only):
+            continue
+        # short fused run: a 1000-step 1024-chain CNN scan is a single >60 s
+        # XLA execution, which crashes the tunneled worker (memory: serial-
+        # TPU rule); 250 steps keeps it ~15-20 s with the same steady rate
         cfg = dataclasses.replace(
             ptnn.classification_preset(
                 digits.topology,
-                num_samples=chains * 1000,
+                num_samples=chains * 250,
                 num_chains=chains,
                 maxtemp=5.0,
             ),
@@ -249,14 +264,24 @@ def scaling() -> None:
         print(rows[-1], flush=True)
     header = (
         "# Chain-count scaling (single chip)\n\n"
-        "Median of 3 reps per point; ESS on the cold chain over the last\n"
-        "1000 draws (seed 1). Generated by `python bench.py --scaling`.\n\n"
+        "Median of 3 reps per point; cold-chain multi-parameter w ESS over\n"
+        "the last 1000 draws (seed 1), as in bench.py. Generated by\n"
+        "`python bench.py --scaling`\n"
+        "(point-by-point on the tunneled chip: pass chain counts, and\n"
+        "`cnn` for the CNN points, to append selected rows).\n\n"
         "| config | chains | chain-steps/s | ESS/draws | ESS/s |\n"
         "|---|---|---|---|---|\n"
     )
-    with open("results/scaling.md", "w") as f:
-        f.write(header + "\n".join(rows) + "\n")
-    print("wrote results/scaling.md")
+    import os
+
+    path = "results/scaling.md"
+    if os.path.exists(path) and only:
+        with open(path, "a") as f:
+            f.write("\n".join(rows) + "\n")
+    else:
+        with open(path, "w") as f:
+            f.write(header + "\n".join(rows) + "\n")
+    print(f"wrote {path} (+{len(rows)} rows)")
 
 
 if __name__ == "__main__":

@@ -206,6 +206,11 @@ class PTConfig:
     # stays float32 (strict proposal parity).
     eval_dtype: str = "float32"
     record_w: bool = True  # record full pos_w trace (the posterior)
+    # Record the pos_w trace for only the first k chains (0 = all). The
+    # trace is (samples, k, w_size): at 1024+ chains a full-w trace is a
+    # multi-100MB host fetch per run — cold-chain-only (k=1) keeps ESS
+    # diagnostics cheap on the tunneled backend.
+    record_w_chains: int = 0
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
 

@@ -381,6 +381,11 @@ def make_step_fn(
         cfg.swap_interval if swap_interval_t is None else swap_interval_t
     )
 
+    def _w_trace(w_last: jax.Array) -> jax.Array:
+        # cfg.record_w_chains: trace only the first k chains' pos_w rows
+        k = cfg.record_w_chains
+        return w_last[:k] if k > 0 else w_last
+
     def _swap_due(i) -> jax.Array:
         if swap_interval_t is None:
             return swap_due(cfg, i)
@@ -779,7 +784,7 @@ def make_step_fn(
             trace["fx_train"] = new_state.fx_train
             trace["fx_test"] = new_state.fx_test
         if cfg.record_w:
-            trace["w"] = new_state.w_last
+            trace["w"] = _w_trace(new_state.w_last)
 
         new_state = jax.lax.cond(
             _swap_due(i),
@@ -889,7 +894,7 @@ def make_step_fn(
                 trace["fx_train"] = st.fx_train
                 trace["fx_test"] = st.fx_test
             if cfg.record_w:
-                trace["w"] = st.w_last
+                trace["w"] = _w_trace(st.w_last)
             new_state = st._replace(
                 w=jnp.where(accept[:, None], w_prop, st.w),
                 eta=jnp.where(accept, eta_prop, st.eta),
@@ -960,7 +965,7 @@ def make_step_fn(
                 trace["fx_train"] = new_state.fx_train
                 trace["fx_test"] = new_state.fx_test
             if cfg.record_w:
-                trace["w"] = new_state.w_last
+                trace["w"] = _w_trace(new_state.w_last)
             return new_state, trace, log_mh, push1, push2
 
         def plain_branch(st: ChainState):
@@ -1193,7 +1198,7 @@ def make_step_fn(
                 trace["fx_train"] = new_state.fx_train
                 trace["fx_test"] = new_state.fx_test
             if cfg.record_w:
-                trace["w"] = new_state.w_last
+                trace["w"] = _w_trace(new_state.w_last)
 
             if is_regression:
                 # eta-block: RW-MH on log noise variance, dataset-free.

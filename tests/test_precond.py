@@ -145,6 +145,43 @@ def test_preconditioner_freezes_after_burnin(sunspot):
     assert not np.array_equal(snap.w, st_final.w)
 
 
+def test_record_w_chains_subset(sunspot):
+    """record_w_chains=1 must trace exactly the cold chain's pos_w rows of
+    the full-trace run (same RNG stream, same trajectory)."""
+    cfg_full = mala_cfg(num_samples=8 * 200, chunk_steps=100)
+    cfg_cold = dataclasses.replace(cfg_full, record_w_chains=1).validate()
+    rf = sample(cfg_full, *sunspot, seed=7)
+    rc = sample(cfg_cold, *sunspot, seed=7)
+    assert rc.traces["w"].shape[1] == 1
+    np.testing.assert_array_equal(rc.traces["w"][:, 0], rf.traces["w"][:, 0])
+
+
+def test_warmstart_smoke(sunspot):
+    """Warm start: forced-accept descent phase, adaptation masked until it
+    ends, and the likelihood strictly improves over the warm phase."""
+    cfg = mala_cfg(
+        num_samples=8 * 400,
+        warmstart_frac=0.1,
+        precond_start_frac=0.3,
+        chunk_steps=200,
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    warm_end = int(cfg.samples_per_chain * cfg.warmstart_frac)
+    ll = res.traces["ll"]  # rows 1.. are steps 0..
+    # median ll across chains rises during the warm phase
+    assert np.median(ll[warm_end]) > np.median(ll[2])
+    # gradient cache still consistent after warm start + sampling
+    st = res.final_state
+    data = make_dataset(cfg, *sunspot)
+    spec = kernel.default_spec(cfg)
+    (_, _), g_fresh = kernel._like_value_and_grad(cfg, spec, data)(
+        jax.numpy.asarray(st.w)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_fresh), np.asarray(st.g_like), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_mala_classification_smoke():
     prob = load_classification("iris")
     cfg = PTConfig(
