@@ -134,13 +134,21 @@ class ChainState(NamedTuple):
 
 
 class Dataset(NamedTuple):
-    """Device-resident problem data (replicated across the mesh — KB scale)."""
+    """Device-resident problem data (replicated across the mesh — KB scale).
+
+    ``mask_train``/``mask_test`` are optional (N,) {0,1} row-validity masks:
+    None for ordinary runs; set by sweeps.dataset_grid, which pads datasets
+    of different lengths to one shared shape so the whole Compare_Benchmark
+    grid vmaps into a single compiled program (masked likelihood/RMSE/drift
+    make padded rows exact no-ops)."""
 
     x_train: jax.Array  # (N, I)
     y_train: jax.Array  # (N,) labels (class index or regression target)
     t_train: jax.Array  # (N, O) delta-rule targets (one-hot / scalar column)
     x_test: jax.Array
     y_test: jax.Array
+    mask_train: Any = None  # (N,) float {0,1} or None
+    mask_test: Any = None
 
 
 def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
@@ -173,11 +181,11 @@ def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
         fwd_b = _fwd_raw
     if cfg.task == "regression":
 
-        def b_eval(w, x, y, tau):
+        def b_eval(w, x, y, tau, mask=None):
             fx = fwd_b(w, x)[:, :, 0]
             return jax.vmap(
-                likelihood.regression_eval_from_fx, in_axes=(0, None, 0)
-            )(fx, y, tau)
+                lambda f, t: likelihood.regression_eval_from_fx(f, y, t, mask)
+            )(fx, tau)
 
         b_prior = jax.vmap(
             lambda wi, ti: likelihood.regression_log_prior_dim(
@@ -263,9 +271,19 @@ def init_state(
 
     if cfg.task == "regression":
         pred = jax.vmap(spec.forward, in_axes=(0, None))(w, data.x_train)[:, :, 0]
-        eta = jnp.log(jnp.var(pred - data.y_train[None, :], axis=1))
+        resid = pred - data.y_train[None, :]
+        if data.mask_train is not None:
+            m = data.mask_train
+            n_valid = jnp.sum(m)
+            mu = jnp.sum(m * resid, axis=1) / n_valid
+            var = (
+                jnp.sum(m * jnp.square(resid - mu[:, None]), axis=1) / n_valid
+            )
+        else:
+            var = jnp.var(resid, axis=1)
+        eta = jnp.log(var)
         tau = jnp.exp(eta)
-        ev = b_eval(w, data.x_train, data.y_train, tau)
+        ev = b_eval(w, data.x_train, data.y_train, tau, data.mask_train)
         ll = ev.loglik
         prior = b_prior(w, tau)
     else:
@@ -353,17 +371,19 @@ def make_step_fn(
     surrogate_proj: jax.Array = None,
     swap_interval_t: jax.Array = None,
     langevin_prob_t: jax.Array = None,
+    learn_rate_t: jax.Array = None,
 ):
     """Build the scanned step: ``(state, (i, key)) -> (state, trace_dict)``.
 
     ``temps``: (C,) ladder temperatures, chain 0 at T=1. ``spec`` selects the
     model family (default: the reference FNN).
 
-    ``swap_interval_t`` / ``langevin_prob_t`` optionally override the config
-    values with TRACED scalars, so a hyperparameter sweep over swap cadence
-    or Langevin probability vmaps into one compiled grid (ptnn/sweeps.py) —
-    cadence only enters the step as a step-index mask and l_prob only as a
-    Bernoulli threshold, so neither changes the compiled structure.
+    ``swap_interval_t`` / ``langevin_prob_t`` / ``learn_rate_t`` optionally
+    override the config values with TRACED scalars, so a hyperparameter
+    sweep over swap cadence, Langevin probability, or drift learning rate
+    vmaps into one compiled grid (ptnn/sweeps.py) — cadence only enters the
+    step as a step-index mask and the others as arithmetic values, so none
+    changes the compiled structure.
     """
     cfg.validate()
     if spec is None:
@@ -380,6 +400,7 @@ def make_step_fn(
     swap_interval = (
         cfg.swap_interval if swap_interval_t is None else swap_interval_t
     )
+    learn_rate = cfg.learn_rate if learn_rate_t is None else learn_rate_t
 
     def _w_trace(w_last: jax.Array) -> jax.Array:
         # cfg.record_w_chains: trace only the first k chains' pos_w rows
@@ -398,10 +419,25 @@ def make_step_fn(
             live, jnp.logical_and(k % si == 0, k > 0)
         )
 
+    has_mask = data.mask_train is not None
+    if has_mask and (cfg.proposal != "reference" or cfg.use_surrogate):
+        raise ValueError(
+            "row-masked (padded) datasets support the reference proposal "
+            "machinery only (sweeps.dataset_grid scope)"
+        )
+    if has_mask and cfg.task != "regression":
+        raise ValueError(
+            "row masks are implemented for regression (the Compare_Benchmark"
+            " grid); classification would additionally need class-dim masks"
+        )
     _b_eval, b_prior = _batched_evals(cfg, spec)
     if is_regression:
-        b_eval_tr = lambda w, x, y, tau, _topo=None: _b_eval(w, x, y, tau)
-        b_eval_te = b_eval_tr
+        b_eval_tr = lambda w, x, y, tau, _topo=None: _b_eval(
+            w, x, y, tau, data.mask_train
+        )
+        b_eval_te = lambda w, x, y, tau, _topo=None: _b_eval(
+            w, x, y, tau, data.mask_test
+        )
     else:
         b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
 
@@ -416,11 +452,19 @@ def make_step_fn(
     if cfg.use_langevin_gradients:
         if adapt_tied_drift:
             b_drift_per = jax.vmap(
-                lambda wi, lri: spec.drift(wi, data.x_train, data.t_train, lri)
+                lambda wi, lri: spec.drift(
+                    wi, data.x_train, data.t_train, lri,
+                    **({"mask": data.mask_train} if has_mask else {}),
+                )
+            )
+        if has_mask and spec.batched_drift is not None:
+            raise ValueError(
+                "the Pallas drift kernel has no row-mask support; use "
+                "drift_mode='sequential' or 'batch' with padded datasets"
             )
         if spec.batched_drift is not None and jax.default_backend() == "tpu":
             b_drift = lambda w: spec.batched_drift(
-                w, data.x_train, data.t_train, cfg.learn_rate
+                w, data.x_train, data.t_train, learn_rate
             )
         elif spec.batched_drift is not None:
             # off-TPU: the Pallas kernel only runs interpreted (slow); fall
@@ -430,7 +474,7 @@ def make_step_fn(
 
             if os.environ.get("PTNN_PALLAS_INTERPRET"):
                 b_drift = lambda w: spec.batched_drift(
-                    w, data.x_train, data.t_train, cfg.learn_rate, interpret=True
+                    w, data.x_train, data.t_train, learn_rate, interpret=True
                 )
             else:
                 from ptnn.ops import drift as drift_mod
@@ -438,13 +482,23 @@ def make_step_fn(
                 b_drift = jax.vmap(
                     lambda wi: drift_mod.sgd_epoch_sequential(
                         wi, data.x_train, data.t_train, cfg.topology,
-                        cfg.learn_rate, unroll=cfg.drift_unroll,
+                        learn_rate, unroll=cfg.drift_unroll,
                     )
                 )
         else:
-            b_drift = jax.vmap(
-                lambda wi: spec.drift(wi, data.x_train, data.t_train, cfg.learn_rate)
-            )
+            if has_mask:
+                b_drift = jax.vmap(
+                    lambda wi: spec.drift(
+                        wi, data.x_train, data.t_train, learn_rate,
+                        mask=data.mask_train,
+                    )
+                )
+            else:
+                b_drift = jax.vmap(
+                    lambda wi: spec.drift(
+                        wi, data.x_train, data.t_train, learn_rate
+                    )
+                )
         if cfg.drift_chain_microbatch > 1:
             # Sequential chain chunks bound drift activation memory (the
             # grad-based CNN drift keeps GBs of conv activations alive per

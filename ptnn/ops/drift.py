@@ -69,25 +69,31 @@ def sgd_epoch_sequential(
     topo: fnn.Topology,
     lrate: float,
     unroll: int = 8,
+    mask: jax.Array = None,
 ) -> jax.Array:
     """One epoch of per-sample SGD in dataset order (strict reference parity).
 
-    ``x``: (N, I) inputs, ``t``: (N, O) target vectors.
+    ``x``: (N, I) inputs, ``t``: (N, O) target vectors. ``mask``: optional
+    (N,) {0,1} row-validity mask — a zero row's update is scaled to exactly
+    nothing, so a padded dataset's epoch equals the unpadded one
+    (sweeps.dataset_grid).
     """
     p = fnn.unpack(w, topo)
+    m = jnp.ones(x.shape[0], x.dtype) if mask is None else mask
 
     def step(carry, xt):
-        xi, ti = xt
+        xi, ti, mi = xt
         dw1, db1, dw2, db2 = _delta_updates(carry, xi, ti)
+        lm = lrate * mi
         nxt = fnn.FnnParams(
-            w1=carry.w1 + lrate * dw1,
-            b1=carry.b1 + lrate * db1,
-            w2=carry.w2 + lrate * dw2,
-            b2=carry.b2 + lrate * db2,
+            w1=carry.w1 + lm * dw1,
+            b1=carry.b1 + lm * db1,
+            w2=carry.w2 + lm * dw2,
+            b2=carry.b2 + lm * db2,
         )
         return nxt, None
 
-    p, _ = jax.lax.scan(step, p, (x, t), unroll=unroll)
+    p, _ = jax.lax.scan(step, p, (x, t, m), unroll=unroll)
     return fnn.pack(p)
 
 
@@ -97,17 +103,25 @@ def sgd_epoch_batch(
     t: jax.Array,
     topo: fnn.Topology,
     lrate: float,
+    mask: jax.Array = None,
 ) -> jax.Array:
     """Fast drift: sum of all per-sample updates evaluated at ``w``.
 
     Batched forward over the dataset, deltas for every sample at once, summed
     — the whole epoch is two matmuls each way. See module docstring for the
     (MH-corrected) deviation from the sequential reference drift.
+    ``mask`` zeroes padded rows' contributions (hid_delta inherits the mask
+    through out_delta).
     """
     p = fnn.unpack(w, topo)
     hid = jax.nn.sigmoid(mm(x, p.w1) - p.b1)  # (N, H)
     out = jax.nn.sigmoid(mm(hid, p.w2) - p.b2)  # (N, O)
     out_delta = (t - out) * out * (1.0 - out)  # (N, O)
+    if mask is not None:
+        # every update term below is linear in out_delta (hid_delta inherits
+        # the zero), so masking it alone zeroes a padded row's contribution
+        out_delta = out_delta * mask[:, None]
+
     hid_delta = mm(out_delta, p.w2.T) * hid * (1.0 - hid)  # (N, H)
     nxt = fnn.FnnParams(
         w1=p.w1 + lrate * mm(x.T, hid_delta),

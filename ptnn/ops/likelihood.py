@@ -84,17 +84,28 @@ def classification_eval(
 
 
 def regression_eval_from_fx(
-    fx: jax.Array, y: jax.Array, tau_sq: jax.Array
+    fx: jax.Array, y: jax.Array, tau_sq: jax.Array, mask: jax.Array = None
 ) -> RegEval:
     """Gaussian log-likelihood from precomputed predictions
     (pt_timeseries_regression.py:200-205):
     ``sum_i [-0.5 log(2 pi tau^2) - 0.5 (y_i - fx_i)^2 / tau^2]``.
+
+    ``mask``: optional (N,) {0,1} row-validity mask — padded rows contribute
+    nothing and the effective N is ``mask.sum()``. This is what lets datasets
+    of different lengths share one compiled program (sweeps.dataset_grid):
+    the masked computation on the padded shape equals the unmasked one on
+    the true rows exactly.
     """
-    n = fx.shape[0]
-    loglik = -0.5 * n * (_LOG_2PI + jnp.log(tau_sq)) - 0.5 * jnp.sum(
-        jnp.square(y - fx)
-    ) / tau_sq
-    return RegEval(loglik=loglik, rmse=rmse(fx, y), fx=fx)
+    if mask is None:
+        n = fx.shape[0]
+        sse = jnp.sum(jnp.square(y - fx))
+        r = rmse(fx, y)
+    else:
+        n = jnp.sum(mask)
+        sse = jnp.sum(mask * jnp.square(y - fx))
+        r = jnp.sqrt(sse / n)
+    loglik = -0.5 * n * (_LOG_2PI + jnp.log(tau_sq)) - 0.5 * sse / tau_sq
+    return RegEval(loglik=loglik, rmse=r, fx=fx)
 
 
 def regression_eval(

@@ -7,14 +7,23 @@ points that share shapes (same chains/steps/dataset) differ only in *values*
 as ``jax.vmap`` over a leading sweep axis: one compile, one launch, every
 cell in flight simultaneously (SURVEY.md §7 stage 7).
 
-Scalar traces only (the posterior trace of a whole grid would be large);
-returns per-cell summary statistics.
+Sweep axes available as traced per-cell values: seeds, temperature ladders
+(maxtemp), swap interval, Langevin probability, drift learning rate, and —
+via row-mask padding to a shared shape (``dataset_grid``) — the DATASET
+itself, so the whole Compare_Benchmark table (BASELINE.json config 4:
+"RW vs LG-0.01 vs LG-0.1 across all bundled DATA sets in one vmapped run")
+is one compile and one resident program.
+
+No per-cell traces are kept: post-burn-in metric statistics accumulate
+inside the scan carry (sum/sumsq/best), so a grid's device footprint is a
+few scalars per cell and the scan chunks freely (the tunneled single-chip
+worker dies on >60-90 s executions; grids at reference scale need chunking).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +33,7 @@ from ptnn import kernel
 from ptnn.compat import fast_jit
 from ptnn.config import PTConfig
 from ptnn.ops import ladder
-from ptnn.sampler import _step_keys, make_dataset
+from ptnn.sampler import _pick_chunk, _step_keys, make_dataset
 
 
 def seed_sweep(
@@ -127,6 +136,88 @@ def lprob_sweep(
     return _run_grid(cfg, temps_batch, keys, train, test, lp_batch=lp)
 
 
+REGRESSION_MODES: Dict[str, Tuple[float, float]] = {
+    # mode -> (langevin_prob, learn_rate): the three Compare_Benchmark
+    # proposal families (Res_RW / Res_LG001 / Res_LG01 master files). The
+    # committed Res_LG* runs used l_prob=0.5 (PARITY.md forensics).
+    "rw": (0.0, 0.1),
+    "lg001": (0.5, 0.01),
+    "lg01": (0.5, 0.1),
+}
+
+
+def dataset_grid(
+    cfg: PTConfig,
+    names: Sequence[str],
+    modes: Sequence[str] = ("rw", "lg001", "lg01"),
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """BASELINE.json config 4, literally: every bundled regression series x
+    {RW, LG-0.01, LG-0.1} as ONE vmapped program.
+
+    Datasets of different lengths are padded to a shared row envelope with
+    {0,1} validity masks (kernel.Dataset.mask_*); the masked likelihood,
+    RMSE, and drift make padded rows exact no-ops, so each cell equals its
+    unpadded serial run draw-for-draw (tests/test_dataset_grid.py pins
+    this). The proposal-mode axis rides the traced ``langevin_prob`` /
+    ``learn_rate`` overrides — every cell pays the Langevin drift (RW cells
+    simply never draw it), which is the price of one compile for the grid.
+
+    Returns per-cell arrays keyed like ``_run_grid`` plus ``cells`` — the
+    (dataset, mode) pair per row, ordered dataset-major.
+    """
+    from ptnn.data import load_regression
+
+    cfg = dataclasses.replace(
+        cfg, record_w=False, record_fx=False, use_langevin_gradients=True
+    ).validate()
+    probs = [load_regression(n) for n in names]
+    n_tr = max(p.train.shape[0] for p in probs)
+    n_te = max(p.test.shape[0] for p in probs)
+
+    def pad_cell(p):
+        d = make_dataset(cfg, p.train, p.test)
+
+        def pad(a, n):
+            return jnp.pad(a, ((0, n - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+        def mask(a, n):
+            return jnp.pad(jnp.ones((a.shape[0],), jnp.float32), (0, n - a.shape[0]))
+
+        return kernel.Dataset(
+            x_train=pad(d.x_train, n_tr),
+            y_train=pad(d.y_train, n_tr),
+            t_train=pad(d.t_train, n_tr),
+            x_test=pad(d.x_test, n_te),
+            y_test=pad(d.y_test, n_te),
+            mask_train=mask(d.x_train, n_tr),
+            mask_test=mask(d.x_test, n_te),
+        )
+
+    padded = [pad_cell(p) for p in probs]
+    cells = [(n, m) for n in names for m in modes]
+    data_batch = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves),
+        *[padded[names.index(n)] for n, _m in cells],
+    )
+    lp = jnp.asarray([REGRESSION_MODES[m][0] for _n, m in cells], jnp.float32)
+    lr = jnp.asarray([REGRESSION_MODES[m][1] for _n, m in cells], jnp.float32)
+    temps = jnp.asarray(
+        ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        ),
+        jnp.float32,
+    )
+    temps_batch = jnp.broadcast_to(temps, (len(cells),) + temps.shape)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(cells))
+    out = _run_grid(
+        cfg, temps_batch, keys, None, None,
+        lp_batch=lp, lr_batch=lr, data_batch=data_batch,
+    )
+    out["cells"] = cells
+    return out
+
+
 def _run_grid(
     cfg,
     temps_batch,
@@ -135,61 +226,167 @@ def _run_grid(
     test,
     si_batch=None,
     lp_batch=None,
+    lr_batch=None,
+    data_batch=None,
 ) -> Dict[str, np.ndarray]:
-    data = make_dataset(cfg, train, test)
+    """Chunked vmapped grid core.
+
+    Post-burn-in metric statistics (mean/std/best for train and test)
+    accumulate inside the scan carry, so nothing trace-sized ever
+    materializes and the scan splits into ``cfg.chunk_steps``-sized jitted
+    chunks — mandatory on the tunneled single-chip worker, which crashes on
+    executions over ~60-90 s.
+    """
+    if data_batch is None:
+        data = make_dataset(cfg, train, test)
+        data_axes = None  # broadcast to every cell
+    else:
+        data = data_batch
+        data_axes = kernel.Dataset(
+            x_train=0, y_train=0, t_train=0, x_test=0, y_test=0,
+            mask_train=None if data.mask_train is None else 0,
+            mask_test=None if data.mask_test is None else 0,
+        )
+    n_cells = temps_batch.shape[0]
+    si_none = si_batch is None
+    lp_none = lp_batch is None
+    lr_none = lr_batch is None
+    if si_none:
+        si_batch = jnp.zeros((n_cells,), jnp.int32)
+    if lp_none:
+        lp_batch = jnp.zeros((n_cells,), jnp.float32)
+    if lr_none:
+        lr_batch = jnp.zeros((n_cells,), jnp.float32)
     n_steps = cfg.n_steps
     switch = cfg.temper_switch_step
     burnin = int(cfg.samples_per_chain * cfg.burn_in)
     is_reg = cfg.task == "regression"
-    metric = "rmse_test" if is_reg else "acc_test"
+    metric_te = "rmse_test" if is_reg else "acc_test"
+    metric_tr = "rmse_train" if is_reg else "acc_train"
+    best_init = jnp.inf if is_reg else -jnp.inf
+    best_op = jnp.minimum if is_reg else jnp.maximum
 
-    def run_one(temps, key, si, lp):
-        # make_step_fn closes over `temps` (and optionally the traced swap
-        # interval / langevin prob), which are tracers here — the whole
-        # sampler vmaps over the sweep axis.
-        k_init, k_run = jax.random.split(key)
-        state = kernel.init_state(k_init, cfg, data)
-        step = kernel.make_step_fn(
-            cfg, data, temps, swap_interval_t=si, langevin_prob_t=lp
+    def make_step(data_c, temps, si, lp, lr):
+        return kernel.make_step_fn(
+            cfg, data_c, temps,
+            swap_interval_t=None if si_none else si,
+            langevin_prob_t=None if lp_none else lp,
+            learn_rate_t=None if lr_none else lr,
         )
-        bounds = [(0, switch), (switch, n_steps)] if 0 < switch < n_steps else [
-            (0, n_steps)
-        ]
-        traces = []
-        for bi, (a, b) in enumerate(bounds):
-            if bi > 0:
-                state = step.recompute_ll(state)
-            idx = a + jnp.arange(b - a)
-            state, tr = jax.lax.scan(step, state, (idx, _step_keys(k_run, jnp.asarray(a), b - a)))
-            traces.append(tr[metric])
-        # scan traces have n_steps rows (no init row 0): trace row r of the
-        # assembled samples array is produced by step r-1, so dropping the
-        # first `burnin` SAMPLES means dropping steps < burnin-1
-        m = jnp.concatenate(traces, axis=0)[max(burnin - 1, 0) :]  # (S-b, C)
-        best = jnp.min(m) if is_reg else jnp.max(m)
-        accept = jnp.mean(state.n_accept) * 100.0 / cfg.samples_per_chain
-        swap_pct = jnp.where(
-            state.n_swap_proposed > 0,
-            100.0 * state.n_swap_accepted / jnp.maximum(state.n_swap_proposed, 1),
-            0.0,
-        )
-        return {
-            "test_mean": jnp.mean(m),
-            "test_best": best,
-            "accept_pct": accept,
-            "swap_pct": swap_pct,
+
+    def init_one(data_c, temps, key, si, lp, lr):
+        k_init, _ = jax.random.split(key)
+        state = kernel.init_state(k_init, cfg, data_c)
+        acc = {
+            "tr_sum": jnp.zeros(()), "tr_sq": jnp.zeros(()),
+            "te_sum": jnp.zeros(()), "te_sq": jnp.zeros(()),
+            "tr_best": jnp.full((), best_init), "te_best": jnp.full((), best_init),
+            "count": jnp.zeros(()),
         }
+        return state, acc
 
-    n_cells = temps_batch.shape[0]
-    if si_batch is None:
-        si_batch = jnp.full((n_cells,), cfg.swap_interval, jnp.int32)
-        run = lambda t, k, si, lp: run_one(t, k, None, lp)
-    else:
-        run = run_one
-    if lp_batch is None:
-        lp_batch = jnp.full((n_cells,), cfg.langevin_prob, jnp.float32)
-        run2 = lambda t, k, si, lp, _r=run: _r(t, k, si, None)
-    else:
-        run2 = run
-    out = fast_jit(jax.vmap(run2))(temps_batch, keys, si_batch, lp_batch)
+    def chunk_one(state, acc, data_c, temps, key, si, lp, lr, start, length):
+        step = make_step(data_c, temps, si, lp, lr)
+        k_run = jax.random.split(key)[1]
+
+        def body(carry, xs):
+            st, ac = carry
+            i, k = xs
+            st, tr = step(st, (i, k))
+            keep = (i >= burnin - 1).astype(jnp.float32)
+            te, trn = tr[metric_te], tr[metric_tr]
+            ac = {
+                "tr_sum": ac["tr_sum"] + keep * jnp.sum(trn),
+                "tr_sq": ac["tr_sq"] + keep * jnp.sum(trn * trn),
+                "te_sum": ac["te_sum"] + keep * jnp.sum(te),
+                "te_sq": ac["te_sq"] + keep * jnp.sum(te * te),
+                # ±inf sentinel keeps pre-burn-in rows out of the best
+                "tr_best": best_op(
+                    ac["tr_best"],
+                    jnp.where(keep > 0, _reduce_best(trn, is_reg), best_init),
+                ),
+                "te_best": best_op(
+                    ac["te_best"],
+                    jnp.where(keep > 0, _reduce_best(te, is_reg), best_init),
+                ),
+                "count": ac["count"] + keep * trn.shape[0],
+            }
+            return (st, ac), None
+
+        idx = start + jnp.arange(length)
+        ks = _step_keys(k_run, start, length)
+        (state, acc), _ = jax.lax.scan(body, (state, acc), (idx, ks))
+        return state, acc
+
+    def recompute_one(state, data_c, temps, si, lp, lr):
+        return make_step(data_c, temps, si, lp, lr).recompute_ll(state)
+
+    v_init = fast_jit(
+        jax.vmap(init_one, in_axes=(data_axes, 0, 0, 0, 0, 0))
+    )
+    _v_chunks: Dict[int, object] = {}
+
+    def v_chunk(state, acc, data_, temps_, keys_, si_, lp_, lr_, start, length):
+        # one compiled executable per chunk length (scan length is static)
+        fn = _v_chunks.get(length)
+        if fn is None:
+            fn = fast_jit(
+                jax.vmap(
+                    lambda st, ac, d, t, k, si, lp, lr, s: chunk_one(
+                        st, ac, d, t, k, si, lp, lr, s, length
+                    ),
+                    in_axes=(0, 0, data_axes, 0, 0, 0, 0, 0, None),
+                )
+            )
+            _v_chunks[length] = fn
+        return fn(state, acc, data_, temps_, keys_, si_, lp_, lr_, start)
+    v_recompute = fast_jit(
+        jax.vmap(recompute_one, in_axes=(0, data_axes, 0, 0, 0, 0))
+    )
+
+    state, acc = v_init(data, temps_batch, keys, si_batch, lp_batch, lr_batch)
+    bounds = (
+        [(0, switch), (switch, n_steps)] if 0 < switch < n_steps else [(0, n_steps)]
+    )
+    for bi, (a, b) in enumerate(bounds):
+        if bi > 0:
+            state = v_recompute(
+                state, data, temps_batch, si_batch, lp_batch, lr_batch
+            )
+        chunk = _pick_chunk(b - a, max(1, min(cfg.chunk_steps, b - a)))
+        done = a
+        while done < b:
+            length = min(chunk, b - done)
+            state, acc = v_chunk(
+                state, acc, data, temps_batch, keys, si_batch, lp_batch,
+                lr_batch, jnp.asarray(done, jnp.int32), length,
+            )
+            done += length
+    acc = jax.device_get(acc)
+    state = jax.device_get(state)
+    cnt = np.maximum(acc["count"], 1.0)
+    te_mean = acc["te_sum"] / cnt
+    tr_mean = acc["tr_sum"] / cnt
+    out = {
+        "test_mean": te_mean,
+        "test_std": np.sqrt(np.maximum(acc["te_sq"] / cnt - te_mean**2, 0.0)),
+        "test_best": acc["te_best"],
+        "train_mean": tr_mean,
+        "train_std": np.sqrt(np.maximum(acc["tr_sq"] / cnt - tr_mean**2, 0.0)),
+        "train_best": acc["tr_best"],
+        "accept_pct": np.mean(np.asarray(state.n_accept), axis=1)
+        * 100.0
+        / cfg.samples_per_chain,
+        "swap_pct": np.where(
+            np.asarray(state.n_swap_proposed) > 0,
+            100.0
+            * np.asarray(state.n_swap_accepted)
+            / np.maximum(np.asarray(state.n_swap_proposed), 1),
+            0.0,
+        ),
+    }
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _reduce_best(v: jax.Array, is_reg: bool) -> jax.Array:
+    return jnp.min(v) if is_reg else jnp.max(v)
