@@ -523,3 +523,37 @@ def test_oracle_pt_agrees_with_ptnn_stale_mode():
     accept_p = float(np.mean(res.accept_ratio_per_chain))
     assert abs(o["swap_pct"] - swap_p) < 25.0, (o["swap_pct"], swap_p)
     assert abs(o["accept_pct"] - accept_p) < 15.0, (o["accept_pct"], accept_p)
+
+
+@pytest.mark.slow
+def test_oracle_pt_classification_agrees_with_ptnn_stale_mode():
+    """Classification twin of the regression agreement gate (VERDICT r2
+    item 8): the NumPy classification PT oracle (literal
+    pt_classification.py semantics — tempered payloads, stale carried
+    likelihood, (i+1)%interval rendezvous) and ptnn with
+    stale_likelihood_after_swap=True must land in the same statistical
+    region. Bands are loose — parity is distributional and the budget here
+    is small; this pins both entry-point semantics against rot."""
+    import oracle_pt
+
+    from ptnn.config import classification_preset
+    from ptnn.data import load_classification
+
+    p = load_classification("iris", seed=0)
+    o = oracle_pt.run_reference_pt_classification(
+        p.train, p.test, p.topology, samples_per_chain=3000,
+        use_langevin=False, seed=0,
+    )
+    cfg = dataclasses.replace(
+        classification_preset(p.topology, num_samples=30_000),
+        stale_likelihood_after_swap=True,
+        record_w=False,
+    ).validate()
+    res = sample(cfg, p.train, p.test, seed=0)
+    b = cfg.samples_per_chain // 2
+    pooled = float(np.mean(np.asarray(res.traces["acc_test"])[b:, :]))
+    accept_p = float(np.mean(res.accept_ratio_per_chain))
+    assert abs(o["acc_test_mean"] - pooled) < 25.0, (o["acc_test_mean"], pooled)
+    assert abs(o["accept_pct"] - accept_p) < 15.0, (o["accept_pct"], accept_p)
+    assert abs(o["swap_pct"] - res.swap_percent) < 25.0, (
+        o["swap_pct"], res.swap_percent)
