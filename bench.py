@@ -133,9 +133,13 @@ def main() -> None:
         sps_med, sps_iqr = _median_iqr(reps[tag])
         ess_cfg = dataclasses.replace(
             vcfg,
-            num_samples=vcfg.num_chains * 4000,
+            # 8000 steps/chain: at ~2M chain-steps/s the device time is
+            # trivial; the longer run un-starves the cold chain's posterior
+            # mean (4000-step runs read ~0.025 RMSE from pure draw noise)
+            # and doubles the draws behind each ESS estimate
+            num_samples=vcfg.num_chains * 8000,
             record_w=True,
-            chunk_steps=500,
+            chunk_steps=1000,
         ).validate()
         ess_s_seeds, rmse_seeds, rmse_cold_seeds, ess_draws = [], [], [], []
         draws = 0
