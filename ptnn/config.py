@@ -213,6 +213,14 @@ class PTConfig:
     record_w_chains: int = 0
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
+    # Unroll factor for the main step lax.scan (identical sampling
+    # semantics at any value; results are bit-equal). Measured NEUTRAL on
+    # the FNN-scale step (fnn_roofline.md "unroll ablation"): the ~20 us
+    # per-iteration floor is per-kernel dispatch of the step's many small
+    # fused kernels, which unrolling duplicates rather than amortizes —
+    # the sequential MH dependence blocks cross-iteration fusion. Kept as
+    # a tuning knob for larger-model steps where the balance may differ.
+    scan_unroll: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -262,6 +270,8 @@ class PTConfig:
             )
         if self.qratio not in ("reference", "ldpt_legacy"):
             raise ValueError(f"unknown qratio {self.qratio!r}")
+        if self.scan_unroll < 1:
+            raise ValueError(f"scan_unroll={self.scan_unroll} must be >= 1")
         if self.surrogate_mode not in ("anchored", "delayed_acceptance"):
             raise ValueError(f"unknown surrogate_mode {self.surrogate_mode!r}")
         if self.surrogate_inner not in ("rw", "mala"):

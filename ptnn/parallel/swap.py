@@ -102,8 +102,18 @@ def sweep_permutation(
         ll = ll.at[k + 1].set(jnp.where(swap, lh1, lh2))
         return (perm, ll), swap
 
+    # Unroll the pair sweep for reference-scale ladders: the body is scalar
+    # work and unrolling makes the k-indexing static. Measured effect at 64
+    # chains is small (42.0 -> 39.3 us/step full-sampler median, within
+    # tunnel noise — the sweep's amortized cost is dominated by the
+    # cadence-gated payload computation and state permutation, not the pair
+    # scan itself; fnn_roofline.md). Large ladders unroll in blocks to
+    # bound program size.
     (perm, _), swaps = jax.lax.scan(
-        pair, (perm0, payload_ll), (jnp.arange(c - 1, dtype=jnp.int32), us)
+        pair,
+        (perm0, payload_ll),
+        (jnp.arange(c - 1, dtype=jnp.int32), us),
+        unroll=(c - 1) if c <= 128 else 16,
     )
     return SwapResult(
         perm=perm,

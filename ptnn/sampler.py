@@ -179,7 +179,7 @@ def sample(
     def _run_chunk(st, start, length):
         keys = _step_keys(k_run, start, length)
         idx = start + jnp.arange(length)
-        return jax.lax.scan(step, st, (idx, keys))
+        return jax.lax.scan(step, st, (idx, keys), unroll=cfg.scan_unroll)
 
     if mesh is not None:
         run_chunk = jax.jit(
@@ -415,7 +415,9 @@ def _throughput_build(
                 st = step.recompute_ll(st)
             keys = _step_keys(k_run, jnp.asarray(a), b - a)
             idx = a + jnp.arange(b - a)
-            st, traces = jax.lax.scan(step, st, (idx, keys))
+            st, traces = jax.lax.scan(
+                step, st, (idx, keys), unroll=cfg2.scan_unroll
+            )
             summaries.append({k: jnp.mean(v) for k, v in traces.items()})
         return st, summaries
 

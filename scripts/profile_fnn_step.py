@@ -43,6 +43,8 @@ def main() -> None:
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--unroll", type=int, default=1,
+                   help="PTConfig.scan_unroll for every variant")
     args = p.parse_args()
 
     import jax
@@ -66,6 +68,7 @@ def main() -> None:
         swap_payload="tempered_times_T",
         use_langevin_gradients=False,
         record_w=False,
+        scan_unroll=args.unroll,
     ).validate()
     variants = {
         "rw": base,
