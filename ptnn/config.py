@@ -190,9 +190,20 @@ class PTConfig:
     #          mixes far better through a fitted surrogate. Exactness is
     #          unaffected either way (any proposal + correct q-ratio).
     surrogate_inner: str = "rw"
+    # Fit scope:
+    # "global"    — one theta for the whole ladder, one shared ring buffer;
+    # "per_chain" — one theta PER TEMPERATURE RUNG, each fit on that rung's
+    #               own ring buffer (surrogate_buffer rows PER CHAIN). A
+    #               quadratic fit is local, and hot rungs roam a far wider
+    #               region of w-space than cold ones; per-rung fits track
+    #               each locality instead of averaging the regimes. Fits are
+    #               one vmapped batched ridge solve at chunk boundaries;
+    #               exactness of delayed_acceptance is unaffected.
+    surrogate_scope: str = "global"
     surrogate_prob: float = 0.25  # per-step prob of surrogate eval post-warmup
     surrogate_warmup_frac: float = 0.25  # collect-only fraction of the run
-    surrogate_buffer: int = 2048  # ring buffer rows (rounded up to chains)
+    surrogate_buffer: int = 2048  # ring rows (global: total, rounded up to
+    #                               chains; per_chain: rows per chain)
     surrogate_proj: int = 64  # random-projection quadratic feature count
     surrogate_ridge: float = 1e-3
     surrogate_min_r2: float = 0.7  # trust gate: fall back to true evals below
@@ -290,22 +301,37 @@ class PTConfig:
                 "likelihood that does not correspond to the anchor weights, "
                 "voiding the mode's exactness guarantee"
             )
+        if self.surrogate_scope not in ("global", "per_chain"):
+            raise ValueError(
+                f"unknown surrogate_scope {self.surrogate_scope!r}"
+            )
         if self.use_surrogate:
-            rounded = (
-                (self.surrogate_buffer + self.num_chains - 1)
-                // self.num_chains
-            ) * self.num_chains
             # features span [w, eta]; see surrogate.init_for / feature_dim
             fdim = 1 + 2 * (self.w_size + 1) + self.surrogate_proj
-            if rounded < fdim:
-                raise ValueError(
-                    f"surrogate_buffer={self.surrogate_buffer} (rounded to "
-                    f"{rounded}) is below the surrogate feature dimension "
-                    f"{fdim} for w_size={self.w_size}: the ridge fit would "
-                    "never activate while still paying per-step bookkeeping. "
-                    f"Raise surrogate_buffer to >= {fdim} or lower "
-                    "surrogate_proj."
-                )
+            if self.surrogate_scope == "per_chain":
+                if self.surrogate_buffer < fdim:
+                    raise ValueError(
+                        f"surrogate_buffer={self.surrogate_buffer} (per-chain "
+                        f"rows) is below the surrogate feature dimension "
+                        f"{fdim} for w_size={self.w_size}: the per-chain "
+                        "ridge fits would never activate while still paying "
+                        "per-step bookkeeping. Raise surrogate_buffer to >= "
+                        f"{fdim} or lower surrogate_proj."
+                    )
+            else:
+                rounded = (
+                    (self.surrogate_buffer + self.num_chains - 1)
+                    // self.num_chains
+                ) * self.num_chains
+                if rounded < fdim:
+                    raise ValueError(
+                        f"surrogate_buffer={self.surrogate_buffer} (rounded "
+                        f"to {rounded}) is below the surrogate feature "
+                        f"dimension {fdim} for w_size={self.w_size}: the "
+                        "ridge fit would never activate while still paying "
+                        "per-step bookkeeping. Raise surrogate_buffer to >= "
+                        f"{fdim} or lower surrogate_proj."
+                    )
         if self.proposal not in ("reference", "precond_rw", "precond_mala"):
             raise ValueError(f"unknown proposal {self.proposal!r}")
         if self.warmstart_frac and self.proposal != "precond_mala":

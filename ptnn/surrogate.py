@@ -8,8 +8,8 @@ pt_bettermemoryman.py:148-149; SURVEY.md §2.2). This module implements the
 capability those knobs gesture at (cf. Chandra et al.'s surrogate-assisted
 PT line of work), designed for the fused TPU sampler:
 
-* one GLOBAL surrogate of the untempered train log-likelihood
-  ``ll(w) ~ theta . phi(w)`` shared by all chains, with quadratic features
+* a surrogate of the untempered train log-likelihood
+  ``ll(w) ~ theta . phi(w)``, with quadratic features
   ``phi(w) = [1, w, w^2, (P w)^2]`` (elementwise squares capture the
   Gaussian-prior-scale curvature exactly; the fixed Gaussian projection ``P``
   adds cross terms) — ridge-fit by normal equations, a few microseconds on
@@ -25,6 +25,23 @@ PT line of work), designed for the fused TPU sampler:
 * every chunk boundary refits the surrogate AND re-anchors each chain's
   carried likelihood with a true evaluation (the same recompute the 60%
   temper switch uses), bounding the surrogate bias between anchors.
+
+Two scopes (``PTConfig.surrogate_scope``):
+
+* ``"global"`` — one ``theta`` shared by the whole ladder, fit on a single
+  ring buffer of every chain's evaluations. Cheapest; accurate when the
+  ladder is cool enough that all rungs explore one likelihood basin.
+* ``"per_chain"`` — one ``theta`` PER TEMPERATURE RUNG, each fit on that
+  chain's own ring buffer. The untempered ll is one function, but a
+  quadratic fit is local: hot rungs roam a much wider region of w-space
+  than the cold ones, and a global fit averages the two regimes. Per-chain
+  fits are a vmapped batched ridge solve (chunk boundaries only); buffers
+  hold ``surrogate_buffer`` rows PER CHAIN. The surrogate state travels
+  with the rung, not the configuration — a swap moves ``w`` between rungs
+  and each rung keeps modeling its own locality, which is exactly what the
+  fit needs. DA exactness is unaffected (each chain's inner kernel is
+  reversible w.r.t. its own rung's surrogate; the closure test already
+  corrects per chain).
 
 Two modes (``PTConfig.surrogate_mode``):
 
@@ -51,11 +68,21 @@ import jax.numpy as jnp
 
 
 class SurrogateState(NamedTuple):
-    buf_w: jax.Array  # (B, W) recent proposals
-    buf_ll: jax.Array  # (B,) their untempered log-likelihoods
+    """Ring buffer + fitted coefficients. Two layouts, told apart by rank
+    (checkpointing stays field-wise and layout-agnostic):
+
+    * global:    buf_w (B, Z),     buf_ll (B,),     theta (D,)
+    * per_chain: buf_w (C, B', Z), buf_ll (C, B'),  theta (C, D)
+
+    ``count``/``ptr`` are scalars in both layouts — chains push in lockstep
+    (one row per chain per true evaluation), so per-chain rings share one
+    pointer."""
+
+    buf_w: jax.Array
+    buf_ll: jax.Array
     count: jax.Array  # () int32 — rows written so far (saturates at B)
     ptr: jax.Array  # () int32 — ring pointer
-    theta: jax.Array  # (D,) fitted coefficients
+    theta: jax.Array
     fitted: jax.Array  # () bool
 
 
@@ -78,8 +105,9 @@ def features(w: jax.Array, proj: jax.Array) -> jax.Array:
 
 
 def init_for(cfg, w_size: int) -> SurrogateState:
-    """Surrogate state for a config: buffer rounded to a multiple of the
-    chain count (block pushes never wrap mid-write) and features over
+    """Surrogate state for a config. Global scope: buffer rounded to a
+    multiple of the chain count (block pushes never wrap mid-write).
+    Per-chain scope: ``surrogate_buffer`` rows per chain. Features span
     [w, eta] (the regression noise variance is part of the input).
 
     Re-checks the buffer-vs-feature-dim guard with the REAL ``w_size``:
@@ -89,8 +117,20 @@ def init_for(cfg, w_size: int) -> SurrogateState:
     the ridge fit silently inactive (the failure mode config validation
     exists to reject)."""
     c = cfg.num_chains
-    buf = ((cfg.surrogate_buffer + c - 1) // c) * c
     fdim = feature_dim(w_size + 1, cfg.surrogate_proj)
+    if cfg.surrogate_scope == "per_chain":
+        if cfg.surrogate_buffer < fdim:
+            raise ValueError(
+                f"surrogate_buffer={cfg.surrogate_buffer} (per-chain rows) "
+                f"is below the surrogate feature dimension {fdim} for the "
+                f"model's w_size={w_size}: the per-chain ridge fits would "
+                f"never activate. Raise surrogate_buffer to >= {fdim} or "
+                "lower surrogate_proj."
+            )
+        return init(
+            cfg.surrogate_buffer, w_size + 1, cfg.surrogate_proj, num_chains=c
+        )
+    buf = ((cfg.surrogate_buffer + c - 1) // c) * c
     if buf < fdim:
         raise ValueError(
             f"surrogate_buffer={cfg.surrogate_buffer} (rounded to {buf}) is "
@@ -101,22 +141,45 @@ def init_for(cfg, w_size: int) -> SurrogateState:
     return init(buf, w_size + 1, cfg.surrogate_proj)
 
 
-def init(buffer_size: int, w_size: int, n_proj: int) -> SurrogateState:
+def init(
+    buffer_size: int, w_size: int, n_proj: int, num_chains: int | None = None
+) -> SurrogateState:
+    """Global layout by default; per-chain layout when ``num_chains`` is
+    given (``buffer_size`` rows per chain)."""
     d = feature_dim(w_size, n_proj)
+    lead = () if num_chains is None else (num_chains,)
     return SurrogateState(
-        buf_w=jnp.zeros((buffer_size, w_size), jnp.float32),
-        buf_ll=jnp.zeros((buffer_size,), jnp.float32),
+        buf_w=jnp.zeros(lead + (buffer_size, w_size), jnp.float32),
+        buf_ll=jnp.zeros(lead + (buffer_size,), jnp.float32),
         count=jnp.zeros((), jnp.int32),
         ptr=jnp.zeros((), jnp.int32),
-        theta=jnp.zeros((d,), jnp.float32),
+        theta=jnp.zeros(lead + (d,), jnp.float32),
         fitted=jnp.zeros((), jnp.bool_),
     )
 
 
 def push(state: SurrogateState, w: jax.Array, ll: jax.Array) -> SurrogateState:
-    """Append a (C, W) block of pairs to the ring buffer. Requires the
-    buffer size to be a multiple of the chain count (checked at config
-    time), so a block never wraps mid-write."""
+    """Append a (C, W) block of pairs to the ring buffer(s).
+
+    Global layout: the block lands as C consecutive rows (buffer size is a
+    multiple of the chain count — checked at config time — so a block never
+    wraps mid-write). Per-chain layout: chain i's pair becomes one row of
+    ring i; all rings share the pointer."""
+    if state.buf_w.ndim == 3:
+        start = state.ptr
+        b = state.buf_w.shape[1]
+        buf_w = jax.lax.dynamic_update_slice(
+            state.buf_w, w[:, None, :], (0, start, 0)
+        )
+        buf_ll = jax.lax.dynamic_update_slice(
+            state.buf_ll, ll[:, None], (0, start)
+        )
+        return state._replace(
+            buf_w=buf_w,
+            buf_ll=buf_ll,
+            ptr=(start + 1) % b,
+            count=jnp.minimum(state.count + 1, b),
+        )
     c = w.shape[0]
     b = state.buf_w.shape[0]
     start = state.ptr
@@ -139,16 +202,36 @@ def push_masked(
     branches — per-step conditionals with large operands are the dominant
     overhead of surrogate bookkeeping on TPU."""
     c = z.shape[0]
-    b = state.buf_w.shape[0]
-    cur_w = jax.lax.dynamic_slice(state.buf_w, (state.ptr, 0), (c, z.shape[1]))
-    cur_ll = jax.lax.dynamic_slice(state.buf_ll, (state.ptr,), (c,))
-    buf_w = jax.lax.dynamic_update_slice(
-        state.buf_w, jnp.where(valid, z, cur_w), (state.ptr, 0)
-    )
-    buf_ll = jax.lax.dynamic_update_slice(
-        state.buf_ll, jnp.where(valid, ll, cur_ll), (state.ptr,)
-    )
-    adv = jnp.where(valid, c, 0).astype(jnp.int32)
+    if state.buf_w.ndim == 3:
+        b = state.buf_w.shape[1]
+        cur_w = jax.lax.dynamic_slice(
+            state.buf_w, (0, state.ptr, 0), (c, 1, z.shape[1])
+        )
+        cur_ll = jax.lax.dynamic_slice(state.buf_ll, (0, state.ptr), (c, 1))
+        buf_w = jax.lax.dynamic_update_slice(
+            state.buf_w,
+            jnp.where(valid, z[:, None, :], cur_w),
+            (0, state.ptr, 0),
+        )
+        buf_ll = jax.lax.dynamic_update_slice(
+            state.buf_ll,
+            jnp.where(valid, ll[:, None], cur_ll),
+            (0, state.ptr),
+        )
+        adv = jnp.where(valid, 1, 0).astype(jnp.int32)
+    else:
+        b = state.buf_w.shape[0]
+        cur_w = jax.lax.dynamic_slice(
+            state.buf_w, (state.ptr, 0), (c, z.shape[1])
+        )
+        cur_ll = jax.lax.dynamic_slice(state.buf_ll, (state.ptr,), (c,))
+        buf_w = jax.lax.dynamic_update_slice(
+            state.buf_w, jnp.where(valid, z, cur_w), (state.ptr, 0)
+        )
+        buf_ll = jax.lax.dynamic_update_slice(
+            state.buf_ll, jnp.where(valid, ll, cur_ll), (state.ptr,)
+        )
+        adv = jnp.where(valid, c, 0).astype(jnp.int32)
     return state._replace(
         buf_w=buf_w,
         buf_ll=buf_ll,
@@ -157,41 +240,88 @@ def push_masked(
     )
 
 
+def _fit_rows(
+    buf_w: jax.Array,
+    buf_ll: jax.Array,
+    count: jax.Array,
+    proj: jax.Array,
+    ridge: float,
+) -> jax.Array:
+    """Ridge normal equations over the valid rows of ONE buffer -> theta.
+
+    The solve runs on STANDARDIZED features (per-feature center/scale over
+    the valid rows, ridge scaled to the standardized gram whose diagonal is
+    ~n) and the solution is folded back to raw-feature coefficients. This
+    is not cosmetic: a single chain's buffer holds heavily autocorrelated
+    samples from one small region, and the raw quadratic-feature gram of
+    such rows is too ill-conditioned for a float32 Cholesky — the per-chain
+    scope produced NaN/garbage thetas without it (the global buffer mixes
+    all rungs' rows, which masked the problem). Degenerate (constant)
+    feature columns standardize to zero and drop out gracefully."""
+    b = buf_w.shape[0]
+    valid = (jnp.arange(b) < count).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    phi = features(buf_w, proj)
+    mu = jnp.sum(phi * valid[:, None], axis=0) / n
+    var = jnp.sum(jnp.square(phi - mu) * valid[:, None], axis=0) / n
+    sig = jnp.sqrt(jnp.maximum(var, 1e-12))
+    phi_s = (phi - mu) / sig * valid[:, None]
+    y_mean = jnp.sum(buf_ll * valid) / n
+    y_c = (buf_ll - y_mean) * valid
+    d = phi.shape[1]
+    gram = (
+        jnp.matmul(phi_s.T, phi_s, precision=jax.lax.Precision.HIGHEST)
+        + (ridge * n) * jnp.eye(d, dtype=jnp.float32)
+    )
+    rhs = jnp.matmul(phi_s.T, y_c, precision=jax.lax.Precision.HIGHEST)
+    theta_s = jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+    theta = theta_s / sig
+    # feature 0 is the constant 1: its centered column is zero (theta_s[0]
+    # lands at 0 via the ridge), so the intercept goes there
+    intercept = y_mean - jnp.dot(theta_s, mu / sig)
+    return theta.at[0].add(intercept)
+
+
 def fit(
     state: SurrogateState,
     proj: jax.Array,
     ridge: float = 1e-3,
     min_r2: float = 0.7,
 ) -> SurrogateState:
-    """Ridge regression over the valid buffer rows (normal equations).
+    """Ridge regression over the valid buffer rows (normal equations);
+    per-chain layout fits every rung's buffer as one vmapped batched solve.
 
-    ``fitted`` is only set while the in-buffer r-squared clears ``min_r2`` —
-    a poor fit silently falls back to true evaluations rather than feeding
-    the sampler a misleading likelihood.
+    ``fitted`` is only set while the in-buffer r-squared clears ``min_r2``
+    (EVERY rung's, for the per-chain layout — the step decision is
+    ladder-global, so one untrustworthy rung falls the whole ladder back to
+    true evaluations rather than feeding it a misleading likelihood).
     """
-    b = state.buf_w.shape[0]
-    valid = (jnp.arange(b) < state.count).astype(jnp.float32)
-    phi = features(state.buf_w, proj) * valid[:, None]
-    y = state.buf_ll * valid
-    d = phi.shape[1]
-    gram = (
-        jnp.matmul(phi.T, phi, precision=jax.lax.Precision.HIGHEST)
-        + ridge * jnp.eye(d, dtype=jnp.float32)
-    )
-    rhs = jnp.matmul(phi.T, y, precision=jax.lax.Precision.HIGHEST)
-    theta = jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+    if state.buf_w.ndim == 3:
+        theta = jax.vmap(
+            lambda bw, bl: _fit_rows(bw, bl, state.count, proj, ridge)
+        )(state.buf_w, state.buf_ll)
+    else:
+        theta = _fit_rows(state.buf_w, state.buf_ll, state.count, proj, ridge)
     # need enough rows to be determined; keep unfitted until buffer has
     # at least d samples
+    d = theta.shape[-1]
     ok = state.count >= jnp.asarray(d, jnp.int32)
     theta = jnp.where(ok, theta, state.theta)
     cand = state._replace(theta=theta)
-    good = jnp.logical_and(ok, r_squared(cand, proj) >= min_r2)
+    good = jnp.logical_and(ok, jnp.min(r_squared(cand, proj)) >= min_r2)
     return cand._replace(fitted=good)
 
 
 def predict(state: SurrogateState, proj: jax.Array, w: jax.Array) -> jax.Array:
-    """Surrogate log-likelihood for a (C, W) block -> (C,)."""
-    return features(w, proj) @ state.theta
+    """Surrogate log-likelihood for a (C, W) block -> (C,). Per-chain
+    layout applies rung i's theta to row i."""
+    phi = features(w, proj)
+    if state.theta.ndim == 2:
+        return jnp.einsum(
+            "cd,cd->c", phi, state.theta,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return phi @ state.theta
 
 
 def grad_predict(
@@ -204,24 +334,41 @@ def grad_predict(
     this is what makes surrogate-MALA inner moves nearly free (kernel
     step_da with surrogate_inner="mala")."""
     zdim = z.shape[1]
-    t_z = state.theta[1 : 1 + zdim]
-    t_z2 = state.theta[1 + zdim : 1 + 2 * zdim]
-    t_p = state.theta[1 + 2 * zdim :]
+    # theta is (D,) global or (C, D) per-chain; trailing-axis slices
+    # broadcast against the (C, zdim) batch either way
+    t_z = state.theta[..., 1 : 1 + zdim]
+    t_z2 = state.theta[..., 1 + zdim : 1 + 2 * zdim]
+    t_p = state.theta[..., 1 + 2 * zdim :]
     pz = jnp.einsum("kw,cw->ck", proj, z, precision=jax.lax.Precision.HIGHEST)
     cross = jnp.einsum(
-        "ck,kw->cw", pz * t_p[None, :], proj,
+        "ck,kw->cw", pz * t_p, proj,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return t_z[None, :] + 2.0 * t_z2[None, :] * z + 2.0 * cross
+    return t_z + 2.0 * t_z2 * z + 2.0 * cross
+
+
+def _r2_rows(
+    buf_w: jax.Array,
+    buf_ll: jax.Array,
+    count: jax.Array,
+    theta: jax.Array,
+    proj: jax.Array,
+) -> jax.Array:
+    b = buf_w.shape[0]
+    valid = (jnp.arange(b) < count).astype(jnp.float32)
+    pred = features(buf_w, proj) @ theta
+    resid = (pred - buf_ll) * valid
+    n = jnp.maximum(count.astype(jnp.float32), 1.0)
+    mean = jnp.sum(buf_ll * valid) / n
+    tot = jnp.sum(jnp.square((buf_ll - mean) * valid))
+    return 1.0 - jnp.sum(jnp.square(resid)) / jnp.maximum(tot, 1e-9)
 
 
 def r_squared(state: SurrogateState, proj: jax.Array) -> jax.Array:
-    """In-buffer goodness of fit (diagnostic)."""
-    b = state.buf_w.shape[0]
-    valid = (jnp.arange(b) < state.count).astype(jnp.float32)
-    pred = predict(state, proj, state.buf_w)
-    resid = (pred - state.buf_ll) * valid
-    n = jnp.maximum(state.count.astype(jnp.float32), 1.0)
-    mean = jnp.sum(state.buf_ll * valid) / n
-    tot = jnp.sum(jnp.square((state.buf_ll - mean) * valid))
-    return 1.0 - jnp.sum(jnp.square(resid)) / jnp.maximum(tot, 1e-9)
+    """In-buffer goodness of fit (diagnostic). Scalar for the global
+    layout; (C,) per rung for the per-chain layout."""
+    if state.buf_w.ndim == 3:
+        return jax.vmap(
+            lambda bw, bl, th: _r2_rows(bw, bl, state.count, th, proj)
+        )(state.buf_w, state.buf_ll, state.theta)
+    return _r2_rows(state.buf_w, state.buf_ll, state.count, state.theta, proj)

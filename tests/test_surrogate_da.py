@@ -173,6 +173,116 @@ def test_surrogate_grad_predict_matches_autodiff():
     )
 
 
+def test_per_chain_fit_matches_independent_global_fits():
+    """Per-chain layout: the vmapped batched ridge solve must equal fitting
+    each rung's buffer independently with the global-path code."""
+    from ptnn import surrogate
+
+    C, zdim, n_proj, B = 5, 7, 8, 128
+    proj = surrogate.make_projection(jax.random.PRNGKey(0), zdim, n_proj)
+    st = surrogate.init(B, zdim, n_proj, num_chains=C)
+    key = jax.random.PRNGKey(1)
+    # each rung sees a DIFFERENT quadratic target (hot rungs roam wider)
+    zs = jax.random.normal(key, (B, C, zdim), jnp.float32) * (
+        1.0 + jnp.arange(C, dtype=jnp.float32)[None, :, None]
+    )
+    coefs = jnp.arange(1, C + 1, dtype=jnp.float32)
+    lls = -coefs[None, :] * jnp.sum(zs * zs, axis=-1) + 0.2 * zs[..., 0]
+    for i in range(B):
+        st = surrogate.push(st, zs[i], lls[i])
+    assert int(st.count) == B and int(st.ptr) == 0  # wrapped exactly once
+    st = surrogate.fit(st, proj, ridge=1e-4)
+    assert bool(st.fitted)
+    assert st.theta.shape[0] == C
+    r2 = surrogate.r_squared(st, proj)
+    assert r2.shape == (C,) and np.all(np.asarray(r2) > 0.95)
+    for c_idx in range(C):
+        ref = surrogate.init(B, zdim, n_proj)
+        ref = surrogate.push(
+            ref, np.asarray(st.buf_w[c_idx]), np.asarray(st.buf_ll[c_idx])
+        )
+        ref = surrogate.fit(ref, proj, ridge=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(st.theta[c_idx]), np.asarray(ref.theta),
+            rtol=2e-3, atol=2e-3,
+        )
+    # per-chain predict routes rung i's theta to row i
+    z = zs[0]
+    pred = surrogate.predict(st, proj, z)
+    for c_idx in range(C):
+        one = surrogate.features(z[c_idx : c_idx + 1], proj) @ st.theta[c_idx]
+        np.testing.assert_allclose(
+            np.asarray(pred[c_idx]), np.asarray(one[0]), rtol=1e-4, atol=1e-4
+        )
+    # analytic gradient matches autodiff through the per-chain predict
+    g_analytic = surrogate.grad_predict(st, proj, z)
+    g_auto = jax.vmap(
+        lambda zi, th: jax.grad(
+            lambda q: (surrogate.features(q[None, :], proj) @ th)[0]
+        )(zi)
+    )(z, st.theta)
+    np.testing.assert_allclose(
+        np.asarray(g_analytic), np.asarray(g_auto), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_per_chain_push_masked_ring_semantics():
+    """Masked pushes advance all rings in lockstep and are no-ops when
+    invalid; rings wrap independently of the chain count."""
+    from ptnn import surrogate
+
+    C, zdim, n_proj, B = 3, 4, 2, 5
+    st = surrogate.init(B, zdim, n_proj, num_chains=C)
+    z0 = jnp.ones((C, zdim)) * jnp.arange(1, C + 1, dtype=jnp.float32)[:, None]
+    st = surrogate.push_masked(st, z0, jnp.arange(C, dtype=jnp.float32),
+                               jnp.ones((), jnp.bool_))
+    assert int(st.count) == 1 and int(st.ptr) == 1
+    st_no = surrogate.push_masked(st, z0 * 9, jnp.full((C,), 99.0),
+                                  jnp.zeros((), jnp.bool_))
+    assert int(st_no.count) == 1 and int(st_no.ptr) == 1
+    np.testing.assert_array_equal(
+        np.asarray(st_no.buf_w), np.asarray(st.buf_w)
+    )
+    for k in range(2, B + 3):  # push past capacity: wraps, count saturates
+        st = surrogate.push(st, z0 + k, jnp.full((C,), float(k)))
+    assert int(st.count) == B and int(st.ptr) == (B + 2) % B
+    # the wrap overwrote the oldest rows; every ring saw the same schedule
+    np.testing.assert_allclose(
+        np.asarray(st.buf_ll[0]), np.asarray(st.buf_ll[1])
+    )
+
+
+@pytest.mark.slow
+def test_da_per_chain_scope_exact_and_resumes(sunspot, tmp_path):
+    """DA mode with surrogate_scope='per_chain': the exactness invariant
+    (carried ll == true ll at run end) holds, every rung's fit activates,
+    and mid-run checkpoints resume bit-identically."""
+    cfg = da_cfg(
+        surrogate_scope="per_chain",
+        surrogate_buffer=256,
+        surrogate_inner="mala",
+        num_samples=8 * 500,
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    assert res.da_segments > 0, "no surrogate segments ever opened"
+    assert not bool(res.final_state.da.active)
+    assert res.final_state.surr.theta.shape[0] == cfg.num_chains
+    ll_true = _true_ll(res, sunspot[0])
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.ll), ll_true, rtol=1e-4, atol=1e-3
+    )
+    ck = str(tmp_path / "dapc.npz")
+    r1 = sample(cfg, *sunspot, seed=0, checkpoint_path=ck, checkpoint_every=1)
+    r2 = sample(cfg, *sunspot, seed=0, checkpoint_path=ck, checkpoint_every=1)
+    for k in res.traces:
+        np.testing.assert_allclose(
+            res.traces[k], r1.traces[k], rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            res.traces[k], r2.traces[k], rtol=1e-6, atol=1e-7
+        )
+
+
 @pytest.mark.slow
 def test_da_mala_inner_moves(sunspot):
     """Surrogate-MALA inner moves: exactness invariant still holds, and the
