@@ -190,6 +190,19 @@ class PTConfig:
     #          mixes far better through a fitted surrogate. Exactness is
     #          unaffected either way (any proposal + correct q-ratio).
     surrogate_inner: str = "rw"
+    # Surrogate model family:
+    # "quadratic" — ridge fit of [1, z, z^2, (Pz)^2] features by normal
+    #               equations (a few microseconds on the MXU);
+    # "mlp"       — one-tanh-hidden-layer NN trained by warm-started
+    #               full-batch Adam refits at chunk boundaries ("NN
+    #               surrogate with SGD refits"); captures non-quadratic
+    #               likelihood structure at the cost of a ~surrogate_fit_steps
+    #               x buffer-sized training loop per refit. Exactness of
+    #               delayed_acceptance is family-independent.
+    surrogate_family: str = "quadratic"
+    surrogate_hidden: int = 16  # MLP hidden units
+    surrogate_fit_steps: int = 300  # Adam iterations per refit
+    surrogate_fit_lr: float = 1e-2
     # Fit scope:
     # "global"    — one theta for the whole ladder, one shared ring buffer;
     # "per_chain" — one theta PER TEMPERATURE RUNG, each fit on that rung's
@@ -305,9 +318,17 @@ class PTConfig:
             raise ValueError(
                 f"unknown surrogate_scope {self.surrogate_scope!r}"
             )
+        if self.surrogate_family not in ("quadratic", "mlp"):
+            raise ValueError(
+                f"unknown surrogate_family {self.surrogate_family!r}"
+            )
         if self.use_surrogate:
-            # features span [w, eta]; see surrogate.init_for / feature_dim
-            fdim = 1 + 2 * (self.w_size + 1) + self.surrogate_proj
+            # activation threshold per family; see surrogate.init_for
+            if self.surrogate_family == "mlp":
+                fdim = 4 * self.surrogate_hidden + 2 * (self.w_size + 1)
+            else:
+                # features span [w, eta]; surrogate.feature_dim
+                fdim = 1 + 2 * (self.w_size + 1) + self.surrogate_proj
             if self.surrogate_scope == "per_chain":
                 if self.surrogate_buffer < fdim:
                     raise ValueError(

@@ -642,6 +642,9 @@ def make_step_fn(
                 jax.random.PRNGKey(0x5A6A), spec.w_size + 1, cfg.surrogate_proj
             )
         surr_warmup_end = int(cfg.n_steps * cfg.surrogate_warmup_frac)
+        # family dispatch (quadratic ridge vs MLP with Adam refits) resolved
+        # once at build time; uniform (state, proj, z) signatures
+        surr_fam = surrogate_mod.family_for(cfg)
 
     def _eval_bundle(state, w_prop, eta_prop, tau_prop, do_push=True):
         """True proposal evaluation (the expensive full-dataset pass)."""
@@ -668,7 +671,7 @@ def make_step_fn(
         """Surrogate proposal evaluation: skip the dataset pass entirely;
         metrics carry the previous values (no predictions were made)."""
         z = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
-        ll_prop = surrogate_mod.predict(state.surr, surrogate_proj, z)
+        ll_prop = surr_fam.predict(state.surr, surrogate_proj, z)
         out = [ll_prop, state.rmse_train, state.rmse_test, state.acc_train,
                state.acc_test]
         if cfg.record_fx:
@@ -678,7 +681,7 @@ def make_step_fn(
     def _surr_ll(surr, w, eta):
         """Surrogate log-likelihood at (w, eta) -> (C,)."""
         z = jnp.concatenate([w, eta[:, None]], axis=1)
-        return surrogate_mod.predict(surr, surrogate_proj, z)
+        return surr_fam.predict(surr, surrogate_proj, z)
 
     def _close_core(st: ChainState, i, kseg):
         """Exact delayed-acceptance segment correction: one true-likelihood
@@ -907,13 +910,13 @@ def make_step_fn(
             if cfg.surrogate_inner == "mala":
                 half = 0.5 * sw * sw  # sigma^2/2, (C, 1)
                 z_cur = jnp.concatenate([st.w, st.eta[:, None]], axis=1)
-                g_cur = surrogate_mod.grad_predict(
+                g_cur = surr_fam.grad_predict(
                     state.surr, surrogate_proj, z_cur
                 )[:, :w_dim] / adapttemp[:, None]
                 mean_fwd = st.w + half * g_cur
                 w_prop = mean_fwd + noise
                 z_prop = jnp.concatenate([w_prop, eta_prop[:, None]], axis=1)
-                g_prop = surrogate_mod.grad_predict(
+                g_prop = surr_fam.grad_predict(
                     state.surr, surrogate_proj, z_prop
                 )[:, :w_dim] / adapttemp[:, None]
                 mean_rev = w_prop + half * g_prop
@@ -1334,11 +1337,7 @@ def make_step_fn(
     def refit_surrogate(st: ChainState) -> ChainState:
         """Refit the surrogate on the current buffer (sampler calls this at
         chunk boundaries, together with recompute_ll to re-anchor)."""
-        return st._replace(
-            surr=surrogate_mod.fit(
-                st.surr, surrogate_proj, cfg.surrogate_ridge, cfg.surrogate_min_r2
-            )
-        )
+        return st._replace(surr=surr_fam.fit(st.surr, surrogate_proj))
 
     da_mode = cfg.use_surrogate and cfg.surrogate_mode == "delayed_acceptance"
     if cfg.proposal != "reference":

@@ -61,7 +61,7 @@ Two modes (``PTConfig.surrogate_mode``):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,35 +117,60 @@ def init_for(cfg, w_size: int) -> SurrogateState:
     the ridge fit silently inactive (the failure mode config validation
     exists to reject)."""
     c = cfg.num_chains
-    fdim = feature_dim(w_size + 1, cfg.surrogate_proj)
+    zdim = w_size + 1
+    if cfg.surrogate_family == "mlp":
+        fdim = mlp_min_rows(zdim, cfg.surrogate_hidden)
+        what = f"MLP activation row count {fdim}"
+        knob = "lower surrogate_hidden"
+    else:
+        fdim = feature_dim(zdim, cfg.surrogate_proj)
+        what = f"feature dimension {fdim}"
+        knob = "lower surrogate_proj"
     if cfg.surrogate_scope == "per_chain":
         if cfg.surrogate_buffer < fdim:
             raise ValueError(
                 f"surrogate_buffer={cfg.surrogate_buffer} (per-chain rows) "
-                f"is below the surrogate feature dimension {fdim} for the "
-                f"model's w_size={w_size}: the per-chain ridge fits would "
-                f"never activate. Raise surrogate_buffer to >= {fdim} or "
-                "lower surrogate_proj."
+                f"is below the surrogate {what} for the model's "
+                f"w_size={w_size}: the per-chain fits would never activate. "
+                f"Raise surrogate_buffer to >= {fdim} or {knob}."
             )
-        return init(
-            cfg.surrogate_buffer, w_size + 1, cfg.surrogate_proj, num_chains=c
-        )
+        return _init_family(cfg, cfg.surrogate_buffer, zdim, num_chains=c)
     buf = ((cfg.surrogate_buffer + c - 1) // c) * c
     if buf < fdim:
         raise ValueError(
             f"surrogate_buffer={cfg.surrogate_buffer} (rounded to {buf}) is "
-            f"below the surrogate feature dimension {fdim} for the model's "
-            f"w_size={w_size}: the ridge fit would never activate. Raise "
-            f"surrogate_buffer to >= {fdim} or lower surrogate_proj."
+            f"below the surrogate {what} for the model's w_size={w_size}: "
+            f"the fit would never activate. Raise surrogate_buffer to >= "
+            f"{fdim} or {knob}."
         )
-    return init(buf, w_size + 1, cfg.surrogate_proj)
+    return _init_family(cfg, buf, zdim)
+
+
+def _init_family(
+    cfg, buffer_size: int, zdim: int, num_chains: int | None = None
+) -> SurrogateState:
+    if cfg.surrogate_family == "mlp":
+        # fixed init key, independent of the run seed, so every driver
+        # (sample/throughput_run/sweeps) builds the identical state
+        theta0 = mlp_init_theta(
+            jax.random.PRNGKey(0x5A6B), zdim, cfg.surrogate_hidden
+        )
+        if num_chains is not None:
+            keys = jax.random.split(jax.random.PRNGKey(0x5A6B), num_chains)
+            theta0 = jax.vmap(
+                lambda k: mlp_init_theta(k, zdim, cfg.surrogate_hidden)
+            )(keys)
+        st = init(buffer_size, zdim, cfg.surrogate_proj, num_chains=num_chains)
+        return st._replace(theta=theta0)
+    return init(buffer_size, zdim, cfg.surrogate_proj, num_chains=num_chains)
 
 
 def init(
     buffer_size: int, w_size: int, n_proj: int, num_chains: int | None = None
 ) -> SurrogateState:
     """Global layout by default; per-chain layout when ``num_chains`` is
-    given (``buffer_size`` rows per chain)."""
+    given (``buffer_size`` rows per chain). Quadratic-family theta sizing;
+    ``_init_family`` swaps in the MLP theta."""
     d = feature_dim(w_size, n_proj)
     lead = () if num_chains is None else (num_chains,)
     return SurrogateState(
@@ -345,6 +370,237 @@ def grad_predict(
         precision=jax.lax.Precision.HIGHEST,
     )
     return t_z + 2.0 * t_z2 * z + 2.0 * cross
+
+
+# ---------------------------------------------------------------------------
+# MLP surrogate family (surrogate_family="mlp")
+#
+# ll_hat(z) = y_sig * (v . tanh(A zs + b) + c) + y_mu with zs = (z - mu)/sig —
+# one tanh hidden layer trained by warm-started full-batch Adam on the ring
+# buffer at chunk boundaries (the "NN surrogate with SGD refits" capability
+# of the surrogate-assisted PT literature; the reference's own surrogate
+# plumbing is empty, see module docstring). All parameters live flattened in
+# ``SurrogateState.theta`` so the state layout, checkpointing, and the
+# per-chain scope (leading (C,) axis, vmapped fits) are family-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def mlp_dim(zdim: int, hidden: int) -> int:
+    """theta layout: [A (H*Z), b (H), v (H), c (1), mu (Z), sig (Z),
+    y_mu (1), y_sig (1)]."""
+    return hidden * zdim + 2 * hidden + 2 * zdim + 3
+
+
+def _mlp_unpack(theta: jax.Array, zdim: int, hidden: int):
+    o = 0
+    a = theta[o : o + hidden * zdim].reshape(hidden, zdim); o += hidden * zdim
+    b = theta[o : o + hidden]; o += hidden
+    v = theta[o : o + hidden]; o += hidden
+    c = theta[o]; o += 1
+    mu = theta[o : o + zdim]; o += zdim
+    sig = theta[o : o + zdim]; o += zdim
+    y_mu = theta[o]; o += 1
+    y_sig = theta[o]
+    return a, b, v, c, mu, sig, y_mu, y_sig
+
+
+def mlp_init_theta(key: jax.Array, zdim: int, hidden: int) -> jax.Array:
+    ka, kv = jax.random.split(key)
+    a = jax.random.normal(ka, (hidden, zdim), jnp.float32) / jnp.sqrt(
+        jnp.asarray(zdim, jnp.float32)
+    )
+    v = 0.1 * jax.random.normal(kv, (hidden,), jnp.float32) / jnp.sqrt(
+        jnp.asarray(hidden, jnp.float32)
+    )
+    return jnp.concatenate(
+        [
+            a.ravel(),
+            jnp.zeros((hidden,), jnp.float32),
+            v,
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((zdim,), jnp.float32),  # mu
+            jnp.ones((zdim,), jnp.float32),  # sig
+            jnp.zeros((1,), jnp.float32),  # y_mu
+            jnp.ones((1,), jnp.float32),  # y_sig
+        ]
+    )
+
+
+def _mlp_forward_std(params, zs: jax.Array) -> jax.Array:
+    """Standardized-space forward: zs (N, Z) -> (N,)."""
+    a, b, v, c = params
+    h = jnp.tanh(
+        jnp.einsum("hz,nz->nh", a, zs, precision=jax.lax.Precision.HIGHEST)
+        + b
+    )
+    return h @ v + c
+
+
+def _mlp_predict_one(theta: jax.Array, z: jax.Array, zdim: int, hidden: int):
+    """(Z,)-input predict for one theta -> scalar."""
+    a, b, v, c, mu, sig, y_mu, y_sig = _mlp_unpack(theta, zdim, hidden)
+    zs = (z - mu) / sig
+    return y_sig * (jnp.tanh(a @ zs + b) @ v + c) + y_mu
+
+
+def mlp_predict(theta: jax.Array, z: jax.Array, hidden: int) -> jax.Array:
+    """Surrogate ll for a (C, Z) block -> (C,). Per-chain theta (C, D)
+    routes rung i's net to row i."""
+    zdim = z.shape[1]
+    if theta.ndim == 2:
+        return jax.vmap(
+            lambda th, zr: _mlp_predict_one(th, zr, zdim, hidden)
+        )(theta, z)
+    a, b, v, c, mu, sig, y_mu, y_sig = _mlp_unpack(theta, zdim, hidden)
+    return y_sig * _mlp_forward_std((a, b, v, c), (z - mu) / sig) + y_mu
+
+
+def mlp_grad(theta: jax.Array, z: jax.Array, hidden: int) -> jax.Array:
+    """Analytic d ll_hat / dz for a (C, Z) block -> (C, Z):
+    y_sig * A^T (v * (1 - h^2)) / sig."""
+    zdim = z.shape[1]
+
+    def one(th, zr):
+        a, b, v, c, mu, sig, y_mu, y_sig = _mlp_unpack(th, zdim, hidden)
+        h = jnp.tanh(a @ ((zr - mu) / sig) + b)
+        return y_sig * (a.T @ (v * (1.0 - h * h))) / sig
+
+    if theta.ndim == 2:
+        return jax.vmap(one)(theta, z)
+    return jax.vmap(lambda zr: one(theta, zr))(z)
+
+
+def _mlp_fit_rows(
+    buf_w: jax.Array,
+    buf_ll: jax.Array,
+    count: jax.Array,
+    theta0: jax.Array,
+    hidden: int,
+    steps: int,
+    lr: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Warm-started full-batch Adam on ONE buffer -> (theta, r2).
+
+    Standardization constants are recomputed from the current valid rows
+    each refit (they drift only while the ring is filling); the net warm
+    starts from the previous fit's weights and retrains for ``steps``
+    iterations, so the brief mismatch after a re-standardization is
+    trained away within the same refit."""
+    b, zdim = buf_w.shape
+    valid = (jnp.arange(b) < count).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    mu = jnp.sum(buf_w * valid[:, None], axis=0) / n
+    var = jnp.sum(jnp.square(buf_w - mu) * valid[:, None], axis=0) / n
+    sig = jnp.sqrt(jnp.maximum(var, 1e-12))
+    y_mu = jnp.sum(buf_ll * valid) / n
+    y_var = jnp.sum(jnp.square(buf_ll - y_mu) * valid) / n
+    y_sig = jnp.sqrt(jnp.maximum(y_var, 1e-12))
+    zs = (buf_w - mu) / sig
+    ys = (buf_ll - y_mu) / y_sig
+
+    a0, b0, v0, c0, *_ = _mlp_unpack(theta0, zdim, hidden)
+    params0 = (a0, b0, v0, jnp.asarray(c0))
+
+    def loss(params):
+        pred = _mlp_forward_std(params, zs)
+        return jnp.sum(jnp.square(pred - ys) * valid) / n
+
+    gloss = jax.grad(loss)
+    zeros = jax.tree.map(jnp.zeros_like, params0)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam(carry, t):
+        params, m, s = carry
+        g = gloss(params)
+        m = jax.tree.map(lambda mi, gi: b1 * mi + (1 - b1) * gi, m, g)
+        s = jax.tree.map(lambda si, gi: b2 * si + (1 - b2) * gi * gi, s, g)
+        tf = t.astype(jnp.float32) + 1.0
+        corr = jnp.sqrt(1.0 - b2**tf) / (1.0 - b1**tf)
+        params = jax.tree.map(
+            lambda p, mi, si: p - lr * corr * mi / (jnp.sqrt(si) + eps),
+            params, m, s,
+        )
+        return (params, m, s), None
+
+    (params, _, _), _ = jax.lax.scan(
+        adam, (params0, zeros, zeros), jnp.arange(steps)
+    )
+    pred = _mlp_forward_std(params, zs)
+    resid = (pred - ys) * valid
+    r2 = 1.0 - jnp.sum(jnp.square(resid)) / jnp.maximum(
+        jnp.sum(jnp.square(ys * valid)), 1e-9
+    )
+    a1, b1_, v1, c1 = params
+    theta = jnp.concatenate(
+        [a1.ravel(), b1_, v1, c1[None], mu, sig, y_mu[None], y_sig[None]]
+    )
+    return theta, r2
+
+
+def mlp_min_rows(zdim: int, hidden: int) -> int:
+    """Rows before an MLP fit may activate. NNs generalize below their
+    parameter count, so the quadratic family's count>=D gate would be
+    needlessly strict; require a few rows per hidden unit plus input dim."""
+    return 4 * hidden + 2 * zdim
+
+
+def mlp_fit(
+    state: SurrogateState,
+    hidden: int,
+    steps: int,
+    lr: float,
+    min_r2: float,
+) -> SurrogateState:
+    """Refit the MLP family on the ring buffer(s); per-chain layout trains
+    every rung's net in one vmapped Adam loop. Gate as the quadratic
+    family: enough rows, and EVERY rung's in-buffer r2 above ``min_r2``."""
+    min_rows = mlp_min_rows(state.buf_w.shape[-1], hidden)
+    if state.buf_w.ndim == 3:
+        theta, r2 = jax.vmap(
+            lambda bw, bl, th: _mlp_fit_rows(
+                bw, bl, state.count, th, hidden, steps, lr
+            )
+        )(state.buf_w, state.buf_ll, state.theta)
+    else:
+        theta, r2 = _mlp_fit_rows(
+            state.buf_w, state.buf_ll, state.count, state.theta,
+            hidden, steps, lr,
+        )
+    ok = state.count >= jnp.asarray(min_rows, jnp.int32)
+    theta = jnp.where(ok, theta, state.theta)
+    good = jnp.logical_and(ok, jnp.min(r2) >= min_r2)
+    return state._replace(theta=theta, fitted=good)
+
+
+class Family(NamedTuple):
+    """Resolved surrogate family: uniform call signatures for the kernel
+    (predict/grad_predict take (state, proj, z); fit takes (state, proj) —
+    the MLP family ignores ``proj``)."""
+
+    predict: Callable
+    grad_predict: Callable
+    fit: Callable
+
+
+def family_for(cfg) -> Family:
+    """Resolve PTConfig.surrogate_family to its (predict, grad, fit)."""
+    if cfg.surrogate_family == "mlp":
+        hidden = cfg.surrogate_hidden
+        return Family(
+            predict=lambda st, proj, z: mlp_predict(st.theta, z, hidden),
+            grad_predict=lambda st, proj, z: mlp_grad(st.theta, z, hidden),
+            fit=lambda st, proj: mlp_fit(
+                st, hidden, cfg.surrogate_fit_steps, cfg.surrogate_fit_lr,
+                cfg.surrogate_min_r2,
+            ),
+        )
+    return Family(
+        predict=predict,
+        grad_predict=grad_predict,
+        fit=lambda st, proj: fit(
+            st, proj, cfg.surrogate_ridge, cfg.surrogate_min_r2
+        ),
+    )
 
 
 def _r2_rows(

@@ -252,6 +252,101 @@ def test_per_chain_push_masked_ring_semantics():
     )
 
 
+def test_mlp_family_grad_matches_autodiff_and_beats_quadratic():
+    """MLP surrogate family: analytic gradient equals jax.grad of predict,
+    and Adam refits fit a deliberately non-quadratic target far better than
+    the quadratic ridge family (the capability the family adds)."""
+    from ptnn import surrogate
+
+    zdim, hidden, B = 6, 24, 512
+    key = jax.random.PRNGKey(7)
+    zs = 2.0 * jax.random.normal(key, (B, zdim), jnp.float32)
+    lls = jnp.sin(2.0 * zs[:, 0]) + jnp.tanh(zs[:, 1] * zs[:, 2]) - 0.1 * jnp.sum(
+        zs * zs, axis=1
+    )
+
+    theta0 = surrogate.mlp_init_theta(jax.random.PRNGKey(8), zdim, hidden)
+    st = surrogate.init(B, zdim, 8)._replace(theta=theta0)
+    st = surrogate.push(st, zs, lls)
+    st_mlp = surrogate.mlp_fit(st, hidden, 2000, 1e-2, min_r2=0.7)
+    assert bool(st_mlp.fitted)
+
+    proj = surrogate.make_projection(jax.random.PRNGKey(9), zdim, 8)
+    st_quad = surrogate.fit(
+        surrogate.push(surrogate.init(B, zdim, 8), zs, lls), proj, ridge=1e-4,
+        min_r2=-10.0,
+    )
+
+    def mse(pred):
+        return float(jnp.mean(jnp.square(pred - lls)))
+
+    err_mlp = mse(surrogate.mlp_predict(st_mlp.theta, zs, hidden))
+    err_quad = mse(surrogate.predict(st_quad, proj, zs))
+    assert err_mlp < 0.5 * err_quad, (err_mlp, err_quad)
+
+    z = zs[:4]
+    g_analytic = surrogate.mlp_grad(st_mlp.theta, z, hidden)
+    g_auto = jax.vmap(
+        jax.grad(
+            lambda zi: surrogate.mlp_predict(st_mlp.theta, zi[None, :], hidden)[0]
+        )
+    )(z)
+    np.testing.assert_allclose(
+        np.asarray(g_analytic), np.asarray(g_auto), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_mlp_per_chain_fit_shapes_and_warm_start():
+    """Per-chain MLP layout: vmapped fits produce per-rung thetas; a second
+    refit warm-starts from the first (loss keeps dropping)."""
+    from ptnn import surrogate
+
+    C, zdim, hidden, B = 3, 4, 8, 256
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    theta0 = jax.vmap(
+        lambda k: surrogate.mlp_init_theta(k, zdim, hidden)
+    )(keys)
+    st = surrogate.init(B, zdim, 4, num_chains=C)._replace(theta=theta0)
+    zs = jax.random.normal(jax.random.PRNGKey(1), (B, C, zdim), jnp.float32)
+    lls = jnp.sin(zs[..., 0] * 3.0) - jnp.sum(zs * zs, axis=-1)
+    for i in range(B):
+        st = surrogate.push(st, zs[i], lls[i])
+    st1 = surrogate.mlp_fit(st, hidden, 150, 1e-2, min_r2=-10.0)
+    assert st1.theta.shape == (C, surrogate.mlp_dim(zdim, hidden))
+    st2 = surrogate.mlp_fit(st1, hidden, 150, 1e-2, min_r2=-10.0)
+
+    def err(s):
+        pred = surrogate.mlp_predict(s.theta, zs[0], hidden)
+        tot = 0.0
+        for i in range(B):
+            p = surrogate.mlp_predict(s.theta, zs[i], hidden)
+            tot += float(jnp.mean(jnp.square(p - lls[i])))
+        return tot / B
+
+    assert err(st2) < err(st1), (err(st2), err(st1))
+
+
+@pytest.mark.slow
+def test_da_mlp_family_exact(sunspot):
+    """DA mode with surrogate_family='mlp': segments open and the carried
+    likelihood is exact at run end (family-independent exactness)."""
+    cfg = da_cfg(
+        surrogate_family="mlp",
+        surrogate_hidden=16,
+        surrogate_fit_steps=200,
+        surrogate_inner="mala",
+        num_samples=8 * 600,
+    )
+    res = sample(cfg, *sunspot, seed=0)
+    assert res.da_segments > 0, "no surrogate segments ever opened"
+    assert not bool(res.final_state.da.active)
+    ll_true = _true_ll(res, sunspot[0])
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.ll), ll_true, rtol=1e-4, atol=1e-3
+    )
+    assert np.isfinite(res.traces["ll"][1:]).all()
+
+
 @pytest.mark.slow
 def test_da_per_chain_scope_exact_and_resumes(sunspot, tmp_path):
     """DA mode with surrogate_scope='per_chain': the exactness invariant
