@@ -108,3 +108,40 @@ def test_2d_mesh_data_sharding(sunspot):
         np.testing.assert_allclose(
             r_plain.traces[k], r_mesh.traces[k], rtol=2e-4, atol=1e-4
         )
+
+
+@pytest.mark.slow
+def test_sharded_per_chain_surrogate_da(sunspot):
+    """Per-chain surrogate DA on the 8-device mesh: the per-rung ring
+    buffers and thetas shard along the chain axis (one rung per device);
+    the vmapped batched refits and the ladder-global fitted gate (a
+    cross-shard min) must reproduce the unsharded run."""
+    c = cfg(
+        num_samples=8 * 500,
+        maxtemp=3.0,
+        swap_interval=30,
+        use_surrogate=True,
+        surrogate_mode="delayed_acceptance",
+        surrogate_scope="per_chain",
+        surrogate_inner="mala",
+        surrogate_prob=0.5,
+        surrogate_warmup_frac=0.2,
+        surrogate_buffer=256,
+        surrogate_proj=32,
+    )
+    m = mesh_mod.make_mesh()
+    r_plain = sample(c, *sunspot, seed=0)
+    r_mesh = sample(c, *sunspot, seed=0, mesh=m)
+    assert r_plain.da_segments > 0
+    assert r_mesh.da_segments == r_plain.da_segments
+    for k in r_plain.traces:
+        # "ll" rows on segment steps record SURROGATE predictions, which
+        # amplify the tiny theta differences from the sharded batched ridge
+        # solve's reduction order (the trajectory itself — w, rmse, accepts —
+        # matches at the standard tolerance)
+        tol = dict(rtol=5e-3, atol=0.25) if k == "ll" else dict(
+            rtol=2e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(r_plain.traces[k], r_mesh.traces[k], **tol)
+    st = r_mesh.final_state.surr
+    assert st.theta.shape[0] == c.num_chains
