@@ -149,10 +149,25 @@ class Dataset(NamedTuple):
     y_test: jax.Array
     mask_train: Any = None  # (N,) float {0,1} or None
     mask_test: Any = None
+    # Classification envelope padding (sweeps.classification_grid): datasets
+    # with different (features, hidden, classes) topologies share one
+    # compiled program by padding to a topology envelope. ``class_mask``
+    # excludes padded class columns from the softmax/argmax; ``w_mask`` pins
+    # padded parameters at zero (init, proposal noise, drift updates), which
+    # makes padded hidden units exact no-ops (their outgoing weights stay 0).
+    class_mask: Any = None  # (O,) float {0,1} or None
+    w_mask: Any = None  # (w_size,) float {0,1} or None
 
 
-def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
-    """Chain-batched eval + prior closures for a model spec."""
+def _batched_evals(
+    cfg: PTConfig, spec: model_api.ModelSpec, data: "Dataset" = None
+):
+    """Chain-batched eval + prior closures for a model spec.
+
+    ``data`` supplies the optional envelope masks (Dataset.class_mask /
+    w_mask); row masks are passed per call site (train vs test)."""
+    class_mask = None if data is None else data.class_mask
+    w_mask = None if data is None else data.w_mask
     use_batched_fwd = (
         spec.batched_forward is not None
         # the fused-eval kernels are Mosaic TPU programs; off-TPU (CPU test
@@ -194,16 +209,31 @@ def _batched_evals(cfg: PTConfig, spec: model_api.ModelSpec):
         )
     else:
 
-        def b_eval(w, x, y):
+        def b_eval(w, x, y, mask=None):
             out = fwd_b(w, x)
+            if class_mask is not None:
+                # padded class columns sit at sigmoid(0)=0.5 and would leak
+                # into the softmax normalizer; a large negative (not -inf —
+                # avoids 0*inf NaNs in value_and_grad paths) zeroes their
+                # probability and keeps them out of the argmax
+                out = jnp.where(class_mask > 0, out, -1e9)
             logp = spec.log_probs(out)
             return jax.vmap(
-                likelihood.classification_eval_from_logp, in_axes=(0, 0, None)
-            )(logp, out, y)
+                likelihood.classification_eval_from_logp,
+                in_axes=(0, 0, None, None),
+            )(logp, out, y, mask)
 
+        # the reference's dimension term equals w_size, so under envelope
+        # padding it is the number of REAL parameters — a traced per-cell
+        # scalar (masked parameters are pinned at 0 and drop out of sum(w^2))
+        prior_dim = (
+            spec.prior_dim_classification
+            if w_mask is None
+            else jnp.sum(w_mask)
+        )
         b_prior = jax.vmap(
             lambda wi: likelihood.classification_log_prior_dim(
-                wi, spec.prior_dim_classification, cfg.sigma_sq
+                wi, prior_dim, cfg.sigma_sq
             )
         )
     return b_eval, b_prior
@@ -267,7 +297,9 @@ def init_state(
     c, w_dim = cfg.num_chains, spec.w_size
     kw, _ = jax.random.split(key)
     w = jax.random.normal(kw, (c, w_dim), dtype=jnp.float32)
-    b_eval, b_prior = _batched_evals(cfg, spec)
+    if data.w_mask is not None:
+        w = w * data.w_mask
+    b_eval, b_prior = _batched_evals(cfg, spec, data)
 
     if cfg.task == "regression":
         pred = jax.vmap(spec.forward, in_axes=(0, None))(w, data.x_train)[:, :, 0]
@@ -288,7 +320,7 @@ def init_state(
         prior = b_prior(w, tau)
     else:
         eta = jnp.zeros((c,), jnp.float32)
-        ev = b_eval(w, data.x_train, data.y_train)
+        ev = b_eval(w, data.x_train, data.y_train, data.mask_train)
         ll = ev.loglik
         prior = b_prior(w)
 
@@ -420,17 +452,28 @@ def make_step_fn(
         )
 
     has_mask = data.mask_train is not None
-    if has_mask and (cfg.proposal != "reference" or cfg.use_surrogate):
+    has_w_mask = data.w_mask is not None
+    if (has_mask or has_w_mask) and (
+        cfg.proposal != "reference" or cfg.use_surrogate
+    ):
         raise ValueError(
-            "row-masked (padded) datasets support the reference proposal "
-            "machinery only (sweeps.dataset_grid scope)"
+            "masked (padded) datasets support the reference proposal "
+            "machinery only (sweeps.dataset_grid / classification_grid scope)"
         )
-    if has_mask and cfg.task != "regression":
+    if has_w_mask and cfg.task == "regression":
         raise ValueError(
-            "row masks are implemented for regression (the Compare_Benchmark"
-            " grid); classification would additionally need class-dim masks"
+            "parameter masks target the classification envelope grid; the "
+            "regression sets share one topology (and the regression prior's "
+            "dimension term is not the parameter count, so a traced "
+            "mask-sum would be wrong there)"
         )
-    _b_eval, b_prior = _batched_evals(cfg, spec)
+    if has_w_mask and cfg.record_fx:
+        raise ValueError(
+            "record_fx with an envelope-padded classification dataset would "
+            "trace per-row predictions of padded rows; run grids with "
+            "record_fx=False"
+        )
+    _b_eval, b_prior = _batched_evals(cfg, spec, data)
     if is_regression:
         b_eval_tr = lambda w, x, y, tau, _topo=None: _b_eval(
             w, x, y, tau, data.mask_train
@@ -439,7 +482,12 @@ def make_step_fn(
             w, x, y, tau, data.mask_test
         )
     else:
-        b_eval = lambda w, x, y, _topo=None: _b_eval(w, x, y)
+        b_eval_tr = lambda w, x, y, _topo=None: _b_eval(
+            w, x, y, data.mask_train
+        )
+        b_eval_te = lambda w, x, y, _topo=None: _b_eval(
+            w, x, y, data.mask_test
+        )
 
     # With step-size adaptation, tie the Langevin drift scale to the adapted
     # step per chain (MALA: drift = (sigma^2/2) grad log pi); cfg.learn_rate
@@ -449,18 +497,22 @@ def make_step_fn(
         and cfg.use_langevin_gradients
         and spec.drift is not None
     )
+    _mask_kw = {}
+    if has_mask:
+        _mask_kw["mask"] = data.mask_train
+    if has_w_mask:
+        _mask_kw["w_mask"] = data.w_mask
     if cfg.use_langevin_gradients:
         if adapt_tied_drift:
             b_drift_per = jax.vmap(
                 lambda wi, lri: spec.drift(
-                    wi, data.x_train, data.t_train, lri,
-                    **({"mask": data.mask_train} if has_mask else {}),
+                    wi, data.x_train, data.t_train, lri, **_mask_kw
                 )
             )
-        if has_mask and spec.batched_drift is not None:
+        if (has_mask or has_w_mask) and spec.batched_drift is not None:
             raise ValueError(
-                "the Pallas drift kernel has no row-mask support; use "
-                "drift_mode='sequential' or 'batch' with padded datasets"
+                "the Pallas drift kernel has no row/parameter-mask support; "
+                "use drift_mode='sequential' or 'batch' with padded datasets"
             )
         if spec.batched_drift is not None and jax.default_backend() == "tpu":
             b_drift = lambda w: spec.batched_drift(
@@ -486,19 +538,11 @@ def make_step_fn(
                     )
                 )
         else:
-            if has_mask:
-                b_drift = jax.vmap(
-                    lambda wi: spec.drift(
-                        wi, data.x_train, data.t_train, learn_rate,
-                        mask=data.mask_train,
-                    )
+            b_drift = jax.vmap(
+                lambda wi: spec.drift(
+                    wi, data.x_train, data.t_train, learn_rate, **_mask_kw
                 )
-            else:
-                b_drift = jax.vmap(
-                    lambda wi: spec.drift(
-                        wi, data.x_train, data.t_train, learn_rate
-                    )
-                )
+            )
         if cfg.drift_chain_microbatch > 1:
             # Sequential chain chunks bound drift activation memory (the
             # grad-based CNN drift keeps GBs of conv activations alive per
@@ -529,6 +573,12 @@ def make_step_fn(
             sw = step_w
             sq = sigma_sq_w
         noise = jax.random.normal(kp, (c, w_dim), jnp.float32) * sw
+        if has_w_mask:
+            # masked (envelope-padded) parameters never move: their noise,
+            # drift (masked in the epoch), and q-ratio terms are all zero,
+            # so the padded chain is exactly the unpadded chain on the real
+            # coordinates
+            noise = noise * data.w_mask
         adapttemp = jnp.where(i < switch_step, temps, 1.0)
         if not cfg.use_langevin_gradients:
             return state.w + noise, jnp.zeros((c,), jnp.float32), state.n_langevin
@@ -557,7 +607,10 @@ def make_step_fn(
             # variants' sigma_diagmat holds step_w, not step_w^2 —
             # Misc_code/ldpt_classifier_multi.py:227,244). pdf1 overflows ->
             # accept; pdf1 underflows with log(pdf2) > 0 -> NaN -> reject.
-            d = w_dim
+            # under envelope padding the MVN normalizer must count only the
+            # REAL dimensions (traced per-cell scalar) — the legacy ratio's
+            # log_norm does not cancel between pdf1 and pdf2
+            d = jnp.sum(data.w_mask) if has_w_mask else w_dim
             log_norm = -0.5 * d * jnp.log(2.0 * jnp.pi * step_w)
             log_pdf1 = log_norm - 0.5 * jnp.sum(
                 jnp.square(state.w - w_prop_gd), axis=-1
@@ -631,7 +684,7 @@ def make_step_fn(
         if is_regression:
             ev = b_eval_tr(s.w, data.x_train, data.y_train, jnp.exp(s.eta))
         else:
-            ev = b_eval(s.w, data.x_train, data.y_train)
+            ev = b_eval_tr(s.w, data.x_train, data.y_train)
         return s._replace(ll=ev.loglik)
 
     if cfg.use_surrogate:
@@ -654,8 +707,8 @@ def make_step_fn(
             acc_tr_prop = jnp.zeros((c,), jnp.float32)
             acc_te_prop = jnp.zeros((c,), jnp.float32)
         else:
-            ev_tr = b_eval(w_prop, data.x_train, data.y_train)
-            ev_te = b_eval(w_prop, data.x_test, data.y_test)
+            ev_tr = b_eval_tr(w_prop, data.x_train, data.y_train)
+            ev_te = b_eval_te(w_prop, data.x_test, data.y_test)
             acc_tr_prop = ev_tr.acc
             acc_te_prop = ev_te.acc
         out = [ev_tr.loglik, ev_tr.rmse, ev_te.rmse, acc_tr_prop, acc_te_prop]
@@ -698,8 +751,8 @@ def make_step_fn(
             acc_tr = jnp.zeros((c,), jnp.float32)
             acc_te = jnp.zeros((c,), jnp.float32)
         else:
-            ev_tr = b_eval(st.w, data.x_train, data.y_train)
-            ev_te = b_eval(st.w, data.x_test, data.y_test)
+            ev_tr = b_eval_tr(st.w, data.x_train, data.y_train)
+            ev_te = b_eval_te(st.w, data.x_test, data.y_test)
             acc_tr, acc_te = ev_tr.acc, ev_te.acc
         ll_true = ev_tr.loglik
         # pi(w_K)/pi(w_0) x s(w_0)/s(w_K); priors cancel (tracked exactly
@@ -1193,7 +1246,7 @@ def make_step_fn(
                     acc_tr_prop = 100.0 * jnp.mean(
                         (pred == yf).astype(jnp.float32), axis=-1
                     )
-                    ev_te = b_eval(w_prop, data.x_test, data.y_test)
+                    ev_te = b_eval_te(w_prop, data.x_test, data.y_test)
                     acc_te_prop = ev_te.acc
                     if cfg.record_fx:
                         fx_props = [pred, ev_te.fx]

@@ -70,9 +70,10 @@ def fnn_spec(
         return jax.nn.log_softmax(out, axis=-1)
 
     if drift_mode == "sequential":
-        def drift(w, x, t, lrate, mask=None):
+        def drift(w, x, t, lrate, mask=None, w_mask=None):
             return drift_mod.sgd_epoch_sequential(
-                w, x, t, topo, lrate, unroll=drift_unroll, mask=mask
+                w, x, t, topo, lrate, unroll=drift_unroll, mask=mask,
+                w_mask=w_mask,
             )
     elif drift_mode == "pallas":
         # chain-batched Pallas kernel (ops/pallas_drift.py); the kernel
@@ -80,8 +81,10 @@ def fnn_spec(
         # sampler kernel via `batched_drift` below rather than per-chain
         drift = None
     else:
-        def drift(w, x, t, lrate, mask=None):
-            return drift_mod.sgd_epoch_batch(w, x, t, topo, lrate, mask=mask)
+        def drift(w, x, t, lrate, mask=None, w_mask=None):
+            return drift_mod.sgd_epoch_batch(
+                w, x, t, topo, lrate, mask=mask, w_mask=w_mask
+            )
 
     batched = None
     if drift_mode == "pallas":
@@ -112,11 +115,11 @@ def grad_drift(loss_fn: Callable, lrate_scale: float = 1.0):
     gradient-descent step on ``loss_fn(w, x, t)``. The MH q-ratio correction
     in the kernel keeps the sampler exact for any deterministic drift."""
 
-    def drift(w, x, t, lrate, mask=None):
-        if mask is not None:
+    def drift(w, x, t, lrate, mask=None, w_mask=None):
+        if mask is not None or w_mask is not None:
             raise ValueError(
-                "grad_drift has no row-mask support (dataset_grid is "
-                "FNN-only; mask the loss_fn to extend it)"
+                "grad_drift has no row/parameter-mask support (dataset "
+                "grids are FNN-only; mask the loss_fn to extend it)"
             )
         g = jax.grad(loss_fn)(w, x, t)
         return w - lrate * lrate_scale * g

@@ -70,6 +70,7 @@ def sgd_epoch_sequential(
     lrate: float,
     unroll: int = 8,
     mask: jax.Array = None,
+    w_mask: jax.Array = None,
 ) -> jax.Array:
     """One epoch of per-sample SGD in dataset order (strict reference parity).
 
@@ -77,13 +78,25 @@ def sgd_epoch_sequential(
     (N,) {0,1} row-validity mask — a zero row's update is scaled to exactly
     nothing, so a padded dataset's epoch equals the unpadded one
     (sweeps.dataset_grid).
+
+    ``w_mask``: optional (w_size,) {0,1} parameter-validity mask
+    (sweeps.classification_grid envelope padding). Masked parameters are
+    pinned at zero EVERY update — not just at epoch end — which matters for
+    this sequential mode: if a padded hidden unit's outgoing weight drifted
+    away from zero mid-epoch, later samples in the epoch would see its
+    (sigmoid ≠ 0) activation leak into real outputs. With per-update masking
+    the real-parameter trajectory is exactly the unpadded epoch's.
     """
     p = fnn.unpack(w, topo)
     m = jnp.ones(x.shape[0], x.dtype) if mask is None else mask
+    mp = None if w_mask is None else fnn.unpack(w_mask, topo)
 
     def step(carry, xt):
         xi, ti, mi = xt
         dw1, db1, dw2, db2 = _delta_updates(carry, xi, ti)
+        if mp is not None:
+            dw1, db1 = dw1 * mp.w1, db1 * mp.b1
+            dw2, db2 = dw2 * mp.w2, db2 * mp.b2
         lm = lrate * mi
         nxt = fnn.FnnParams(
             w1=carry.w1 + lm * dw1,
@@ -104,6 +117,7 @@ def sgd_epoch_batch(
     topo: fnn.Topology,
     lrate: float,
     mask: jax.Array = None,
+    w_mask: jax.Array = None,
 ) -> jax.Array:
     """Fast drift: sum of all per-sample updates evaluated at ``w``.
 
@@ -129,6 +143,15 @@ def sgd_epoch_batch(
         w2=p.w2 + lrate * mm(hid.T, out_delta),
         b2=p.b2 - lrate * jnp.sum(out_delta, axis=0),
     )
+    if w_mask is not None:
+        # Masked parameters (envelope padding, sweeps.classification_grid)
+        # stay pinned at zero. All updates here are evaluated at the INITIAL
+        # weights, where padded hidden units contribute nothing to real
+        # outputs (their outgoing weights are zero), so masking the final
+        # update suffices — the real-parameter result equals the unpadded
+        # epoch's exactly (unlike the sequential mode, which must mask every
+        # per-sample update).
+        return fnn.pack(nxt) * w_mask
     return fnn.pack(nxt)
 
 

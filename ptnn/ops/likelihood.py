@@ -55,7 +55,7 @@ def accuracy(pred: jax.Array, actual: jax.Array) -> jax.Array:
 
 
 def classification_eval_from_logp(
-    logp: jax.Array, out: jax.Array, y: jax.Array
+    logp: jax.Array, out: jax.Array, y: jax.Array, mask: jax.Array = None
 ) -> ClassEval:
     """Multinomial log-likelihood + metrics from precomputed outputs.
 
@@ -64,13 +64,29 @@ def classification_eval_from_logp(
     ``sum_i logp[i, y_i]`` (pt_classification.py:213-219); the reference
     computes it per-sample with an explicit one-hot loop, which collapses to
     a batched gather here.
+
+    ``mask``: optional (N,) {0,1} row-validity mask — padded rows contribute
+    nothing to the likelihood and the metric denominators use ``mask.sum()``,
+    so datasets of different lengths share one compiled program
+    (sweeps.classification_grid), exactly like the regression path.
     """
     yi = y.astype(jnp.int32)
-    loglik = jnp.sum(jnp.take_along_axis(logp, yi[:, None], axis=-1))
+    gathered = jnp.take_along_axis(logp, yi[:, None], axis=-1)[:, 0]
     pred = jnp.argmax(out, axis=-1).astype(logp.dtype)
     yf = y.astype(logp.dtype)
+    if mask is None:
+        return ClassEval(
+            loglik=jnp.sum(gathered),
+            rmse=rmse(pred, yf),
+            acc=accuracy(pred, yf),
+            fx=pred,
+        )
+    n = jnp.sum(mask)
     return ClassEval(
-        loglik=loglik, rmse=rmse(pred, yf), acc=accuracy(pred, yf), fx=pred
+        loglik=jnp.sum(mask * gathered),
+        rmse=jnp.sqrt(jnp.sum(mask * jnp.square(pred - yf)) / n),
+        acc=100.0 * jnp.sum(mask * jnp.asarray(pred == yf, pred.dtype)) / n,
+        fx=pred,
     )
 
 

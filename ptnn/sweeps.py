@@ -218,6 +218,117 @@ def dataset_grid(
     return out
 
 
+def envelope_w_mask(small: Tuple[int, int, int], env: Tuple[int, int, int]):
+    """{0,1} parameter mask embedding a ``small=(i,h,o)`` FNN in the
+    ``env=(I,H,O)`` envelope, in the reference flat layout
+    ``[W1.ravel, W2.ravel, B1, B2]`` (pt_classification.py:99-106).
+
+    Masked parameters are pinned at zero by the kernel (init, proposal
+    noise, per-update drift), which makes the padded network EXACTLY the
+    small one on real coordinates: padded hidden units keep zero outgoing
+    weights so their sigmoid(0)=0.5 activation never reaches a real output,
+    and padded class columns are removed from the softmax by
+    ``Dataset.class_mask``.
+    """
+    i, h, o = small
+    ei, eh, eo = env
+    w1 = np.zeros((ei, eh), np.float32)
+    w1[:i, :h] = 1.0
+    w2 = np.zeros((eh, eo), np.float32)
+    w2[:h, :o] = 1.0
+    b1 = np.zeros(eh, np.float32)
+    b1[:h] = 1.0
+    b2 = np.zeros(eo, np.float32)
+    b2[:o] = 1.0
+    return np.concatenate([w1.ravel(), w2.ravel(), b1, b2])
+
+
+def classification_grid(
+    cfg: PTConfig,
+    names: Sequence[str],
+    seeds: Sequence[int] = (0,),
+) -> Dict[str, np.ndarray]:
+    """Every classification dataset (and seed) of one parity table as ONE
+    vmapped program — the classification half of BASELINE.json config 4.
+
+    The regression grid (``dataset_grid``) only needed ROW padding because
+    the 4-lag series share a topology; classification datasets differ in
+    (features, hidden, classes), so cells are padded to a topology ENVELOPE
+    — zero feature columns, ``Dataset.class_mask`` over padded class
+    columns, and an ``envelope_w_mask`` pinning padded parameters at zero
+    (SURVEY.md §7 hard-part 6). ``cfg.topology`` is replaced by the
+    envelope; each cell's own topology comes from its data bundle.
+
+    The RW and LG parity tables differ in STATIC config (qratio,
+    swap_payload — config.classification_preset legacy_lg), so each table
+    is its own launch; within a launch, {dataset x seed} is the vmapped
+    cell axis. Returns ``_run_grid`` arrays plus ``cells`` (dataset, seed)
+    ordered dataset-major.
+    """
+    from ptnn.data import load_classification
+
+    cfg = dataclasses.replace(
+        cfg, record_w=False, record_fx=False
+    )
+    probs = [load_classification(n, seed=0) for n in names]
+    env = (
+        max(p.topology[0] for p in probs),
+        max(p.topology[1] for p in probs),
+        max(p.topology[2] for p in probs),
+    )
+    n_tr = max(p.train.shape[0] for p in probs)
+    n_te = max(p.test.shape[0] for p in probs)
+    cfg = dataclasses.replace(cfg, topology=env).validate()
+
+    def pad_cell(p):
+        # slice features / build one-hot targets with the dataset's OWN
+        # topology, then pad rows and columns out to the envelope
+        d = make_dataset(
+            dataclasses.replace(cfg, topology=p.topology), p.train, p.test
+        )
+
+        def pad(a, n, cols=None):
+            spec = [(0, n - a.shape[0])]
+            if a.ndim > 1:
+                spec.append((0, 0) if cols is None else (0, cols - a.shape[1]))
+            return jnp.pad(a, spec)
+
+        def rmask(a, n):
+            return jnp.pad(jnp.ones((a.shape[0],), jnp.float32), (0, n - a.shape[0]))
+
+        cmask = np.zeros(env[2], np.float32)
+        cmask[: p.topology[2]] = 1.0
+        return kernel.Dataset(
+            x_train=pad(d.x_train, n_tr, env[0]),
+            y_train=pad(d.y_train, n_tr),
+            t_train=pad(d.t_train, n_tr, env[2]),
+            x_test=pad(d.x_test, n_te, env[0]),
+            y_test=pad(d.y_test, n_te),
+            mask_train=rmask(d.x_train, n_tr),
+            mask_test=rmask(d.x_test, n_te),
+            class_mask=jnp.asarray(cmask),
+            w_mask=jnp.asarray(envelope_w_mask(p.topology, env)),
+        )
+
+    padded = [pad_cell(p) for p in probs]
+    cells = [(n, s) for n in names for s in seeds]
+    data_batch = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves),
+        *[padded[names.index(n)] for n, _s in cells],
+    )
+    temps = jnp.asarray(
+        ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        ),
+        jnp.float32,
+    )
+    temps_batch = jnp.broadcast_to(temps, (len(cells),) + temps.shape)
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for _n, s in cells])
+    out = _run_grid(cfg, temps_batch, keys, None, None, data_batch=data_batch)
+    out["cells"] = cells
+    return out
+
+
 def _run_grid(
     cfg,
     temps_batch,
@@ -246,6 +357,8 @@ def _run_grid(
             x_train=0, y_train=0, t_train=0, x_test=0, y_test=0,
             mask_train=None if data.mask_train is None else 0,
             mask_test=None if data.mask_test is None else 0,
+            class_mask=None if data.class_mask is None else 0,
+            w_mask=None if data.w_mask is None else 0,
         )
     n_cells = temps_batch.shape[0]
     si_none = si_batch is None
