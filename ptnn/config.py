@@ -236,6 +236,12 @@ class PTConfig:
     # diagnostics cheap on the tunneled backend.
     record_w_chains: int = 0
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
+    # Record the post-MH post-swap UNTEMPERED state log-likelihood per rung
+    # each step (trace key "ll_cur") — the per-rung expectations that
+    # marginal-likelihood estimation integrates (ops/evidence.py). Off by
+    # default: trace["ll"] keeps the reference's proposal-likelihood
+    # semantics and artifact layout untouched.
+    record_ll_state: bool = False
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
     # Unroll factor for the main step lax.scan (identical sampling
     # semantics at any value; results are bit-equal). Measured NEUTRAL on

@@ -902,6 +902,12 @@ def make_step_fn(
             lambda s: s,
             new_state,
         )
+        if cfg.record_ll_state:
+            # post-MH, post-swap UNTEMPERED state log-likelihood per rung —
+            # the quantity thermodynamic integration needs (ops/evidence.py);
+            # unlike trace["ll"] (the reference's proposal-likelihood row)
+            # this follows the chain through rejects and swaps
+            trace["ll_cur"] = new_state.ll
         return new_state, trace
 
     def step_da(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
@@ -1119,6 +1125,8 @@ def make_step_fn(
             lambda s: s,
             new_state,
         )
+        if cfg.record_ll_state:
+            trace["ll_cur"] = new_state.ll
         return new_state, trace
 
     if cfg.proposal != "reference":
@@ -1385,6 +1393,8 @@ def make_step_fn(
                 lambda s: s,
                 new_state,
             )
+            if cfg.record_ll_state:
+                trace["ll_cur"] = new_state.ll
             return new_state, trace
 
     def refit_surrogate(st: ChainState) -> ChainState:

@@ -1,0 +1,134 @@
+"""Marginal-likelihood (model evidence) estimation from the tempered ladder.
+
+A capability the reference's architecture pays for but never uses: a
+parallel-tempering run *already* samples the whole path of power posteriors
+
+    p_beta(w) ∝ L(w)^beta p(w),   beta = 1/T per rung,
+
+and the log marginal likelihood is the thermodynamic integral along it:
+
+    log Z(beta_hi) - log Z(beta_lo) = ∫ E_beta[log L] dbeta.
+
+The reference keeps per-chain likelihood traces (pt_classification.py
+:465-492) yet aggregates only accuracy/likelihood plots from them; the
+ladder's beta dimension is thrown away. Here the per-rung post-MH,
+post-swap UNTEMPERED log-likelihood (``PTConfig.record_ll_state`` →
+``traces["ll_cur"]``) feeds two standard estimators:
+
+* **Thermodynamic integration (TI)**: trapezoidal quadrature of the
+  per-rung mean log-likelihood over beta (Gelman & Meng 1998).
+* **Stepping-stone (SS)**: telescoping importance ratios
+  ``Z(b_{k+1})/Z(b_k) = E_{b_k}[exp((b_{k+1}-b_k) log L)]`` estimated by
+  log-mean-exp over rung k's samples (Xie et al. 2011, Syst. Biol.) —
+  unbiased per ratio where TI carries quadrature bias.
+
+Scope notes (honest limits, documented rather than hidden):
+
+* The reference ladder spans beta ∈ [1/maxtemp, 1], not down to beta=0, so
+  both estimators return the evidence *difference* across the ladder, not
+  the absolute log Z — use ``maxtemp`` large (or a dedicated ladder) when
+  the prior-end anchor matters. ``log Z(beta_lo)`` can then be estimated
+  analytically only at beta=0 (where Z = 1 under a normalized prior).
+* The reference's two-phase tempering collapses every rung to T=1 at the
+  60% switch (pt_classification.py:317-324): only the TEMPERED phase
+  carries beta information. ``window=None`` defaults to the second half of
+  the tempered phase; canonical runs (``pt_phase_frac >= 1``) use the
+  post-burn-in half of the whole run.
+* Regression's sampled noise variance makes L = L(w, tau); the estimators
+  are unchanged (the power-posterior path is over the joint).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class EvidenceEstimate(NamedTuple):
+    """Both estimators for one run, plus the ingredients for diagnostics."""
+
+    log_z_ti: float  # trapezoid TI: log Z(beta_max) - log Z(beta_min)
+    log_z_ss: float  # stepping-stone estimate of the same difference
+    betas: np.ndarray  # (R,) ascending inverse temperatures
+    mean_ll: np.ndarray  # (R,) per-rung window-mean log-likelihood
+    n_samples: int  # window length actually used
+    window: Tuple[int, int]
+
+
+def _window(cfg, n_rows: int, window: Optional[Tuple[int, int]]):
+    if window is not None:
+        a, b = window
+        if not (0 < a < b <= n_rows):
+            raise ValueError(f"bad window {window} for {n_rows} trace rows")
+        return a, b
+    # trace row 0 is the init row; rows 1..S-1 are steps 0..S-2
+    switch = min(cfg.temper_switch_step, n_rows - 1)
+    if switch <= 0:  # canonical run: whole run is tempered
+        switch = n_rows - 1
+    a = max(1, switch // 2)
+    return a, switch + 1  # rows a..switch hold tempered-phase states
+
+
+def from_traces(
+    traces: Dict[str, np.ndarray],
+    temperatures: np.ndarray,
+    cfg,
+    window: Optional[Tuple[int, int]] = None,
+) -> EvidenceEstimate:
+    """Estimate the ladder evidence difference from a recorded run.
+
+    Requires ``cfg.record_ll_state`` (the "ll_cur" trace): the carried state
+    likelihood follows the chain through rejects and swaps, unlike the
+    reference's proposal-likelihood row. ``window``: (start_row, end_row)
+    half-open trace-row range; default = second half of the tempered phase.
+    """
+    if "ll_cur" not in traces:
+        raise ValueError(
+            "evidence needs the state-likelihood trace: run with "
+            "PTConfig(record_ll_state=True)"
+        )
+    ll = np.asarray(traces["ll_cur"], np.float64)  # (S, R)
+    a, b = _window(cfg, ll.shape[0], window)
+    return from_samples(ll[a:b], np.asarray(temperatures), window=(a, b))
+
+
+def from_result(res, window: Optional[Tuple[int, int]] = None) -> EvidenceEstimate:
+    """Convenience wrapper over a ``ptnn.sample`` SampleResult."""
+    return from_traces(res.traces, res.temperatures, res.config, window)
+
+
+def from_samples(
+    ll: np.ndarray, temperatures: np.ndarray,
+    window: Tuple[int, int] = (0, 0),
+) -> EvidenceEstimate:
+    """Estimators from raw (n_samples, R) untempered log-likelihood draws,
+    sample i of column r distributed under the rung-r power posterior."""
+    ll = np.asarray(ll, np.float64)
+    betas = 1.0 / np.asarray(temperatures, np.float64)
+    order = np.argsort(betas)
+    betas = betas[order]
+    ll = ll[:, order]
+    if len(betas) < 2:
+        raise ValueError("evidence integration needs at least 2 rungs")
+
+    mean_ll = ll.mean(axis=0)
+    ti = float(np.trapz(mean_ll, betas))
+
+    # stepping stone: sum_k logmeanexp((b_{k+1}-b_k) * ll_k) using rung k's
+    # own samples (the colder ratio endpoint is estimated from the warmer
+    # rung — the standard direction, whose importance weights are bounded)
+    db = np.diff(betas)  # (R-1,)
+    z = db[None, :] * ll[:, :-1]  # (n, R-1)
+    zmax = z.max(axis=0)
+    ss = float(
+        np.sum(zmax + np.log(np.mean(np.exp(z - zmax), axis=0)))
+    )
+    return EvidenceEstimate(
+        log_z_ti=ti,
+        log_z_ss=ss,
+        betas=betas,
+        mean_ll=mean_ll,
+        n_samples=ll.shape[0],
+        window=window,
+    )
