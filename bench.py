@@ -128,6 +128,7 @@ def main() -> None:
     ess_per_sec = {}
     quality = {}
     quality_cold = {}
+    rhat_cold = {}
     notes = []
     for tag, vcfg in variants.items():
         sps_med, sps_iqr = _median_iqr(reps[tag])
@@ -142,11 +143,13 @@ def main() -> None:
             chunk_steps=1000,
         ).validate()
         ess_s_seeds, rmse_seeds, rmse_cold_seeds, ess_draws = [], [], [], []
+        cold_seeds = []
         draws = 0
         for seed in (1, 2, 3):
             res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=seed)
             b = ess_cfg.samples_per_chain // 2
             cold = np.asarray(res.traces["w"][b:, 0, :])
+            cold_seeds.append(cold)
             draws = cold.shape[0]
             e = ess_mod.multi_ess(cold, max_params=16)
             ess_draws.append(e)
@@ -164,6 +167,19 @@ def main() -> None:
             "value": round(e_med, 1),
             "iqr": [round(x, 1) for x in e_iqr],
         }
+        # cross-seed convergence gate: the 3 independent seed runs are 3
+        # chains of the same cold posterior — worst rank-normalized split
+        # R-hat over sampled parameters (ops/ess.split_rhat; ~1.00 = mixed)
+        pidx = np.linspace(0, cold.shape[1] - 1, 8).astype(int)
+        rhat_cold[tag] = round(
+            max(
+                ess_mod.split_rhat(
+                    np.stack([c[:, j] for c in cold_seeds], axis=1)
+                )
+                for j in pidx
+            ),
+            3,
+        )
         quality[tag] = round(float(np.median(rmse_seeds)), 4)
         quality_cold[tag] = round(float(np.median(rmse_cold_seeds)), 4)
         notes.append(
@@ -188,6 +204,7 @@ def main() -> None:
                 "ess_per_sec": ess_per_sec,
                 "rmse_test_pooled_mean": quality,
                 "rmse_test_cold_posterior_mean": quality_cold,
+                "rhat_cold_max": rhat_cold,
                 "ref_rmse_test": 0.0239,
                 "flagship": "mala",
             }

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="aggregate the cold chain only (reference truepos variant)",
     )
+    p.add_argument(
+        "--evidence",
+        action="store_true",
+        help="estimate the ladder marginal-likelihood difference "
+        "(TI + stepping-stone, ops/evidence.py) and write evidence.txt",
+    )
     return p
 
 
@@ -70,6 +76,7 @@ def main(argv=None) -> None:
             plots=not args.no_plots,
             use_mesh=args.mesh,
             truepos=args.truepos,
+            evidence=args.evidence,
             master_fmt="%1.2f",
         )
 

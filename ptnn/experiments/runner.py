@@ -23,9 +23,14 @@ def run_problem(
     use_mesh: bool = False,
     master_fmt: str = "%1.4f",
     truepos: bool = False,
+    evidence: bool = False,
 ) -> results_mod.Summary:
     """One full experiment: sample, write the artifact tree into an
-    auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row."""
+    auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row.
+
+    ``evidence=True`` additionally records the per-rung state likelihood and
+    writes ladder marginal-likelihood estimates (ops/evidence.py) to
+    ``<path>/evidence.txt``."""
     os.makedirs(outdir, exist_ok=True)
     mesh = None
     if use_mesh:
@@ -33,6 +38,8 @@ def run_problem(
 
         if jax.device_count() > 1:
             mesh = mesh_mod.make_mesh()
+    if evidence:
+        cfg = dataclasses.replace(cfg, record_ll_state=True).validate()
     t0 = time.time()
     res = sample(cfg, prob.train, prob.test, seed=seed, mesh=mesh)
     path = results_mod.versioned_dir(outdir, prob.name)
@@ -47,6 +54,26 @@ def run_problem(
     results_mod.append_master_row(
         os.path.join(outdir, "master_result_file.txt"), summary, run_name, master_fmt
     )
+    if evidence:
+        from ptnn.ops import evidence as ev_mod
+
+        est = ev_mod.from_result(res)
+        with open(os.path.join(path, "evidence.txt"), "w") as f:
+            f.write(
+                "# ladder evidence difference log Z(beta_max) - log Z(beta_min)\n"
+                f"ti {est.log_z_ti:.6f}\nss {est.log_z_ss:.6f}\n"
+                f"window {est.window[0]} {est.window[1]}\n"
+                "# beta  mean_loglik\n"
+                + "".join(
+                    f"{b:.6f} {m:.6f}\n"
+                    for b, m in zip(est.betas, est.mean_ll)
+                )
+            )
+        print(
+            f"[{prob.name}] ladder log-evidence diff: TI {est.log_z_ti:.2f} "
+            f"SS {est.log_z_ss:.2f} over beta [{est.betas[0]:.3f}, "
+            f"{est.betas[-1]:.3f}] ({est.n_samples} tempered draws/rung)"
+        )
     print(
         f"[{prob.name}] test_mean={summary.test_mean:.4f} "
         f"test_best={summary.test_best:.4f} swap%={summary.swap_perc:.2f} "

@@ -40,6 +40,53 @@ def ess(x: np.ndarray) -> float:
     return float(np.clip(n / max(tau, 1e-12), 1.0, n))
 
 
+def split_rhat(x: np.ndarray, rank_normalize: bool = True) -> float:
+    """Rank-normalized split-R-hat (Vehtari, Gelman, Simpson, Carpenter &
+    Bürkner 2021): the standard potential-scale-reduction convergence gate
+    the reference's eyeball-the-trace-plots workflow lacks (SURVEY.md §4).
+
+    ``x``: (S,) one chain, or (S, K) K independent chains of the same
+    target (e.g. cold-chain traces from a ``sweeps.seed_sweep``). Each
+    chain is split in half (catching within-chain drift), draws are
+    rank-normalized across the pool (robust to heavy tails), and the
+    result is the max of the location and the folded (scale) statistics.
+    R-hat ≈ 1.00 at convergence; > 1.01 is the usual alarm threshold.
+    """
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    s = (x.shape[0] // 2) * 2
+    if s < 4:
+        return float("nan")
+    # split each chain's halves into separate chains: (s//2, 2K)
+    halves = np.concatenate([x[: s // 2], x[s // 2 : s]], axis=1)
+    if np.allclose(halves, halves.reshape(-1)[0]):
+        return 1.0
+
+    def _rhat(z: np.ndarray) -> float:
+        n, m = z.shape
+        mean_c = z.mean(axis=0)
+        b = n * mean_c.var(ddof=1)
+        w = z.var(axis=0, ddof=1).mean()
+        if w <= 0:
+            return 1.0
+        var_plus = (n - 1) / n * w + b / n
+        return float(np.sqrt(var_plus / w))
+
+    if not rank_normalize:
+        return _rhat(halves)
+
+    def _zscale(v: np.ndarray) -> np.ndarray:
+        from scipy.special import ndtri
+
+        r = np.argsort(np.argsort(v, axis=None)).reshape(v.shape) + 1.0
+        return ndtri((r - 0.375) / (v.size + 0.25))
+
+    bulk = _rhat(_zscale(halves))
+    folded = _rhat(_zscale(np.abs(halves - np.median(halves))))
+    return max(bulk, folded)
+
+
 def multi_ess(samples: np.ndarray, max_params: int = 64) -> float:
     """Mean ESS across (a subset of) parameter traces.
 

@@ -149,6 +149,25 @@ def test_ess_iid_vs_correlated():
     assert ess.ess(np.ones(100)) == 1.0
 
 
+def test_split_rhat():
+    rng = np.random.default_rng(7)
+    # 4 well-mixed iid chains: R-hat ~ 1
+    good = rng.standard_normal((2000, 4))
+    assert ess.split_rhat(good) < 1.01
+    # chains stuck at different locations: R-hat blows up
+    bad = good + np.array([0.0, 0.0, 3.0, 3.0])
+    assert ess.split_rhat(bad) > 1.5
+    # within-chain drift is caught by the split (single chain)
+    drift = np.concatenate([rng.standard_normal(1000), 5 + rng.standard_normal(1000)])
+    assert ess.split_rhat(drift) > 1.5
+    # scale mismatch is caught by the folded statistic
+    scales = rng.standard_normal((2000, 4)) * np.array([1.0, 1.0, 1.0, 8.0])
+    assert ess.split_rhat(scales) > 1.1
+    # degenerate inputs
+    assert ess.split_rhat(np.ones((100, 2))) == 1.0
+    assert np.isnan(ess.split_rhat(np.ones(3)))
+
+
 def test_metropolis_swap_rule():
     """Correct rule: equal likelihoods at different betas never swap downhill
     randomly with prob > ... for equal lls, accept prob = exp(0) = 1."""

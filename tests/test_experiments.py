@@ -35,6 +35,25 @@ def test_regression_cli(tmp_path):
     np.testing.assert_array_equal(a[0], 1.0)
 
 
+def test_regression_cli_evidence(tmp_path):
+    out = str(tmp_path / "rege")
+    reg_cli.main(
+        [
+            "--problem", "Lazer", "--samples", "1600", "--chains", "8",
+            "--maxtemp", "10", "--no-langevin", "--no-plots",
+            "--evidence", "--out", out,
+        ]
+    )
+    ev = os.path.join(out, "Lazer_0", "evidence.txt")
+    assert os.path.exists(ev)
+    lines = open(ev).read().splitlines()
+    ti = float(lines[1].split()[1])
+    ss = float(lines[2].split()[1])
+    assert np.isfinite(ti) and np.isfinite(ss)
+    rungs = [l for l in lines if l and not l.startswith(("#", "ti", "ss", "window"))]
+    assert len(rungs) == 8  # one (beta, mean_ll) row per rung
+
+
 @pytest.mark.slow
 def test_regression_cli_versioned_dirs(tmp_path):
     out = str(tmp_path / "reg")
