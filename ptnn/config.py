@@ -242,6 +242,13 @@ class PTConfig:
     # default: trace["ll"] keeps the reference's proposal-likelihood
     # semantics and artifact layout untouched.
     record_ll_state: bool = False
+    # Track replica identity through swaps (an int32 label permuted with the
+    # traveling (w, eta)) and record it each step (trace key "replica").
+    # Feeds the round-trip-rate and ladder-flow diagnostics
+    # (ops/roundtrip.py) — the standard measure of whether replica exchange
+    # actually transports configurations cold<->hot, which the reference's
+    # swap%% scalar cannot distinguish from neighbor ping-ponging.
+    track_replicas: bool = False
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
     # Unroll factor for the main step lax.scan (identical sampling
     # semantics at any value; results are bit-equal). Measured NEUTRAL on

@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="estimate the ladder marginal-likelihood difference "
         "(TI + stepping-stone, ops/evidence.py) and write evidence.txt",
     )
+    p.add_argument(
+        "--roundtrip",
+        action="store_true",
+        help="track replica identities and write ladder transport "
+        "diagnostics (round-trip rate + up-flow f(k), ops/roundtrip.py)",
+    )
     return p
 
 
@@ -85,6 +91,7 @@ def main(argv=None) -> None:
                 use_mesh=args.mesh,
                 truepos=args.truepos,
                 evidence=args.evidence,
+                roundtrip=args.roundtrip,
                 master_fmt="%1.4f",
             )
 

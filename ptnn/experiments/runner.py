@@ -24,13 +24,17 @@ def run_problem(
     master_fmt: str = "%1.4f",
     truepos: bool = False,
     evidence: bool = False,
+    roundtrip: bool = False,
 ) -> results_mod.Summary:
     """One full experiment: sample, write the artifact tree into an
     auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row.
 
     ``evidence=True`` additionally records the per-rung state likelihood and
     writes ladder marginal-likelihood estimates (ops/evidence.py) to
-    ``<path>/evidence.txt``."""
+    ``<path>/evidence.txt``.  ``roundtrip=True`` tracks replica identities
+    through swaps and writes transport diagnostics (round-trip rate +
+    Katzgraber up-flow per rung, ops/roundtrip.py) to
+    ``<path>/roundtrip.txt``."""
     os.makedirs(outdir, exist_ok=True)
     mesh = None
     if use_mesh:
@@ -40,6 +44,8 @@ def run_problem(
             mesh = mesh_mod.make_mesh()
     if evidence:
         cfg = dataclasses.replace(cfg, record_ll_state=True).validate()
+    if roundtrip:
+        cfg = dataclasses.replace(cfg, track_replicas=True).validate()
     t0 = time.time()
     res = sample(cfg, prob.train, prob.test, seed=seed, mesh=mesh)
     path = results_mod.versioned_dir(outdir, prob.name)
@@ -73,6 +79,18 @@ def run_problem(
             f"[{prob.name}] ladder log-evidence diff: TI {est.log_z_ti:.2f} "
             f"SS {est.log_z_ss:.2f} over beta [{est.betas[0]:.3f}, "
             f"{est.betas[-1]:.3f}] ({est.n_samples} tempered draws/rung)"
+        )
+    if roundtrip:
+        from ptnn.ops import roundtrip as rt_mod
+
+        stats = rt_mod.roundtrip_stats(res.traces["replica"])
+        with open(os.path.join(path, "roundtrip.txt"), "w") as f:
+            f.write(rt_mod.format_report(stats, temps=res.temperatures) + "\n")
+        print(
+            f"[{prob.name}] replica transport: "
+            f"{int(stats.round_trips.sum())} round trips "
+            f"({stats.rate_per_kstep:.2f}/1k steps), swap% alone would say "
+            f"{summary.swap_perc:.1f}"
         )
     print(
         f"[{prob.name}] test_mean={summary.test_mean:.4f} "

@@ -126,6 +126,10 @@ class ChainState(NamedTuple):
     pc_mean: Any  # (C, W) Welford running mean of w over burn-in
     pc_m2: Any  # (C, W) Welford running sum of squared deviations
     log_step_eta: Any  # (C,) adapted eta RW scale (precond_* regression only)
+    # Optional replica identity labels (None unless cfg.track_replicas):
+    # replica_id[k] = which of the C initial configurations currently sits
+    # at rung k; permuted with (w, eta) on swaps (ops/roundtrip.py)
+    replica_id: Any
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -354,6 +358,10 @@ def init_state(
         if cfg.surrogate_mode == "delayed_acceptance":
             da = init_da_state(c, w_dim)
 
+    replica_id = (
+        jnp.arange(c, dtype=jnp.int32) if cfg.track_replicas else None
+    )
+
     return ChainState(
         w=w,
         eta=eta,
@@ -374,6 +382,7 @@ def init_state(
         pc_mean=pc_mean,
         pc_m2=pc_m2,
         log_step_eta=log_step_eta,
+        replica_id=replica_id,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -664,6 +673,10 @@ def make_step_fn(
             # Preconditioner/step-size state stays with the RUNG (temperature).
             (g_like,) = swap_mod.apply_permutation(res.perm, state.g_like)
             out = out._replace(g_like=g_like)
+        if state.replica_id is not None:
+            # identity labels travel with the configuration (ops/roundtrip.py)
+            (rid,) = swap_mod.apply_permutation(res.perm, state.replica_id)
+            out = out._replace(replica_id=rid)
         return out
 
     def recompute_ll(s: ChainState) -> ChainState:
@@ -908,6 +921,8 @@ def make_step_fn(
             # unlike trace["ll"] (the reference's proposal-likelihood row)
             # this follows the chain through rejects and swaps
             trace["ll_cur"] = new_state.ll
+        if cfg.track_replicas:
+            trace["replica"] = new_state.replica_id
         return new_state, trace
 
     def step_da(state: ChainState, xs) -> Tuple[ChainState, Dict[str, jax.Array]]:
@@ -1127,6 +1142,8 @@ def make_step_fn(
         )
         if cfg.record_ll_state:
             trace["ll_cur"] = new_state.ll
+        if cfg.track_replicas:
+            trace["replica"] = new_state.replica_id
         return new_state, trace
 
     if cfg.proposal != "reference":
@@ -1395,6 +1412,8 @@ def make_step_fn(
             )
             if cfg.record_ll_state:
                 trace["ll_cur"] = new_state.ll
+            if cfg.track_replicas:
+                trace["replica"] = new_state.replica_id
             return new_state, trace
 
     def refit_surrogate(st: ChainState) -> ChainState:

@@ -299,6 +299,9 @@ def sample(
             row0 = np.ones((1,) + arr.shape[1:], arr.dtype)
         elif name == "ll":
             row0 = np.full((1,) + arr.shape[1:], -100.0, arr.dtype)
+        elif name == "replica":
+            # step 0: replica r sits at rung r by construction (init_state)
+            row0 = np.arange(arr.shape[1], dtype=arr.dtype)[None, :]
         else:
             row0 = np.zeros((1,) + arr.shape[1:], arr.dtype)
         merged[name] = np.concatenate([row0, arr], axis=0)
