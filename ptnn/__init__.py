@@ -17,7 +17,7 @@ from ptnn.sampler import (
     throughput_run,
     throughput_runner,
 )
-from ptnn import checkpoint, data, mcmc, profiling, results, sweeps
+from ptnn import checkpoint, data, mcmc, profiling, results, sweeps, tuning
 
 __version__ = "0.1.0"
 
@@ -40,4 +40,5 @@ __all__ = [
     "profiling",
     "results",
     "sweeps",
+    "tuning",
 ]

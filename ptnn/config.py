@@ -27,6 +27,11 @@ class PTConfig:
     # Temperature ladder (pt_classification.py:537-645).
     maxtemp: float = 10.0
     geometric_ladder: bool = True
+    # Explicit temperature ladder (overrides maxtemp/geometric_ladder):
+    # ascending, custom_ladder[0] == 1.0, one entry per chain. This is how a
+    # feedback-tuned schedule (ops/ladder.py:barrier_tuned_temperatures,
+    # estimated from a pilot run's pair_swap_accept) is fed back in.
+    custom_ladder: Optional[Tuple[float, ...]] = None
 
     # Replica exchange. ``swap_interval`` in steps; the reference derives it
     # as int(swap_ratio * num_samples / num_chains) (pt_classification.py:1040).
@@ -296,6 +301,18 @@ class PTConfig:
             raise ValueError("metropolis swap rule requires untempered payloads")
         if self.swap_style not in ("bubbling", "even_odd"):
             raise ValueError(f"unknown swap_style {self.swap_style!r}")
+        if self.custom_ladder is not None:
+            lad = tuple(float(t) for t in self.custom_ladder)
+            if len(lad) != self.num_chains:
+                raise ValueError(
+                    f"custom_ladder has {len(lad)} temperatures for "
+                    f"{self.num_chains} chains"
+                )
+            if lad[0] != 1.0:
+                raise ValueError("custom_ladder[0] must be 1.0 (cold chain)")
+            if any(b >= a for b, a in zip(lad, lad[1:])):
+                raise ValueError("custom_ladder must be strictly increasing")
+            object.__setattr__(self, "custom_ladder", lad)  # frozen dataclass
         if self.drift_mode not in ("sequential", "batch", "pallas"):
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
         if self.drift_chain_microbatch < 1 or (

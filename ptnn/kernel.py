@@ -130,6 +130,13 @@ class ChainState(NamedTuple):
     # replica_id[k] = which of the C initial configurations currently sits
     # at rung k; permuted with (w, eta) on swaps (ops/roundtrip.py)
     replica_id: Any
+    # Per adjacent rung pair (k, k+1): running sum of the expected swap
+    # acceptance probability and the number of times the pair was proposed.
+    # Padded to (C,) (entry C-1 unused) so the arrays shard over the chain
+    # mesh axis like everything else. Feeds the communication-barrier ladder
+    # tuner (ops/ladder.py:barrier_tuned_temperatures).
+    pair_accept_sum: Any  # (C,) float32
+    pair_prop_count: Any  # (C,) int32
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -383,6 +390,8 @@ def init_state(
         pc_m2=pc_m2,
         log_step_eta=log_step_eta,
         replica_id=replica_id,
+        pair_accept_sum=jnp.zeros((c,), jnp.float32),
+        pair_prop_count=jnp.zeros((c,), jnp.int32),
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -666,6 +675,10 @@ def make_step_fn(
             prior=prior,
             n_swap_accepted=state.n_swap_accepted + res.n_accepted,
             n_swap_proposed=state.n_swap_proposed + res.n_proposed,
+            pair_accept_sum=state.pair_accept_sum
+            + jnp.pad(res.pair_accept.astype(jnp.float32), (0, 1)),
+            pair_prop_count=state.pair_prop_count
+            + jnp.pad(res.pair_active.astype(jnp.int32), (0, 1)),
         )
         if state.g_like is not None:
             # the cached likelihood gradient belongs to the traveling

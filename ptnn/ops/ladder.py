@@ -82,3 +82,63 @@ def assign_temperatures(
     # starts at 1 and increments by maxtemp / num_chains.
     rate = maxtemp / num_chains
     return 1.0 + rate * np.arange(num_chains)
+
+
+def communication_barrier(
+    temps: np.ndarray, pair_reject: np.ndarray
+) -> tuple[np.ndarray, float]:
+    """Cumulative communication barrier Lambda(beta) from pair rejection rates.
+
+    ``pair_reject[k]`` is the mean rejection probability of the swap between
+    rungs k and k+1 (``1 - SampleResult.pair_swap_accept``). Following Syed
+    et al. 2021 (JRSS-B, "Non-reversible parallel tempering"), the barrier is
+    the piecewise-linear-in-beta function through the cumulative rejections:
+    Lambda(beta_0)=0, Lambda(beta_{k+1}) = Lambda(beta_k) + r_k. Returns the
+    per-rung cumulative values and the total barrier. The reference has no
+    notion of this — its ladder is a fixed geometric grid regardless of how
+    the posterior actually resists exchange (pt_classification.py:537-622).
+    """
+    temps = np.asarray(temps, np.float64)
+    r = np.clip(np.asarray(pair_reject, np.float64), 0.0, 1.0)
+    if r.shape[0] != temps.shape[0] - 1:
+        raise ValueError(f"{r.shape[0]} pair rates for {temps.shape[0]} rungs")
+    cum = np.concatenate([[0.0], np.cumsum(r)])
+    return cum, float(cum[-1])
+
+
+def barrier_tuned_temperatures(
+    temps: np.ndarray, pair_reject: np.ndarray
+) -> np.ndarray:
+    """Re-space the ladder so every adjacent pair carries an equal share of
+    the measured communication barrier (the round-trip-optimal schedule of
+    Syed et al. 2021, §5.1: place the new betas at equal increments of the
+    monotone interpolant of Lambda(beta)).
+
+    Endpoints (T=1 and T=maxtemp) are preserved; only interior rungs move.
+    With uniform measured rejection the ladder is returned unchanged; with a
+    barrier concentrated between two rungs the tuned ladder concentrates
+    rungs there, which raises the bottleneck pair's acceptance and therefore
+    the replica round-trip rate (measure with ops/roundtrip.py).
+    """
+    temps = np.asarray(temps, np.float64)
+    c = temps.shape[0]
+    if c < 3:
+        return temps.copy()  # nothing interior to move
+    cum, total = communication_barrier(temps, pair_reject)
+    if total <= 0.0:
+        return temps.copy()  # no measured resistance anywhere
+    betas = 1.0 / temps  # descending from 1
+    # Make Lambda strictly increasing so the inverse is well defined even
+    # when some pairs measured zero rejection (flat segments).
+    eps = total * 1e-9 + 1e-12
+    cum = cum + eps * np.arange(c)
+    targets = cum[-1] * np.arange(c) / (c - 1)
+    # Lambda is increasing as beta DESCENDS: interpolate beta against cum.
+    new_betas = np.interp(targets, cum, betas)
+    new_betas[0], new_betas[-1] = betas[0], betas[-1]
+    # np.interp on a strictly increasing grid keeps monotonicity; guard
+    # against float ties by nudging toward geometric order.
+    for k in range(1, c):
+        if new_betas[k] >= new_betas[k - 1]:
+            new_betas[k] = new_betas[k - 1] * (1.0 - 1e-9)
+    return 1.0 / new_betas

@@ -35,6 +35,13 @@ class SwapResult(NamedTuple):
     perm: jax.Array  # (C,) int32 — new_state[i] = old_state[perm[i]]
     n_accepted: jax.Array  # scalar int32 — accepted pair proposals this sweep
     n_proposed: jax.Array  # scalar int32 — always C-1
+    # Per adjacent rung pair (k, k+1), the EXPECTED acceptance probability of
+    # this sweep's proposal (the exact Rao-Blackwellized quantity the
+    # communication-barrier estimator of Syed et al. 2021 wants — lower
+    # variance than the realized 0/1 outcome), and whether the pair was
+    # proposed at all (even/odd sweeps alternate halves).
+    pair_accept: jax.Array  # (C-1,) float
+    pair_active: jax.Array  # (C-1,) bool
 
 
 def sweep_permutation(
@@ -100,7 +107,7 @@ def sweep_permutation(
         perm = perm.at[k + 1].set(jnp.where(swap, pk, pk1))
         ll = ll.at[k].set(jnp.where(swap, lh2, lh1))
         ll = ll.at[k + 1].set(jnp.where(swap, lh1, lh2))
-        return (perm, ll), swap
+        return (perm, ll), (swap, a)
 
     # Unroll the pair sweep for reference-scale ladders: the body is scalar
     # work and unrolling makes the k-indexing static. Measured effect at 64
@@ -109,7 +116,7 @@ def sweep_permutation(
     # cadence-gated payload computation and state permutation, not the pair
     # scan itself; fnn_roofline.md). Large ladders unroll in blocks to
     # bound program size.
-    (perm, _), swaps = jax.lax.scan(
+    (perm, _), (swaps, accs) = jax.lax.scan(
         pair,
         (perm0, payload_ll),
         (jnp.arange(c - 1, dtype=jnp.int32), us),
@@ -119,6 +126,8 @@ def sweep_permutation(
         perm=perm,
         n_accepted=jnp.sum(swaps.astype(jnp.int32)),
         n_proposed=jnp.asarray(c - 1, jnp.int32),
+        pair_accept=accs,
+        pair_active=jnp.ones((c - 1,), bool),
     )
 
 
@@ -178,6 +187,8 @@ def disjoint_pair_permutation(
         perm=perm,
         n_accepted=jnp.sum(swap.astype(jnp.int32)),
         n_proposed=jnp.sum(active.astype(jnp.int32)),
+        pair_accept=jnp.where(active, a, 0.0),
+        pair_active=active,
     )
 
 

@@ -52,6 +52,11 @@ class SampleResult:
     # Delayed-acceptance diagnostics (surrogate_mode="delayed_acceptance"):
     da_segments: int = 0  # surrogate segments opened (composite proposals)
     da_accept_per_chain: Optional[np.ndarray] = None  # segment accept %, per chain
+    # Mean expected swap-acceptance probability per adjacent rung pair
+    # (k, k+1), shape (C-1,) — the Rao-Blackwellized rejection statistic the
+    # communication-barrier ladder tuner consumes
+    # (ops/ladder.py:barrier_tuned_temperatures).
+    pair_swap_accept: Optional[np.ndarray] = None
 
 
 def make_dataset(
@@ -117,9 +122,12 @@ def sample(
     """
     cfg.validate()
     data = make_dataset(cfg, train, test)
-    temps_host = ladder.assign_temperatures(
-        cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-    )  # float64 — also the artifact filename source (chain_<T>.txt)
+    if cfg.custom_ladder is not None:
+        temps_host = np.asarray(cfg.custom_ladder, np.float64)
+    else:
+        temps_host = ladder.assign_temperatures(
+            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
+        )  # float64 — also the artifact filename source (chain_<T>.txt)
     temps = jnp.asarray(temps_host, jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
@@ -313,6 +321,9 @@ def sample(
     swap_pct = (
         100.0 * int(state.n_swap_accepted) / n_sw_prop if n_sw_prop else 0.0
     )  # pt_classification.py:774
+    pair_sum = np.asarray(state.pair_accept_sum)[:-1]
+    pair_cnt = np.asarray(state.pair_prop_count)[:-1]
+    pair_swap_accept = pair_sum / np.maximum(pair_cnt, 1)
     langevin_ratio = np.asarray(state.n_langevin) * 100.0 / samples
     da_segments = 0
     da_accept = None
@@ -334,6 +345,7 @@ def sample(
         config=cfg,
         da_segments=da_segments,
         da_accept_per_chain=da_accept,
+        pair_swap_accept=pair_swap_accept,
     )
 
 
@@ -387,7 +399,9 @@ def _throughput_build(
     cfg2 = _dc.replace(cfg, record_w=False)
     data = make_dataset(cfg2, train, test)
     temps = jnp.asarray(
-        ladder.assign_temperatures(
+        np.asarray(cfg2.custom_ladder, np.float64)
+        if cfg2.custom_ladder is not None
+        else ladder.assign_temperatures(
             cfg2.num_chains, cfg2.maxtemp, cfg2.geometric_ladder
         ),
         jnp.float32,
