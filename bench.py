@@ -105,6 +105,7 @@ def main() -> None:
     import ptnn
     from ptnn.data import load_regression
     from ptnn.ops import ess as ess_mod
+    from ptnn.ops import roundtrip as rt_mod
 
     prob = load_regression("Sunspot")
     chains = 64
@@ -129,6 +130,7 @@ def main() -> None:
     quality = {}
     quality_cold = {}
     rhat_cold = {}
+    roundtrips = {}
     notes = []
     for tag, vcfg in variants.items():
         sps_med, sps_iqr = _median_iqr(reps[tag])
@@ -140,13 +142,17 @@ def main() -> None:
             # and doubles the draws behind each ESS estimate
             num_samples=vcfg.num_chains * 8000,
             record_w=True,
+            track_replicas=True,  # transport metric rides the same runs
             chunk_steps=1000,
         ).validate()
         ess_s_seeds, rmse_seeds, rmse_cold_seeds, ess_draws = [], [], [], []
-        cold_seeds = []
+        cold_seeds, trip_rates = [], []
         draws = 0
         for seed in (1, 2, 3):
             res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=seed)
+            trip_rates.append(
+                rt_mod.roundtrip_stats(res.traces["replica"]).rate_per_kstep
+            )
             b = ess_cfg.samples_per_chain // 2
             cold = np.asarray(res.traces["w"][b:, 0, :])
             cold_seeds.append(cold)
@@ -180,6 +186,9 @@ def main() -> None:
             ),
             3,
         )
+        # replica round trips per 1k steps (ops/roundtrip.py): actual
+        # cold<->hot transport, which swap% alone cannot certify
+        roundtrips[tag] = round(float(np.median(trip_rates)), 2)
         quality[tag] = round(float(np.median(rmse_seeds)), 4)
         quality_cold[tag] = round(float(np.median(rmse_cold_seeds)), 4)
         notes.append(
@@ -188,6 +197,7 @@ def main() -> None:
             f"draws -> {e_med:.0f} ESS/s (IQR {e_iqr[0]:.0f}-{e_iqr[1]:.0f})"
             f", pooled RMSE {quality[tag]} (cold {quality_cold[tag]}), accept "
             f"{last[tag]['accept_pct']:.1f}%, swap {last[tag]['swap_pct']:.1f}%"
+            f", roundtrips/1k {roundtrips[tag]}"
         )
 
     value, iqr = _median_iqr(reps["rw"])
@@ -205,6 +215,7 @@ def main() -> None:
                 "rmse_test_pooled_mean": quality,
                 "rmse_test_cold_posterior_mean": quality_cold,
                 "rhat_cold_max": rhat_cold,
+                "roundtrips_per_kstep": roundtrips,
                 "ref_rmse_test": 0.0239,
                 "flagship": "mala",
             }
