@@ -158,6 +158,29 @@ def test_track_replicas_does_not_change_sampling(sunspot):
     assert "replica" not in res_b.traces
 
 
+def test_checkpoint_resume_carries_replica_state(sunspot, tmp_path):
+    """Mid-run resume round-trips replica labels and the per-pair swap
+    statistics exactly (both are new ChainState fields the generic
+    checkpoint flattening must carry)."""
+    import os
+
+    cfg = _cfg(num_samples=3200, chunk_steps=100)
+    ck = str(tmp_path / "rt.npz")
+    full = sample(cfg, *sunspot, seed=13)
+    r1 = sample(cfg, *sunspot, seed=13, checkpoint_path=ck, checkpoint_every=2)
+    assert os.path.exists(ck)
+    r2 = sample(cfg, *sunspot, seed=13, checkpoint_path=ck, checkpoint_every=2)
+    for res in (r1, r2):
+        np.testing.assert_array_equal(full.traces["replica"], res.traces["replica"])
+        np.testing.assert_allclose(
+            full.pair_swap_accept, res.pair_swap_accept, rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.final_state.pair_prop_count),
+            np.asarray(res.final_state.pair_prop_count),
+        )
+
+
 def test_precond_mala_tracks_replicas(sunspot):
     cfg = _cfg(proposal="precond_mala")
     res = sample(cfg, *sunspot, seed=7)
