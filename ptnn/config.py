@@ -162,6 +162,40 @@ class PTConfig:
     warmstart_frac: float = 0.0
     warmstart_step: float = 0.01
 
+    # Variational reference for the tempering path (stabilized PT —
+    # Surjanovic et al., NeurIPS 2022; NOT reference behavior; ops/vref.py).
+    # Anneal toward a diagonal-Gaussian reference q moment-matched to the
+    # cold chain instead of toward the prior: the path becomes
+    # prior * L^beta * (q/p_w)^(1-beta), exactly the posterior at beta=1 and
+    # exactly q at beta=0. Fixes the measured transport failure of
+    # prior-anchored tempering (healthy swap%% with ~zero cold<->hot round
+    # trips, results/convergence.md): the hot end sits on the fitted
+    # posterior approximation, not 25-sigma away from it. (mu, s^2) adapt by
+    # Welford accumulation of the cold chain during burn-in and FREEZE at
+    # the burn-in boundary — the retained-phase kernel is exactly Markov.
+    # Requires the exact swap machinery (swap_rule="metropolis" +
+    # swap_payload="untempered"), restore-likelihood semantics, and no
+    # temper-switch phase (the reference quirk modes emulate entry-point
+    # behavior that has no corrected-path analogue).
+    variational_reference: bool = False
+    # Correction activates at this fraction of samples_per_chain (before:
+    # plain likelihood tempering while cold-chain moments accumulate).
+    # Must lie in (0, burn_in); accumulation starts at half this point so
+    # the init transient is excluded from the fit.
+    vr_start_frac: float = 0.25
+    # Variance inflation on the fitted q (>1 = heavier reference; guards an
+    # under-dispersed burn-in estimate).
+    vr_var_inflation: float = 1.0
+    # At every swap event, refresh the hottest rung with an independence
+    # proposal w' ~ q (exact MH at any beta; acceptance is identically 1
+    # when the hot rung sits at beta=0, i.e. vr_hot_infinite). This is what
+    # turns the fitted reference into actual replica regeneration.
+    vr_regen: bool = True
+    # Pin the hottest rung at T = inf (beta = 0), making it sample q itself
+    # — the reference leg of Surjanovic et al.'s stabilized PT. Applied to
+    # the built ladder (geometric or custom) by the sampler drivers.
+    vr_hot_infinite: bool = False
+
     # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
     # with a likelihood rescale (pt_classification.py:302,317-324). The
     # reference's switch only fires when 0.6*samples is integral; mirrored in
@@ -428,6 +462,68 @@ class PTConfig:
             raise ValueError(
                 "adapt_step_size is incompatible with the legacy q-ratio "
                 "emulation (its pdf cliff is defined by the fixed step_w)"
+            )
+        if self.variational_reference:
+            if self.swaps_enabled and self.swap_rule != "metropolis":
+                raise ValueError(
+                    "variational_reference corrects the tempering path "
+                    "exactly; the swap energy E = LL - corr is only valid "
+                    "under swap_rule='metropolis' with untempered payloads "
+                    "(the half_exp/unclamped rules emulate reference quirks "
+                    "that have no corrected-path analogue)"
+                )
+            if self.stale_likelihood_after_swap:
+                raise ValueError(
+                    "variational_reference requires restore-likelihood swap "
+                    "semantics: the swap energy is recomputed from the "
+                    "traveling w, which must stay consistent with ll/prior"
+                )
+            if self.use_surrogate:
+                raise ValueError(
+                    "variational_reference is not combined with surrogate "
+                    "modes (the surrogate approximates the LIKELIHOOD; its "
+                    "inner kernels would need the path correction threaded "
+                    "through every branch — out of scope)"
+                )
+            if 0 < self.temper_switch_step <= self.n_steps:
+                raise ValueError(
+                    "variational_reference requires the canonical (no "
+                    "temper-switch) schedule: pass pt_phase_frac >= 1 (e.g. "
+                    "classification_preset(canonical=True)). The 60% switch "
+                    "collapses every rung to T=1, where the corrected path "
+                    "is pointless"
+                )
+            if self.qratio != "reference":
+                raise ValueError(
+                    "variational_reference is exactness-focused; the legacy "
+                    "q-ratio emulation is excluded"
+                )
+            if not 0.0 < self.vr_start_frac < self.burn_in:
+                raise ValueError(
+                    "vr_start_frac must lie in (0, burn_in): the reference "
+                    "fit freezes at burn-in end and needs Welford samples "
+                    "before activating"
+                )
+            if self.warmstart_frac >= self.vr_start_frac:
+                raise ValueError(
+                    "vr_start_frac must exceed warmstart_frac: moment "
+                    "accumulation only starts after the warm start, and the "
+                    "correction needs accumulated samples when it activates"
+                )
+            if self.vr_var_inflation < 1.0:
+                raise ValueError(
+                    "vr_var_inflation < 1 would make the fitted reference "
+                    "LIGHTER-tailed than its own moment estimate"
+                )
+        if self.vr_hot_infinite and not (
+            self.variational_reference and self.vr_regen
+        ):
+            raise ValueError(
+                "vr_hot_infinite pins the hottest rung at beta=0, where the "
+                "target IS the fitted q: only meaningful with "
+                "variational_reference and vr_regen (without regeneration "
+                "the beta=0 rung would random-walk a distribution it could "
+                "sample IID)"
             )
         if self.num_chains < 2 and self.swaps_enabled:
             raise ValueError(

@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="track replica identities and write ladder transport "
         "diagnostics (round-trip rate + up-flow f(k), ops/roundtrip.py)",
     )
+    p.add_argument(
+        "--vref",
+        action="store_true",
+        help="variational-reference tempering (stabilized PT, ops/vref.py): "
+        "anneal toward a cold-chain-fitted Gaussian with a beta=0 reference "
+        "leg refreshed IID at swap events. Implies the exact swap machinery "
+        "(metropolis rule, untempered payloads, DEO sweeps) and the "
+        "canonical (no temper-switch) schedule; pair with --roundtrip to "
+        "see the transport effect (results/vref_transport.md)",
+    )
     return p
 
 
@@ -82,6 +92,22 @@ def main(argv=None) -> None:
                 learn_rate=args.lr,
             )
             cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
+            if args.vref:
+                if args.evidence:
+                    raise SystemExit(
+                        "--evidence integrates the PRIOR-anchored path "
+                        "(ops/evidence.py); its TI/stepping-stone identities "
+                        "do not apply to the corrected path --vref samples"
+                    )
+                cfg = dataclasses.replace(
+                    cfg,
+                    swap_payload="untempered",
+                    swap_rule="metropolis",
+                    swap_style="even_odd",
+                    pt_phase_frac=2.0,
+                    variational_reference=True,
+                    vr_hot_infinite=True,
+                ).validate()
             run_problem(
                 prob,
                 cfg,

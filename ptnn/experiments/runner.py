@@ -92,6 +92,12 @@ def run_problem(
             f"({stats.rate_per_kstep:.2f}/1k steps), swap% alone would say "
             f"{summary.swap_perc:.1f}"
         )
+    if res.vr_regen_accept_pct is not None:
+        print(
+            f"[{prob.name}] variational reference: hot-rung regen "
+            f"{res.vr_regen_accept_pct:.1f}% accepted "
+            f"({res.vr_regen_proposed} proposed)"
+        )
     print(
         f"[{prob.name}] test_mean={summary.test_mean:.4f} "
         f"test_best={summary.test_best:.4f} swap%={summary.swap_perc:.2f} "

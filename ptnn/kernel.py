@@ -44,6 +44,7 @@ from ptnn.config import PTConfig
 from ptnn.models import api as model_api
 from ptnn.models import fnn
 from ptnn.ops import drift, likelihood
+from ptnn.ops import vref as vref_mod
 from ptnn.parallel import swap as swap_mod
 from ptnn import surrogate as surrogate_mod
 
@@ -137,6 +138,16 @@ class ChainState(NamedTuple):
     # tuner (ops/ladder.py:barrier_tuned_temperatures).
     pair_accept_sum: Any  # (C,) float32
     pair_prop_count: Any  # (C,) int32
+    # Optional variational-reference state (None unless
+    # cfg.variational_reference; ops/vref.py): Welford moments of the COLD
+    # chain's reference coordinates z — (w, eta) for regression, w for
+    # classification — global (Z,) arrays, replicated on the mesh (their
+    # leading axis is the parameter dim, not chains) — plus the hot-rung
+    # regeneration counters.
+    vr_mean: Any  # (Z,) float32
+    vr_m2: Any  # (Z,) float32
+    n_regen_accepted: Any  # () int32, or None
+    n_regen_proposed: Any  # () int32, or None
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -369,6 +380,17 @@ def init_state(
         jnp.arange(c, dtype=jnp.int32) if cfg.track_replicas else None
     )
 
+    vr_mean = vr_m2 = n_regen_acc = n_regen_prop = None
+    if cfg.variational_reference:
+        # reference coordinates z = (w, eta) for regression (eta is a
+        # likelihood-anchored latent and MUST be covered by q — see the
+        # make_step_fn VR block), z = w for classification
+        zdim = w_dim + 1 if cfg.task == "regression" else w_dim
+        vr_mean = jnp.zeros((zdim,), jnp.float32)
+        vr_m2 = jnp.zeros((zdim,), jnp.float32)
+        n_regen_acc = jnp.zeros((), jnp.int32)
+        n_regen_prop = jnp.zeros((), jnp.int32)
+
     return ChainState(
         w=w,
         eta=eta,
@@ -392,6 +414,10 @@ def init_state(
         replica_id=replica_id,
         pair_accept_sum=jnp.zeros((c,), jnp.float32),
         pair_prop_count=jnp.zeros((c,), jnp.int32),
+        vr_mean=vr_mean,
+        vr_m2=vr_m2,
+        n_regen_accepted=n_regen_acc,
+        n_regen_proposed=n_regen_prop,
         n_accept=jnp.zeros((c,), jnp.int32),
         n_langevin=jnp.zeros((c,), jnp.int32),
         n_swap_accepted=jnp.zeros((), jnp.int32),
@@ -491,6 +517,13 @@ def make_step_fn(
             "trace per-row predictions of padded rows; run grids with "
             "record_fx=False"
         )
+    vr_on = cfg.variational_reference
+    if vr_on and (has_mask or has_w_mask):
+        raise ValueError(
+            "variational_reference is not supported under envelope-padded "
+            "(masked) datasets: the fitted q would couple padded coordinates"
+        )
+
     _b_eval, b_prior = _batched_evals(cfg, spec, data)
     if is_regression:
         b_eval_tr = lambda w, x, y, tau, _topo=None: _b_eval(
@@ -582,6 +615,192 @@ def make_step_fn(
                     )
                     return out.reshape(c, w_dim)
 
+    # ------------------------------------------------------------------
+    # Variational reference for the tempering path (stabilized PT —
+    # Surjanovic et al. 2022; ops/vref.py has the math and the exactness
+    # argument). Path: log pi_beta = log prior + beta*LL + (1-beta)*corr,
+    # with corr(z) = log q(z) - log p(z), q a diagonal Gaussian
+    # Welford-fitted to the cold chain during burn-in and frozen at the
+    # burn-in boundary (same convention as the preconditioner above).
+    # CRITICAL: the reference must cover EVERY latent coordinate the
+    # likelihood anchors — for regression z = (w, eta), not just w. At
+    # beta=0 the likelihood term vanishes, and a coordinate left out of q
+    # falls back to its bare prior; eta's prior -(1+nu1)eta - nu2 e^-eta
+    # is monotone in eta, so a w-only reference lets the hot rung's eta
+    # random-walk to -inf, its energy E = LL - corr diverges, and the top
+    # ladder pair never swaps (measured: pair acceptance 0.00) — replica
+    # transport dies exactly where the feature is supposed to create it.
+    if vr_on:
+        spc = cfg.samples_per_chain
+        vr_start = int(spc * cfg.vr_start_frac)
+        vr_burn_end = int(spc * cfg.burn_in) - 1
+        # exclude the init transient: accumulate only from half the
+        # activation point (and never inside a MALA warm start)
+        vr_accum_start = max(int(spc * cfg.warmstart_frac), vr_start // 2)
+
+        def _vr_z(w, eta):
+            """Reference coordinates: (..., W) -> (..., W+1) with eta
+            appended for regression; classification's eta is junk."""
+            if not is_regression:
+                return w
+            return jnp.concatenate(
+                [w, jnp.asarray(eta)[..., None]], axis=-1
+            )
+
+        def _vr_stats(state: ChainState, i):
+            """(mu, var) of the fitted q as of step ``i`` (frozen post
+            burn-in because the accumulators freeze)."""
+            cnt = jnp.maximum(
+                (jnp.minimum(i, vr_burn_end) - vr_accum_start).astype(
+                    jnp.float32
+                ),
+                1.0,
+            )
+            var = vref_mod.welford_variance(
+                state.vr_m2, cnt, cfg.vr_var_inflation
+            )
+            return state.vr_mean, var
+
+        def _vr_logp_ref(w, eta):
+            """The z-coordinates' own prior terms (the part of log prior
+            that corr replaces): the Gaussian w-part plus, for regression,
+            the tau terms -(1+nu1) eta - nu2 e^-eta
+            (ops/likelihood.py:regression_log_prior_dim; dimension
+            constants are state-independent and dropped)."""
+            lp = -0.5 * jnp.sum(jnp.square(w), axis=-1) / cfg.sigma_sq
+            if is_regression:
+                lp = lp - (1.0 + cfg.nu_1) * eta - cfg.nu_2 * jnp.exp(-eta)
+            return lp
+
+        def _vr_corr_z(state: ChainState, i, w, eta) -> jax.Array:
+            """Path correction corr(z) = log q(z) - log p(z), zero before
+            activation."""
+            mu, var = _vr_stats(state, i)
+            corr = vref_mod.log_q_quad(
+                _vr_z(w, eta), mu, var
+            ) - _vr_logp_ref(w, eta)
+            return jnp.where(i >= vr_start, corr, jnp.zeros_like(corr))
+
+        def _vr_update(
+            state: ChainState, new_state: ChainState, i
+        ) -> ChainState:
+            """Fold the post-step COLD-chain z into the Welford moments
+            (between vr_accum_start and burn-in end; frozen afterwards)."""
+            live = jnp.logical_and(i >= vr_accum_start, i < vr_burn_end)
+            cnt_new = jnp.maximum(
+                (jnp.minimum(i + 1, vr_burn_end) - vr_accum_start).astype(
+                    jnp.float32
+                ),
+                1.0,
+            )
+            z0 = _vr_z(new_state.w[0], new_state.eta[0])
+            mean_new, m2_new = vref_mod.welford_update(
+                state.vr_mean, state.vr_m2, z0, cnt_new, live
+            )
+            return new_state._replace(vr_mean=mean_new, vr_m2=m2_new)
+
+        def _single_val(wi):
+            """Temperature/tau-independent likelihood term of ONE
+            configuration (same convention as _like_value_and_grad)."""
+            if is_regression:
+                fx = spec.forward(wi, data.x_train)[:, 0]
+                return -0.5 * jnp.sum(jnp.square(data.y_train - fx))
+            out = spec.forward(wi, data.x_train)
+            logp = spec.log_probs(out)
+            yi = data.y_train.astype(jnp.int32)
+            return jnp.sum(jnp.take_along_axis(logp, yi[:, None], axis=-1))
+
+        _single_vg = jax.value_and_grad(_single_val)
+
+        if is_regression:
+            _single_prior = lambda wi, tau: likelihood.regression_log_prior_dim(
+                wi, tau, spec.prior_dim_regression, cfg.sigma_sq, cfg.nu_1,
+                cfg.nu_2,
+            )
+        else:
+            _single_prior = lambda wi, tau: likelihood.classification_log_prior_dim(
+                wi, spec.prior_dim_classification, cfg.sigma_sq
+            )
+
+        def _vr_regen(st: ChainState, i, kr) -> ChainState:
+            """Hot-rung regeneration: independence proposal z' ~ q at the
+            hottest rung — w AND (regression) eta jointly — exact MH at any
+            beta. The raw ratio is dprior + beta dLL + (1-beta) dcorr +
+            (log q(z) - log q(z')); since the model prior IS p_ref up to a
+            state-independent constant (ops/likelihood.py vs _vr_logp_ref),
+            it cancels analytically to
+
+                log_r = beta * (dlogp_ref + dLL - dlogq)
+
+            which is computed in THIS form: the naive form differences
+            log-q values that the VAR_FLOOR can push to ~1e8 early in
+            accumulation (catastrophic float32 cancellation — measured as
+            a spurious beta=0 rejection in the tiny-budget multichip
+            dryrun), while here every log-q term carries an exact factor
+            of beta, making the beta=0 acceptance identically 1 with all
+            terms finite. One single-configuration forward pass per swap
+            event."""
+            mu, var = _vr_stats(st, i)
+            kq, ka = jax.random.split(kr)
+            z_new = vref_mod.sample_q(kq, mu, var)
+            if is_regression:
+                w_new, eta_new = z_new[:w_dim], z_new[w_dim]
+            else:
+                w_new, eta_new = z_new, st.eta[-1]
+            w_cur = st.w[-1]
+            eta_cur = st.eta[-1]
+            tau_new = jnp.exp(eta_new)
+            beta_hot = 1.0 / temps[-1]  # VR forbids the temper switch
+            if st.g_like is not None:
+                val_new, g_new = _single_vg(w_new)
+            else:
+                val_new = _single_val(w_new)
+                g_new = None
+            if is_regression:
+                n_rows = data.y_train.shape[0]
+                ll_new = (-0.5 * n_rows) * (
+                    likelihood._LOG_2PI + eta_new
+                ) + val_new * jnp.exp(-eta_new)
+            else:
+                ll_new = val_new
+            prior_new = _single_prior(w_new, tau_new)
+            z_cur = _vr_z(w_cur, eta_cur)
+            dlogp_ref = _vr_logp_ref(w_new, eta_new) - _vr_logp_ref(
+                w_cur, eta_cur
+            )
+            dlogq = vref_mod.log_q_quad(
+                z_new, mu, var
+            ) - vref_mod.log_q_quad(z_cur, mu, var)
+            log_r = beta_hot * (
+                dlogp_ref + (ll_new - st.ll[-1]) - dlogq
+            )
+            active = i >= vr_start
+            u = jax.random.uniform(ka, ())
+            acc = jnp.logical_and(
+                active, u < jnp.exp(jnp.minimum(log_r, 0.0))
+            )
+            out = st._replace(
+                w=st.w.at[-1].set(jnp.where(acc, w_new, w_cur)),
+                eta=st.eta.at[-1].set(jnp.where(acc, eta_new, eta_cur)),
+                ll=st.ll.at[-1].set(jnp.where(acc, ll_new, st.ll[-1])),
+                prior=st.prior.at[-1].set(
+                    jnp.where(acc, prior_new, st.prior[-1])
+                ),
+                w_last=st.w_last.at[-1].set(
+                    jnp.where(acc, w_new, st.w_last[-1])
+                ),
+                n_regen_accepted=st.n_regen_accepted + acc.astype(jnp.int32),
+                n_regen_proposed=st.n_regen_proposed
+                + active.astype(jnp.int32),
+            )
+            if st.g_like is not None:
+                out = out._replace(
+                    g_like=st.g_like.at[-1].set(
+                        jnp.where(acc, g_new, st.g_like[-1])
+                    )
+                )
+            return out
+
     def propose(state: ChainState, i, kp, kl):
         """Weight proposal + q-ratio correction + langevin counter."""
         if cfg.adapt_step_size:
@@ -645,7 +864,15 @@ def make_step_fn(
 
     def do_swap(state: ChainState, i, ks) -> ChainState:
         adapttemp = jnp.where(i < switch_step, temps, 1.0)
-        if cfg.swap_payload == "tempered":
+        ks_regen = None
+        if vr_on and cfg.vr_regen:
+            ks, ks_regen = jax.random.split(ks)
+        if vr_on:
+            # corrected-path swap energy: the pairwise exponent
+            # (beta_i - beta_j)(E_j - E_i) with E = LL - corr is exact for
+            # the corrected path (log-prior terms cancel; ops/vref.py)
+            payload = state.ll - _vr_corr_z(state, i, state.w, state.eta)
+        elif cfg.swap_payload == "tempered":
             payload = state.ll / adapttemp
         elif cfg.swap_payload == "tempered_times_T":
             payload = (state.ll / adapttemp) * temps
@@ -690,6 +917,10 @@ def make_step_fn(
             # identity labels travel with the configuration (ops/roundtrip.py)
             (rid,) = swap_mod.apply_permutation(res.perm, state.replica_id)
             out = out._replace(replica_id=rid)
+        if ks_regen is not None:
+            # regenerate the hot rung AFTER the sweep: the fresh draw starts
+            # flowing toward the cold end at the next swap event
+            out = _vr_regen(out, i, ks_regen)
         return out
 
     def recompute_ll(s: ChainState) -> ChainState:
@@ -867,6 +1098,13 @@ def make_step_fn(
             + (prior_prop - state.prior)
             + diff_prop
         )
+        if vr_on:
+            # corrected-path term: (1 - beta) * (corr(z') - corr(z)) — the
+            # reference step proposes (w, eta) jointly, so both enter
+            log_mh = log_mh + (1.0 - 1.0 / adapttemp) * (
+                _vr_corr_z(state, i, w_prop, eta_prop)
+                - _vr_corr_z(state, i, state.w, state.eta)
+            )
         u = jax.random.uniform(ku, (c,))
         accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))  # = min(1, exp(log_mh))
 
@@ -928,6 +1166,8 @@ def make_step_fn(
             lambda s: s,
             new_state,
         )
+        if vr_on:
+            new_state = _vr_update(state, new_state, i)
         if cfg.record_ll_state:
             # post-MH, post-swap UNTEMPERED state log-likelihood per rung —
             # the quantity thermodynamic integration needs (ops/evidence.py);
@@ -1190,12 +1430,25 @@ def make_step_fn(
                 m = jnp.power(m, cfg.precond_power)
             return jnp.where(i >= pc_start, m, jnp.ones_like(m))
 
-        def _g_post(g_like, w, tau_sq, adapttemp):
+        def _g_post(g_like, w, tau_sq, adapttemp, vr_args=None):
             """Tempered-posterior gradient from the cached likelihood-term
             gradient: g_like/(tau^2 adapttemp) - w/sigma^2 (regression) or
-            g_like/adapttemp - w/sigma^2 (classification)."""
+            g_like/adapttemp - w/sigma^2 (classification). Under the
+            variational-reference path, ``vr_args = (mu, var, active)`` adds
+            the (1 - beta) * grad corr term (ops/vref.py)."""
             g = g_like / tau_sq[:, None] if is_regression else g_like
-            return g / adapttemp[:, None] - w / cfg.sigma_sq
+            out = g / adapttemp[:, None] - w / cfg.sigma_sq
+            if vr_args is not None:
+                mu, var, active = vr_args
+                # w-coordinates of the fitted z-reference (regression
+                # appends eta as the last coordinate)
+                gc = vref_mod.grad_correction(
+                    w, mu[: w.shape[-1]], var[: w.shape[-1]], cfg.sigma_sq
+                )
+                out = out + jnp.where(active, 1.0, 0.0) * (
+                    1.0 - 1.0 / adapttemp
+                )[:, None] * gc
+            return out
 
         ETA_TARGET_ACCEPT = 0.44  # 1-D RW-MH optimum (Gelman/Roberts/Gilks)
 
@@ -1231,6 +1484,10 @@ def make_step_fn(
             sig = jnp.exp(state.log_step_w)  # (C,)
             m = _precond_diag(state, i)  # (C, W)
             tau_cur = jnp.exp(state.eta)  # (C,)
+            vr_args = None
+            if vr_on:
+                vr_mu, vr_var = _vr_stats(state, i)
+                vr_args = (vr_mu, vr_var, i >= vr_start)
             noise = (
                 jax.random.normal(kp, (c, w_dim), jnp.float32)
                 * sig[:, None]
@@ -1238,7 +1495,9 @@ def make_step_fn(
             )
             if is_mala:
                 sig2m = (sig * sig)[:, None] * m
-                g_cur = _g_post(state.g_like, state.w, tau_cur, adapttemp)
+                g_cur = _g_post(
+                    state.g_like, state.w, tau_cur, adapttemp, vr_args
+                )
                 mean_fwd = state.w + 0.5 * sig2m * g_cur
             else:
                 mean_fwd = state.w
@@ -1292,7 +1551,9 @@ def make_step_fn(
                 # exact reverse-kernel q-ratio for the preconditioned
                 # Gaussian proposal (eta is fixed in this block, so both
                 # directions scale the cached gradient by the same tau)
-                g_prop = _g_post(g_like_prop, w_prop, tau_cur, adapttemp)
+                g_prop = _g_post(
+                    g_like_prop, w_prop, tau_cur, adapttemp, vr_args
+                )
                 mean_rev = w_prop + 0.5 * sig2m * g_prop
                 diff_prop = (
                     jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
@@ -1310,6 +1571,13 @@ def make_step_fn(
                 + (prior_prop - state.prior)
                 + diff_prop
             )
+            if vr_on:
+                # eta is FIXED in this block, so its corr terms cancel —
+                # pass the current eta on both sides
+                log_mh = log_mh + (1.0 - 1.0 / adapttemp) * (
+                    _vr_corr_z(state, i, w_prop, state.eta)
+                    - _vr_corr_z(state, i, state.w, state.eta)
+                )
             u = jax.random.uniform(ku, (c,))
             accept = u < jnp.exp(jnp.minimum(log_mh, 0.0))
             if warm_end > 0:
@@ -1366,6 +1634,21 @@ def make_step_fn(
                     jnp.exp(-eta_prop) - jnp.exp(-state.eta)
                 )
                 log_mh_e = (ll_eta - new_state.ll) / adapttemp + dprior
+                if vr_on:
+                    # eta's share of the path correction: (1 - beta) *
+                    # (dlog q_eta - dlog p_eta); dlog p_eta IS dprior.
+                    # Without this the beta=0 rung's eta would sample its
+                    # bare (monotone) prior and run away — see the VR block
+                    # comment above.
+                    vr_mu, vr_var = _vr_stats(state, i)
+                    mu_e, var_e = vr_mu[w_dim], vr_var[w_dim]
+                    dlogq_e = -0.5 * (
+                        jnp.square(eta_prop - mu_e)
+                        - jnp.square(state.eta - mu_e)
+                    ) / var_e
+                    log_mh_e = log_mh_e + jnp.where(
+                        i >= vr_start, 1.0, 0.0
+                    ) * (1.0 - 1.0 / adapttemp) * (dlogq_e - dprior)
                 ue = jax.random.uniform(kue, (c,))
                 acc_e = ue < jnp.exp(jnp.minimum(log_mh_e, 0.0))
                 new_state = new_state._replace(
@@ -1423,6 +1706,8 @@ def make_step_fn(
                 lambda s: s,
                 new_state,
             )
+            if vr_on:
+                new_state = _vr_update(state, new_state, i)
             if cfg.record_ll_state:
                 trace["ll_cur"] = new_state.ll
             if cfg.track_replicas:

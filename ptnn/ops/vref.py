@@ -1,0 +1,127 @@
+"""Variational reference for the tempering path (stabilized PT).
+
+Classic PT — and every reference entry point
+(multicore-pt-classification/pt_classification.py:300-308,
+multicore-pt-regression/pt_timeseries_regression.py:300-330) — tempers the
+*likelihood only*: rung beta targets ``prior(w) * L(w)^beta``, so the hot end
+anneals toward the PRIOR. For Bayesian NNs the prior (N(0, 25 I)) is
+astronomically far from the posterior bulk, which is why the repo's replica
+transport diagnostics (ops/roundtrip.py, results/convergence.md) measure a
+healthy-looking ~46%% swap acceptance coexisting with near-zero actual
+cold<->hot round trips: the ladder's communication barrier to the prior is
+enormous, so configurations ping-pong between neighboring rungs instead of
+regenerating at the hot end.
+
+The fix is to anneal toward a *fitted* reference instead (Surjanovic, Syed,
+Bouchard-Cote & Campbell, "Parallel tempering with a variational reference",
+NeurIPS 2022): with a diagonal Gaussian ``q = N(mu, diag(s^2))`` moment-matched
+to the cold chain, the path becomes
+
+    log pi_beta(w) = log prior(w) + beta * LL(w)
+                     + (1 - beta) * [log q(w) - log p_w(w)]
+
+where ``p_w`` is the Gaussian w-part of the prior. At beta=1 this is exactly
+the posterior (the correction vanishes); at beta=0 it is exactly ``q`` (the
+prior's w-part cancels), which the sampler can draw from IID — so the hot rung
+regenerates and replicas genuinely round-trip. All identities used downstream:
+
+* MH accept gains ``(1 - beta) * (corr(w') - corr(w))`` (kernel.py);
+* the swap energy becomes ``E = LL - corr`` — the pairwise exponent is
+  ``(beta_i - beta_j) * (E_j - E_i)`` with the log-prior terms cancelling,
+  so the existing "metropolis" rule (parallel/swap.py) applies unchanged;
+* the tempered-posterior gradient gains ``(1 - beta) * grad corr``;
+* an independence proposal ``w' ~ q`` at the hottest rung has acceptance
+  ``exp(dprior + beta dLL + (1-beta) dcorr + log q(w) - log q(w'))``,
+  which is identically 1 at beta=0 (kernel._vr_regen).
+
+Everything here is *up to additive constants that cancel*: every consumer
+takes differences of the same function at two states under the same (mu, s^2),
+so ``-0.5 sum log s^2`` and the prior's dimension constant are dropped.
+
+Adaptation follows the repo's freeze-at-burn-in exactness convention
+(PTConfig.precond_start_frac docs): (mu, s^2) are Welford-estimated from the
+cold chain during burn-in and FROZEN at the burn-in boundary, so the retained
+samples come from an exactly Markov kernel targeting a fixed path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Numerical floor on the fitted per-parameter variance: a cold chain that has
+# not moved in some coordinate would otherwise produce s^2 = 0 and an infinite
+# correction at the first proposal away from it.
+VAR_FLOOR = 1e-8
+
+
+def welford_variance(
+    m2: jax.Array, count: jax.Array, inflation: float = 1.0
+) -> jax.Array:
+    """Per-parameter variance from a Welford M2 accumulator.
+
+    ``inflation`` > 1 over-disperses the reference — a cheap guard against
+    an under-dispersed burn-in estimate making q lighter-tailed than the
+    posterior leg it must overlap.
+    """
+    var = m2 / jnp.maximum(count, 1.0)
+    return jnp.maximum(var * inflation, VAR_FLOOR)
+
+
+def log_q_quad(w: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
+    """``log q(w)`` up to its (state-independent) normalizer.
+
+    ``w``: (..., W); ``mu``/``var``: (W,). Returns (...,).
+    """
+    return -0.5 * jnp.sum(jnp.square(w - mu) / var, axis=-1)
+
+
+def correction(
+    w: jax.Array, mu: jax.Array, var: jax.Array, sigma_sq: float
+) -> jax.Array:
+    """Path correction ``corr(w) = log q(w) - log p_w(w)`` up to constants.
+
+    ``p_w = N(0, sigma_sq I)`` is the w-part of the model prior
+    (ops/likelihood.py:{classification,regression}_log_prior_dim — the
+    tau/dimension terms are w-independent and cancel everywhere corr is
+    differenced).
+    """
+    return log_q_quad(w, mu, var) + 0.5 * jnp.sum(
+        jnp.square(w), axis=-1
+    ) / sigma_sq
+
+
+def grad_correction(
+    w: jax.Array, mu: jax.Array, var: jax.Array, sigma_sq: float
+) -> jax.Array:
+    """``d corr / d w`` — feeds the preconditioned-MALA drift (kernel._g_post)."""
+    return -(w - mu) / var + w / sigma_sq
+
+
+def sample_q(
+    key: jax.Array, mu: jax.Array, var: jax.Array
+) -> jax.Array:
+    """One IID draw from the fitted reference ``q = N(mu, diag(var))``."""
+    return mu + jnp.sqrt(var) * jax.random.normal(
+        key, mu.shape, dtype=mu.dtype
+    )
+
+
+def welford_update(
+    mean: jax.Array,
+    m2: jax.Array,
+    x: jax.Array,
+    count_new: jax.Array,
+    live: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One masked Welford step: fold ``x`` in when ``live`` else no-op.
+
+    ``count_new`` is the sample count INCLUDING ``x`` (>= 1 when live).
+    """
+    upd = live.astype(mean.dtype)
+    delta = x - mean
+    mean_new = mean + upd * delta / jnp.maximum(count_new, 1.0)
+    m2_new = m2 + upd * delta * (x - mean_new)
+    return mean_new, m2_new

@@ -57,6 +57,11 @@ class SampleResult:
     # communication-barrier ladder tuner consumes
     # (ops/ladder.py:barrier_tuned_temperatures).
     pair_swap_accept: Optional[np.ndarray] = None
+    # Variational-reference diagnostics (cfg.variational_reference with
+    # vr_regen): hot-rung independence-refresh acceptance. 100% when the hot
+    # rung sits at beta=0 (vr_hot_infinite) — the IID reference leg.
+    vr_regen_accept_pct: Optional[float] = None
+    vr_regen_proposed: int = 0
 
 
 def make_dataset(
@@ -128,6 +133,11 @@ def sample(
         temps_host = ladder.assign_temperatures(
             cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
         )  # float64 — also the artifact filename source (chain_<T>.txt)
+    if cfg.vr_hot_infinite:
+        # beta=0 reference leg (stabilized PT): the hottest rung targets the
+        # fitted q itself, which vr_regen refreshes IID (ops/vref.py)
+        temps_host = np.array(temps_host, np.float64)
+        temps_host[-1] = np.inf
     temps = jnp.asarray(temps_host, jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
@@ -332,6 +342,13 @@ def sample(
         da_accept = (
             np.asarray(state.da.n_seg_accepted) * 100.0 / max(da_segments, 1)
         )
+    vr_regen_pct = None
+    vr_regen_prop = 0
+    if state.n_regen_proposed is not None:
+        vr_regen_prop = int(state.n_regen_proposed)
+        vr_regen_pct = (
+            100.0 * int(state.n_regen_accepted) / max(vr_regen_prop, 1)
+        )
 
     return SampleResult(
         traces=merged,
@@ -346,6 +363,8 @@ def sample(
         da_segments=da_segments,
         da_accept_per_chain=da_accept,
         pair_swap_accept=pair_swap_accept,
+        vr_regen_accept_pct=vr_regen_pct,
+        vr_regen_proposed=vr_regen_prop,
     )
 
 
@@ -398,14 +417,18 @@ def _throughput_build(
 
     cfg2 = _dc.replace(cfg, record_w=False)
     data = make_dataset(cfg2, train, test)
-    temps = jnp.asarray(
+    temps_np = np.asarray(
         np.asarray(cfg2.custom_ladder, np.float64)
         if cfg2.custom_ladder is not None
         else ladder.assign_temperatures(
             cfg2.num_chains, cfg2.maxtemp, cfg2.geometric_ladder
         ),
-        jnp.float32,
+        np.float64,
     )
+    if cfg2.vr_hot_infinite:
+        temps_np = temps_np.copy()
+        temps_np[-1] = np.inf
+    temps = jnp.asarray(temps_np, jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
     if mesh is not None:

@@ -6,8 +6,19 @@ by bench.py / __graft_entry__.py.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the image pre-sets axon (TPU); force CPU
+# Drop the axon (remote-TPU) plugin from the import path entirely: its
+# get_backend hook initializes the tunnel client even under
+# JAX_PLATFORMS=cpu, and when the remote worker is down that initialization
+# BLOCKS indefinitely — a pure-CPU test tier must not depend on tunnel health.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p
+    for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
