@@ -86,12 +86,8 @@ def main(argv=None) -> None:
         )
         cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
         if args.vref:
-            if args.evidence:
-                raise SystemExit(
-                    "--evidence integrates the PRIOR-anchored path "
-                    "(ops/evidence.py); its TI/stepping-stone identities do "
-                    "not apply to the corrected path --vref samples"
-                )
+            # --vref --evidence composes: corrected-path estimators with
+            # the analytic beta=0 anchor (absolute log marginal likelihood)
             cfg = dataclasses.replace(
                 cfg,
                 swap_payload="untempered",

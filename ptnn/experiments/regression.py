@@ -93,12 +93,10 @@ def main(argv=None) -> None:
             )
             cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
             if args.vref:
-                if args.evidence:
-                    raise SystemExit(
-                        "--evidence integrates the PRIOR-anchored path "
-                        "(ops/evidence.py); its TI/stepping-stone identities "
-                        "do not apply to the corrected path --vref samples"
-                    )
+                # --vref --evidence composes: the kernel records the path
+                # correction alongside ll_cur and ops/evidence.py runs the
+                # corrected-path estimators with the analytic beta=0 anchor
+                # (absolute log marginal likelihood).
                 cfg = dataclasses.replace(
                     cfg,
                     swap_payload="untempered",

@@ -68,18 +68,35 @@ def run_problem(
             f.write(
                 "# ladder evidence difference log Z(beta_max) - log Z(beta_min)\n"
                 f"ti {est.log_z_ti:.6f}\nss {est.log_z_ss:.6f}\n"
-                f"window {est.window[0]} {est.window[1]}\n"
-                "# beta  mean_loglik\n"
+                + (
+                    # corrected-path run anchored at the analytic beta=0
+                    # normalizer: absolute log marginal likelihood
+                    f"log_z0 {est.log_z0:.6f}\n"
+                    f"abs_ti {est.log_z_abs_ti:.6f}\n"
+                    f"abs_ss {est.log_z_abs_ss:.6f}\n"
+                    if est.anchored
+                    else ""
+                )
+                + f"window {est.window[0]} {est.window[1]}\n"
+                "# beta  mean_integrand\n"
                 + "".join(
                     f"{b:.6f} {m:.6f}\n"
                     for b, m in zip(est.betas, est.mean_ll)
                 )
             )
-        print(
-            f"[{prob.name}] ladder log-evidence diff: TI {est.log_z_ti:.2f} "
-            f"SS {est.log_z_ss:.2f} over beta [{est.betas[0]:.3f}, "
-            f"{est.betas[-1]:.3f}] ({est.n_samples} tempered draws/rung)"
-        )
+        if est.anchored:
+            print(
+                f"[{prob.name}] ABSOLUTE log-evidence (corrected path, "
+                f"analytic beta=0 anchor {est.log_z0:.2f}): "
+                f"TI {est.log_z_abs_ti:.2f} SS {est.log_z_abs_ss:.2f} "
+                f"({est.n_samples} frozen-path draws/rung)"
+            )
+        else:
+            print(
+                f"[{prob.name}] ladder log-evidence diff: TI {est.log_z_ti:.2f} "
+                f"SS {est.log_z_ss:.2f} over beta [{est.betas[0]:.3f}, "
+                f"{est.betas[-1]:.3f}] ({est.n_samples} tempered draws/rung)"
+            )
     if roundtrip:
         from ptnn.ops import roundtrip as rt_mod
 

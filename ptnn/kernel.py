@@ -631,12 +631,12 @@ def make_step_fn(
     # ladder pair never swaps (measured: pair acceptance 0.00) — replica
     # transport dies exactly where the feature is supposed to create it.
     if vr_on:
-        spc = cfg.samples_per_chain
-        vr_start = int(spc * cfg.vr_start_frac)
-        vr_burn_end = int(spc * cfg.burn_in) - 1
-        # exclude the init transient: accumulate only from half the
-        # activation point (and never inside a MALA warm start)
-        vr_accum_start = max(int(spc * cfg.warmstart_frac), vr_start // 2)
+        # activation / accumulation / freeze step indices — shared with the
+        # host-side consumers through ops/vref.py:schedule
+        vr_start, vr_accum_start, vr_burn_end = vref_mod.schedule(
+            cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
+            cfg.warmstart_frac,
+        )
 
         def _vr_z(w, eta):
             """Reference coordinates: (..., W) -> (..., W+1) with eta
@@ -1174,6 +1174,15 @@ def make_step_fn(
             # unlike trace["ll"] (the reference's proposal-likelihood row)
             # this follows the chain through rejects and swaps
             trace["ll_cur"] = new_state.ll
+            if vr_on:
+                # per-rung path correction of the same state: the corrected
+                # path's TI integrand is E_beta[LL - corr]
+                # (ops/evidence.py corrected-path mode). Stats as of i+1 =
+                # the trace row's step index; frozen within any valid
+                # evidence window (row >= vr_burn_end).
+                trace["vr_corr_cur"] = _vr_corr_z(
+                    new_state, i + 1, new_state.w, new_state.eta
+                )
         if cfg.track_replicas:
             trace["replica"] = new_state.replica_id
         return new_state, trace
@@ -1710,6 +1719,11 @@ def make_step_fn(
                 new_state = _vr_update(state, new_state, i)
             if cfg.record_ll_state:
                 trace["ll_cur"] = new_state.ll
+                if vr_on:
+                    # corrected-path TI integrand ingredient (see step())
+                    trace["vr_corr_cur"] = _vr_corr_z(
+                        new_state, i + 1, new_state.w, new_state.eta
+                    )
             if cfg.track_replicas:
                 trace["replica"] = new_state.replica_id
             return new_state, trace

@@ -109,6 +109,72 @@ def sample_q(
     )
 
 
+def schedule(
+    samples_per_chain: int,
+    vr_start_frac: float,
+    burn_in: float,
+    warmstart_frac: float,
+) -> Tuple[int, int, int]:
+    """(vr_start, vr_accum_start, vr_burn_end) step indices of the VR
+    schedule — the single source of truth shared by the kernel's traced
+    gating and host-side consumers (ops/evidence.py needs vr_burn_end: the
+    fitted (mu, s^2) are only FROZEN from that step on, so evidence windows
+    must start there for the path to be fixed).
+
+    * ``vr_start``: the correction activates (before: plain tempering);
+    * ``vr_accum_start``: Welford accumulation begins (half the activation
+      point, and never inside a MALA warm start);
+    * ``vr_burn_end``: accumulation stops; stats are frozen for every step
+      ``i >= vr_burn_end``.
+    """
+    vr_start = int(samples_per_chain * vr_start_frac)
+    vr_burn_end = int(samples_per_chain * burn_in) - 1
+    vr_accum_start = max(
+        int(samples_per_chain * warmstart_frac), vr_start // 2
+    )
+    return vr_start, vr_accum_start, vr_burn_end
+
+
+def frozen_count(
+    samples_per_chain: int,
+    vr_start_frac: float,
+    burn_in: float,
+    warmstart_frac: float,
+) -> float:
+    """The post-freeze Welford sample count (the kernel's traced
+    ``min(i, vr_burn_end) - vr_accum_start`` for any ``i >= vr_burn_end``)."""
+    _, accum_start, burn_end = schedule(
+        samples_per_chain, vr_start_frac, burn_in, warmstart_frac
+    )
+    return float(max(burn_end - accum_start, 1))
+
+
+def log_z0(var, prior_dim: int, sigma_sq: float) -> float:
+    """Closed-form log normalizer of the beta=0 end of the corrected path.
+
+    The kernel's beta=0 target is ``exp(prior + corr)`` with
+    ``corr = log_q_quad - logp_ref`` and the committed model prior equal to
+    ``logp_ref - 0.5 * prior_dim * log(sigma_sq)`` up to z-independent
+    terms it never writes (ops/likelihood.py:*_log_prior_dim), so
+
+        Z(0) = sigma_sq^(-prior_dim/2) * ∫ exp(log_q_quad(z)) dz
+             = sigma_sq^(-prior_dim/2) * prod_i sqrt(2 pi var_i).
+
+    With this anchor the thermodynamic integral of E_beta[LL - corr] over
+    the FULL beta in [0, 1] path (vr_hot_infinite gives the beta=0 rung)
+    yields the ABSOLUTE log marginal likelihood under the committed prior
+    convention — where prior-anchored tempering (ops/evidence.py module
+    docstring) only ever yields differences down to beta_min > 0.
+    """
+    import numpy as np
+
+    var = np.asarray(var, np.float64)
+    return float(
+        -0.5 * prior_dim * np.log(sigma_sq)
+        + 0.5 * np.sum(np.log(2.0 * np.pi * var))
+    )
+
+
 def welford_update(
     mean: jax.Array,
     m2: jax.Array,

@@ -71,6 +71,126 @@ def test_end_to_end_evidence_from_pt_run():
     assert abs(est.log_z_ti - est.log_z_ss) < 0.25 * abs(est.log_z_ti) + 10.0
 
 
+def test_corrected_path_matches_analytic_gaussian(rng):
+    """Corrected-path (VR) evidence with the analytic beta=0 anchor, pinned
+    end to end on a fully Gaussian setting where every rung of the path
+
+        pi_beta ∝ exp(prior + beta*LL + (1-beta)*corr)
+
+    is a diagonal Gaussian and the absolute log Z(1) is closed form. Draws
+    are EXACT per rung, so any disagreement is estimator/anchor math."""
+    from ptnn.ops import vref
+
+    d = 3
+    sigma_sq = 25.0
+    mu_q = rng.normal(size=d)
+    v_q = rng.uniform(0.5, 2.0, size=d)
+    m = rng.normal(size=d)  # likelihood center / scale
+    s2 = rng.uniform(0.3, 1.5, size=d)
+    betas = np.linspace(0.0, 1.0, 21)
+    n = 40_000
+
+    # per-rung exact Gaussian: precision/linear terms from the quadratic
+    # exponent -(w^2/sigma_sq)/2 + (1-b)*corr + b*LL with
+    # corr = -(w-mu_q)^2/(2 v_q) + w^2/(2 sigma_sq)
+    lam = betas[:, None] / sigma_sq + (1 - betas[:, None]) / v_q + betas[
+        :, None
+    ] / s2  # (R, d)
+    h = (1 - betas[:, None]) * mu_q / v_q + betas[:, None] * m / s2
+
+    def log_z_abs(k):
+        return float(
+            -0.5 * d * np.log(sigma_sq)
+            + np.sum(
+                0.5 * np.log(2 * np.pi / lam[k])
+                + h[k] ** 2 / (2 * lam[k])
+                - 0.5 * (1 - betas[k]) * mu_q**2 / v_q
+                - 0.5 * betas[k] * m**2 / s2
+            )
+        )
+
+    w = h[None, :, :] / lam[None, :, :] + rng.standard_normal(
+        (n, len(betas), d)
+    ) / np.sqrt(lam[None, :, :])  # (n, R, d) exact rung draws
+    ll = -0.5 * np.sum((w - m) ** 2 / s2, axis=-1)
+    corr = -0.5 * np.sum((w - mu_q) ** 2 / v_q, axis=-1) + 0.5 * np.sum(
+        w**2, axis=-1
+    ) / sigma_sq
+    anchor = vref.log_z0(v_q, d, sigma_sq)
+    # the anchor IS the analytic beta=0 normalizer
+    assert anchor == pytest.approx(log_z_abs(0), abs=1e-9)
+    est = evidence.from_samples(
+        ll - corr, 1.0 / np.maximum(betas, 1e-300), log_z0=anchor
+    )
+    assert est.anchored
+    want = log_z_abs(len(betas) - 1)
+    assert est.log_z_abs_ss == pytest.approx(want, abs=0.05)
+    assert est.log_z_abs_ti == pytest.approx(want, abs=0.15)
+
+
+def test_end_to_end_vr_evidence():
+    """Sunspot VR run with the beta=0 reference leg: the corr trace is
+    recorded, the window floors at the VR freeze step, the anchor is
+    finite, and TI/SS agree within stepping-stone tolerance.
+
+    Setup follows the VR transport test (results/vref_transport.md): a
+    13-parameter net whose posterior the fitted Gaussian can describe, and
+    the barrier-tuned 16-rung ladder packed toward beta=0 — on the
+    61-parameter topology with a geometric 8-rung ladder the beta=0 stone
+    spans the measured ~10^4-nat family gap and BOTH estimators carry
+    huge MC/quadrature error (that scope limit is documented, not gated)."""
+    import ptnn
+    from ptnn.data import load_regression
+    from ptnn.ops import vref
+
+    prob = load_regression("Sunspot")
+    tuned = (1.0, 1.099, 1.22, 1.374, 1.575, 1.846, 2.205, 2.588,
+             3.156, 4.055, 5.377, 7.375, 10.287, 16.666, 33.333,
+             float("inf"))
+    cfg = dataclasses.replace(
+        ptnn.PTConfig(
+            task="regression",
+            topology=(4, 2, 1),
+            num_samples=16 * 1600,
+            num_chains=16,
+            maxtemp=20.0,
+            custom_ladder=tuned,
+            swap_interval=4,
+            swap_offset=0,
+            swap_style="even_odd",
+            swap_payload="untempered",
+            swap_rule="metropolis",
+            pt_phase_frac=2.0,
+            variational_reference=True,
+            vr_hot_infinite=True,
+            record_w=False,
+            record_ll_state=True,
+            chunk_steps=200,
+        )
+    ).validate()
+    res = ptnn.sample(cfg, prob.train, prob.test, seed=4)
+    assert "vr_corr_cur" in res.traces
+    est = evidence.from_result(res)
+    assert est.anchored and np.isfinite(est.log_z0)
+    assert est.betas[0] == 0.0  # the beta=0 reference rung is in the path
+    _, _, freeze = vref.schedule(
+        cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
+        cfg.warmstart_frac,
+    )
+    assert est.window[0] >= freeze  # fixed-path window
+    assert np.isfinite(est.log_z_abs_ti) and np.isfinite(est.log_z_abs_ss)
+    # both estimators target the same integral; TI carries quadrature bias
+    # over 16 rungs, SS per-stone MC noise
+    rel = abs(est.log_z_abs_ti - est.log_z_abs_ss)
+    assert rel < 0.1 * abs(est.log_z_abs_ti) + 25.0
+    # cross-seed stability of the absolute estimate
+    res2 = ptnn.sample(cfg, prob.train, prob.test, seed=14)
+    est2 = evidence.from_result(res2)
+    assert est2.log_z_abs_ss == pytest.approx(
+        est.log_z_abs_ss, rel=0.1, abs=50.0
+    )
+
+
 def test_window_validation():
     with pytest.raises(ValueError, match="at least 2 rungs"):
         evidence.from_samples(np.zeros((10, 1)), np.array([1.0]))
