@@ -127,7 +127,11 @@ def barrier_tuned_temperatures(
     cum, total = communication_barrier(temps, pair_reject)
     if total <= 0.0:
         return temps.copy()  # no measured resistance anywhere
-    betas = 1.0 / temps  # descending from 1
+    # beta=0 reference rungs (T=inf, PTConfig.vr_hot_infinite) map cleanly
+    # through the inversion: 1/inf = 0 is an interpolation endpoint and
+    # 1/0 = inf restores the rung — silence the expected divide warnings
+    with np.errstate(divide="ignore"):
+        betas = 1.0 / temps  # descending from 1
     # Make Lambda strictly increasing so the inverse is well defined even
     # when some pairs measured zero rejection (flat segments).
     eps = total * 1e-9 + 1e-12
@@ -141,4 +145,5 @@ def barrier_tuned_temperatures(
     for k in range(1, c):
         if new_betas[k] >= new_betas[k - 1]:
             new_betas[k] = new_betas[k - 1] * (1.0 - 1e-9)
-    return 1.0 / new_betas
+    with np.errstate(divide="ignore"):
+        return 1.0 / new_betas

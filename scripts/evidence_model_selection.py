@@ -1,0 +1,148 @@
+"""Bayesian model selection by absolute evidence: what the corrected path buys.
+
+The reference compares architectures by held-out RMSE only (its committed
+sweep tables — Res_RW etc. — carry train/test error and never use the
+ladder's beta dimension). With the variational-reference path + the beta=0
+leg, ptnn computes the ABSOLUTE log marginal likelihood per model
+(ops/evidence.py corrected-path mode, results/vref_transport.md), so
+architectures can be ranked by evidence — the quantity that trades fit
+against complexity automatically (Occam factor) — instead of by point error.
+
+Per hidden size h (topology (4, h, 1), d = 6h + 1 parameters, all within the
+Gaussian-reference scope measured in vref_transport.md):
+
+1. pilot + one feedback round of the barrier tuner (ptnn.tuning.tune_ladder)
+   on the VR ladder — the corrected path's barrier concentrates near beta=0,
+   so the tuned schedule packs rungs there;
+2. three seeded full-budget VR runs on the tuned ladder;
+3. report mean +- spread of abs log Z (stepping stone — unbiased stones),
+   cold-chain test RMSE, and the measured barrier.
+
+Writes results/evidence_model_selection.md. CPU-friendly (~10 min); pass
+--quick for a smoke-scale run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ptnn
+from ptnn import tuning
+from ptnn.data import load_regression
+from ptnn.ops import evidence
+
+
+def vr_cfg(hidden: int, num_samples: int) -> ptnn.PTConfig:
+    return ptnn.PTConfig(
+        task="regression",
+        topology=(4, hidden, 1),
+        num_samples=num_samples,
+        num_chains=16,
+        maxtemp=20.0,
+        swap_interval=4,
+        swap_offset=0,
+        swap_style="even_odd",
+        swap_payload="untempered",
+        swap_rule="metropolis",
+        pt_phase_frac=2.0,
+        variational_reference=True,
+        vr_hot_infinite=True,
+        record_w=False,
+        record_ll_state=True,
+        chunk_steps=200,
+    ).validate()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--problem", default="Sunspot")
+    p.add_argument("--hidden", type=int, nargs="+", default=[1, 2, 3, 4, 6])
+    p.add_argument("--seeds", type=int, nargs="+", default=[4, 14, 24])
+    p.add_argument("--steps", type=int, default=1600, help="steps/chain, final runs")
+    p.add_argument("--quick", action="store_true", help="smoke scale")
+    p.add_argument(
+        "--out", default=os.path.join("results", "evidence_model_selection.md")
+    )
+    args = p.parse_args(argv)
+    if args.quick:
+        args.hidden, args.seeds, args.steps = [1, 2], [4], 400
+
+    prob = load_regression(args.problem)
+    rows = []
+    for h in args.hidden:
+        cfg = vr_cfg(h, 16 * args.steps)
+        tuned = tuning.tune_ladder(
+            cfg, prob.train, prob.test, rounds=2,
+            pilot_samples=16 * max(args.steps // 2, 200),
+        )
+        cfg_t = dataclasses.replace(
+            cfg, custom_ladder=tuple(float(t) for t in tuned.temperatures)
+        ).validate()
+        zs, rmses = [], []
+        for seed in args.seeds:
+            res = ptnn.sample(cfg_t, prob.train, prob.test, seed=seed)
+            est = evidence.from_result(res)
+            assert est.anchored, "VR run must anchor at beta=0"
+            zs.append(est.log_z_abs_ss)
+            rmses.append(float(res.traces["rmse_test"][-1, 0]))
+        rows.append(
+            dict(
+                hidden=h,
+                d=6 * h + 1,
+                z_mean=float(np.mean(zs)),
+                z_spread=float(np.max(zs) - np.min(zs)),
+                zs=zs,
+                rmse=float(np.mean(rmses)),
+                barrier=tuned.barrier,
+            )
+        )
+        print(
+            f"h={h} (d={6 * h + 1}): logZ_ss={np.mean(zs):.1f} "
+            f"(spread {np.max(zs) - np.min(zs):.1f}), "
+            f"rmse_test={np.mean(rmses):.4f}, barrier={tuned.barrier:.2f}",
+            flush=True,
+        )
+
+    best = max(rows, key=lambda r: r["z_mean"])
+    lines = [
+        "# Evidence-based model selection (corrected-path absolute log Z)",
+        "",
+        f"Dataset: {args.problem}; 16-chain VR ladders (beta=0 leg), one",
+        "barrier-tuner feedback round per model, stepping-stone estimates",
+        f"over {len(args.seeds)} seeds x {args.steps} steps/chain",
+        "(`scripts/evidence_model_selection.py`). The reference can only",
+        "rank architectures by held-out error; absolute evidence ranks them",
+        "by marginal likelihood, pricing in complexity (Occam factor).",
+        "",
+        "| hidden | params d | abs log Z (SS, mean) | seed spread | test RMSE | barrier |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        mark = " **<- max evidence**" if r is best else ""
+        lines.append(
+            f"| {r['hidden']} | {r['d']} | {r['z_mean']:.1f}{mark} | "
+            f"{r['z_spread']:.1f} | {r['rmse']:.4f} | {r['barrier']:.2f} |"
+        )
+    lines += [
+        "",
+        "Scope (results/vref_transport.md): estimates are reliable where the",
+        "fitted Gaussian reference describes the posterior (d <~ 20-40 here);",
+        "seed spread reflects cold-chain metastability (results/convergence.md)",
+        "and is reported rather than hidden.",
+        "",
+    ]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
