@@ -66,6 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
         "canonical (no temper-switch) schedule; pair with --roundtrip to "
         "see the transport effect (results/vref_transport.md)",
     )
+    p.add_argument(
+        "--replicate",
+        type=int,
+        default=0,
+        metavar="S",
+        help="run S independently-seeded replications (one compile, S "
+        "executions) and report the cross-seed split-R-hat convergence "
+        "gate + test-metric band (replication.txt) -- the honest mixing "
+        "check; within-run ESS cannot see metastability "
+        "(results/convergence.md)",
+    )
     return p
 
 
@@ -106,6 +117,7 @@ def main(argv=None) -> None:
             truepos=args.truepos,
             evidence=args.evidence,
             roundtrip=args.roundtrip,
+            replicate=args.replicate,
             master_fmt="%1.2f",
         )
 

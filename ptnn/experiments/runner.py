@@ -25,6 +25,7 @@ def run_problem(
     truepos: bool = False,
     evidence: bool = False,
     roundtrip: bool = False,
+    replicate: int = 0,
 ) -> results_mod.Summary:
     """One full experiment: sample, write the artifact tree into an
     auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row.
@@ -34,7 +35,11 @@ def run_problem(
     ``<path>/evidence.txt``.  ``roundtrip=True`` tracks replica identities
     through swaps and writes transport diagnostics (round-trip rate +
     Katzgraber up-flow per rung, ops/roundtrip.py) to
-    ``<path>/roundtrip.txt``."""
+    ``<path>/roundtrip.txt``.  ``replicate=S`` (S >= 2) additionally runs S
+    independently-seeded replications (one compile, S executions) and
+    writes cross-seed convergence diagnostics to ``<path>/replication.txt``
+    — the honest mixing gate: within-run ESS cannot see metastability, S
+    independent runs can (results/convergence.md)."""
     os.makedirs(outdir, exist_ok=True)
     mesh = None
     if use_mesh:
@@ -114,6 +119,56 @@ def run_problem(
             f"[{prob.name}] variational reference: hot-rung regen "
             f"{res.vr_regen_accept_pct:.1f}% accepted "
             f"({res.vr_regen_proposed} proposed)"
+        )
+    if replicate >= 2:
+        import numpy as np
+
+        from ptnn.ops import ess as ess_mod
+
+        # cold-chain-only pos_w traces keep the host fetch small at any
+        # chain count; everything else inherits the experiment config
+        rep_cfg = dataclasses.replace(
+            cfg, record_w=True, record_w_chains=1, record_fx=False
+        ).validate()
+        b = int(rep_cfg.samples_per_chain * rep_cfg.burn_in)
+        colds, pooled, cold_m = [], [], []
+        for s in range(replicate):
+            r = sample(rep_cfg, prob.train, prob.test, seed=seed + s, mesh=mesh)
+            colds.append(np.asarray(r.traces["w"][b:, 0, :]))
+            pooled.append(float(np.mean(r.traces["rmse_test"][b:, :])))
+            cold_m.append(float(np.mean(r.traces["rmse_test"][b:, 0])))
+        # worst rank-normalized split R-hat over sampled parameters, the S
+        # seed runs stacked as chains of the same cold posterior
+        pidx = np.linspace(0, colds[0].shape[1] - 1, 8).astype(int)
+        rhat = max(
+            ess_mod.split_rhat(np.stack([c[:, j] for c in colds], axis=1))
+            for j in pidx
+        )
+        with open(os.path.join(path, "replication.txt"), "w") as f:
+            f.write(
+                f"# {replicate} independent replications, seeds "
+                f"{seed}..{seed + replicate - 1}; post-burn-in rows {b}..\n"
+                f"rhat_cold_max {rhat:.4f}\n"
+                f"test_pooled_mean {np.mean(pooled):.6f}\n"
+                f"test_pooled_std {np.std(pooled):.6f}\n"
+                f"test_cold_mean {np.mean(cold_m):.6f}\n"
+                f"test_cold_std {np.std(cold_m):.6f}\n"
+                "# per-seed: seed pooled cold\n"
+                + "".join(
+                    f"{seed + s} {pooled[s]:.6f} {cold_m[s]:.6f}\n"
+                    for s in range(replicate)
+                )
+            )
+        verdict = (
+            "mixed"
+            if rhat < 1.01
+            else ("marginal" if rhat < 1.1 else "metastable")
+        )
+        print(
+            f"[{prob.name}] replication x{replicate}: cross-seed "
+            f"split-R-hat {rhat:.3f} ({verdict}; <1.01 = mixed, "
+            f"results/convergence.md), test {np.mean(pooled):.4f} "
+            f"+- {np.std(pooled):.4f}"
         )
     print(
         f"[{prob.name}] test_mean={summary.test_mean:.4f} "

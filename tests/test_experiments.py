@@ -54,6 +54,28 @@ def test_regression_cli_evidence(tmp_path):
     assert len(rungs) == 8  # one (beta, mean_ll) row per rung
 
 
+def test_regression_cli_replicate(tmp_path, capsys):
+    out = str(tmp_path / "regr")
+    reg_cli.main(
+        [
+            "--problem", "Sunspot", "--samples", "1600", "--chains", "8",
+            "--no-langevin", "--no-plots", "--replicate", "3", "--out", out,
+        ]
+    )
+    rep = os.path.join(out, "Sunspot_0", "replication.txt")
+    assert os.path.exists(rep)
+    lines = open(rep).read().splitlines()
+    kv = dict(
+        l.split() for l in lines if l and not l.startswith("#") and len(l.split()) == 2
+    )
+    rhat = float(kv["rhat_cold_max"])
+    assert np.isfinite(rhat) and rhat >= 1.0
+    assert float(kv["test_pooled_std"]) >= 0.0
+    seed_rows = [l for l in lines[lines.index("# per-seed: seed pooled cold") + 1:] if l]
+    assert len(seed_rows) == 3
+    assert "cross-seed split-R-hat" in capsys.readouterr().out
+
+
 @pytest.mark.slow
 def test_regression_cli_versioned_dirs(tmp_path):
     out = str(tmp_path / "reg")
