@@ -615,3 +615,23 @@ def regression_preset(
         learn_rate=learn_rate,
         burn_in=0.5,
     ).validate()
+
+
+def to_json_dict(cfg: PTConfig) -> dict:
+    """JSON-safe dict of a config (tuples -> lists; inf survives as the
+    non-strict JSON ``Infinity`` literal, which json.load round-trips)."""
+    return dataclasses.asdict(cfg)
+
+
+def from_json_dict(d: dict) -> PTConfig:
+    """Rebuild a validated PTConfig from ``to_json_dict`` output.
+
+    Unknown keys are ignored (forward compatibility with configs written by
+    newer versions); list-typed fields are restored to tuples.
+    """
+    names = {f.name for f in dataclasses.fields(PTConfig)}
+    kw = {k: v for k, v in d.items() if k in names}
+    for k in ("topology", "custom_ladder"):
+        if kw.get(k) is not None:
+            kw[k] = tuple(kw[k])
+    return PTConfig(**kw).validate()

@@ -1,0 +1,213 @@
+"""Posterior-predictive serving: load a finished run, predict on new inputs.
+
+The reference stops at its committed artifact tree — per-chain ``pos_w``
+text traces (pt_classification.py:465-492) that nothing ever turns back into
+predictions (``show_results`` re-reads them only to pool accuracy numbers,
+:780-893). This module closes that loop, TPU-first:
+
+* ``load_posterior(run_dir)`` reads the ``posterior/pos_w`` artifacts (and
+  the run's self-describing ``config.json``) back into a ``(draws, w_size)``
+  matrix — cold chain by default, burn-in dropped, optional thinning;
+* ``posterior_predict(cfg, draws, x)`` evaluates the model forward pass for
+  EVERY posterior draw as one vmapped XLA computation — the draw axis is a
+  batch axis on the MXU, so serving M draws costs one batched matmul chain,
+  not M Python loops (the same chain-batching the sampler uses) — and
+  reduces to the posterior-predictive mean + percentile band (regression;
+  ldmcmc.py:463-476 semantics) or mean class probabilities + labels +
+  predictive entropy (classification);
+* ``python -m ptnn.predict --run <dir> --problem <name>`` is the CLI:
+  point it at any artifact directory and it serves predictions for the
+  problem's train/test split (or a file of raw feature rows via ``--x``).
+
+Draw batches are chunked (``batch``) so M x N x out never materializes
+beyond one chunk on device — serving stays within the tunneled worker's
+execution-length comfort zone at any draw count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ptnn.config import PTConfig, from_json_dict
+
+
+def load_posterior(
+    run_dir: str,
+    chains: str = "cold",
+    burn_in: Optional[float] = None,
+    thin: int = 1,
+) -> Tuple[np.ndarray, Optional[PTConfig]]:
+    """Read ``<run_dir>/posterior/pos_w`` back into ``(draws, w_size)``.
+
+    ``chains``: "cold" (lowest temperature — the true-posterior chain, the
+    truepos variant's aggregation choice) or "all" (pool every rung, the
+    reference's default ``show_results`` pooling). Burn-in defaults to the
+    run config's fraction (0.5 when no ``config.json`` is present — older
+    runs); row 0 (the np.ones init row) is always dropped.
+    """
+    cfg = None
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = from_json_dict(json.load(f))
+    pos_dir = os.path.join(run_dir, "posterior", "pos_w")
+    if not os.path.isdir(pos_dir):
+        raise FileNotFoundError(
+            f"{pos_dir} not found: the run must be written with record_w=True"
+        )
+    files = sorted(
+        (float(f[len("chain_"):-len(".txt")]), f)
+        for f in os.listdir(pos_dir)
+        if f.startswith("chain_") and f.endswith(".txt")
+    )
+    if not files:
+        raise FileNotFoundError(f"no chain_<T>.txt traces under {pos_dir}")
+    if chains == "cold":
+        files = files[:1]
+    elif chains != "all":
+        raise ValueError("chains must be 'cold' or 'all'")
+    b = burn_in if burn_in is not None else (cfg.burn_in if cfg else 0.5)
+    draws = []
+    for _, fname in files:
+        w = np.loadtxt(os.path.join(pos_dir, fname))
+        w = np.atleast_2d(w)
+        start = max(int(w.shape[0] * b), 1)  # always drop the init row
+        draws.append(w[start::max(thin, 1)])
+    return np.concatenate(draws, axis=0), cfg
+
+
+def posterior_predict(
+    cfg: PTConfig,
+    draws: np.ndarray,
+    x: np.ndarray,
+    lo: float = 5.0,
+    hi: float = 95.0,
+    batch: int = 512,
+) -> Dict[str, np.ndarray]:
+    """Posterior-predictive summary on inputs ``x`` from weight ``draws``.
+
+    Regression returns ``mean``/``low``/``high``/``std`` (N,) —
+    ldmcmc.py:463-476's 5/95 band semantics. Classification returns
+    ``probs`` (N, K) posterior-mean class probabilities, ``label`` (N,)
+    argmax, and ``entropy`` (N,) of the predictive distribution (nats) —
+    the uncertainty number the reference never surfaces.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ptnn import kernel
+
+    spec = kernel.default_spec(cfg)
+    draws = np.asarray(draws, np.float32)
+    x = np.asarray(x, np.float32)
+    if draws.ndim != 2 or draws.shape[1] != spec.w_size:
+        raise ValueError(
+            f"draws must be (M, {spec.w_size}) for topology {cfg.topology}; "
+            f"got {draws.shape}"
+        )
+
+    if cfg.task == "regression":
+        fwd = jax.jit(jax.vmap(lambda w: spec.forward(w, x)[:, 0]))
+    else:
+        fwd = jax.jit(
+            jax.vmap(lambda w: jnp.exp(spec.log_probs(spec.forward(w, x))))
+        )
+    outs = [
+        np.asarray(fwd(jnp.asarray(draws[i : i + batch])))
+        for i in range(0, draws.shape[0], max(batch, 1))
+    ]
+    out = np.concatenate(outs, axis=0)  # (M, N) or (M, N, K)
+
+    if cfg.task == "regression":
+        return {
+            "mean": out.mean(axis=0),
+            "low": np.percentile(out, lo, axis=0),
+            "high": np.percentile(out, hi, axis=0),
+            "std": out.std(axis=0),
+        }
+    probs = out.mean(axis=0)  # (N, K) posterior-mean predictive
+    ent = -np.sum(probs * np.log(np.maximum(probs, 1e-12)), axis=-1)
+    return {
+        "probs": probs,
+        "label": probs.argmax(axis=-1),
+        "entropy": ent,
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Serve posterior predictions from a finished run's artifacts"
+    )
+    p.add_argument("--run", required=True, help="artifact dir (e.g. results/regression/Sunspot_0)")
+    p.add_argument("--problem", help="bundled dataset name (for --split inputs)")
+    p.add_argument("--split", choices=("train", "test"), default="test")
+    p.add_argument("--x", help="file of raw feature rows (np.loadtxt) instead of --problem")
+    p.add_argument("--chains", choices=("cold", "all"), default="cold")
+    p.add_argument("--thin", type=int, default=1)
+    p.add_argument("--out", help="write predictions (np.savetxt) here")
+    args = p.parse_args(argv)
+
+    draws, cfg = load_posterior(args.run, chains=args.chains, thin=args.thin)
+    if cfg is None:
+        raise SystemExit(
+            "run has no config.json (written before this feature): call "
+            "ptnn.predict.posterior_predict with an explicit PTConfig instead"
+        )
+    if args.x:
+        x = np.atleast_2d(np.loadtxt(args.x))
+        y = None
+    else:
+        if not args.problem:
+            raise SystemExit("pass --problem (bundled dataset) or --x FILE")
+        from ptnn.data import load
+
+        prob = load(args.problem)
+        data = prob.train if args.split == "train" else prob.test
+        # reference row format: [features..., label] with ONE label column
+        # (class index / regression target) — sampler.make_dataset semantics
+        x, y = data[:, : x_cols(cfg)], data[:, x_cols(cfg)]
+    pred = posterior_predict(cfg, draws, x)
+    if cfg.task == "regression":
+        line = (
+            f"{draws.shape[0]} draws -> {x.shape[0]} inputs: "
+            f"predictive mean in [{pred['mean'].min():.4f}, "
+            f"{pred['mean'].max():.4f}], mean band width "
+            f"{np.mean(pred['high'] - pred['low']):.4f}"
+        )
+        if y is not None:
+            rmse = float(np.sqrt(np.mean((pred["mean"] - y) ** 2)))
+            line += f", RMSE(mean) {rmse:.4f}"
+        cols = np.stack(
+            [pred["mean"], pred["low"], pred["high"], pred["std"]], axis=1
+        )
+    else:
+        line = (
+            f"{draws.shape[0]} draws -> {x.shape[0]} inputs: "
+            f"mean predictive entropy {pred['entropy'].mean():.4f} nats"
+        )
+        if y is not None:
+            acc = float(np.mean(pred["label"] == y.astype(np.int64)))
+            line += f", accuracy(mean probs) {acc * 100:.2f}%"
+        cols = np.concatenate(
+            [pred["label"][:, None], pred["entropy"][:, None], pred["probs"]],
+            axis=1,
+        )
+    print(line)
+    if args.out:
+        np.savetxt(args.out, cols, fmt="%1.6f")
+        print(f"wrote {args.out}")
+
+
+def x_cols(cfg: PTConfig) -> int:
+    """Feature-column count of a raw data row for this config's topology."""
+    return cfg.topology[0]
+
+
+if __name__ == "__main__":
+    main()

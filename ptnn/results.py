@@ -30,6 +30,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ptnn import native
+from ptnn import config as config_mod
 from ptnn.config import PTConfig
 from ptnn.sampler import SampleResult
 
@@ -207,6 +208,13 @@ def write_artifacts(
     np.savetxt(
         os.path.join(path, "acceptpercent.txt"), [summary.accept_per], fmt="%1.2f"
     )
+
+    # Self-describing run config (new capability): lets ptnn.predict reload
+    # the posterior without the caller re-specifying topology/task, and makes
+    # every artifact dir reproducible. Additive file — the reference artifact
+    # parity surface is untouched.
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_mod.to_json_dict(cfg), f, indent=1)
 
     # Structured metrics (new capability — JSONL, SURVEY.md §5 observability).
     with open(os.path.join(path, "metrics.jsonl"), "a") as f:
