@@ -89,6 +89,7 @@ def posterior_predict(
     lo: float = 5.0,
     hi: float = 95.0,
     batch: int = 512,
+    spec=None,
 ) -> Dict[str, np.ndarray]:
     """Posterior-predictive summary on inputs ``x`` from weight ``draws``.
 
@@ -97,13 +98,18 @@ def posterior_predict(
     ``probs`` (N, K) posterior-mean class probabilities, ``label`` (N,)
     argmax, and ``entropy`` (N,) of the predictive distribution (nats) —
     the uncertainty number the reference never surfaces.
+
+    ``spec``: ModelSpec override for non-FNN families — runs sampled with
+    an explicit ``model_spec`` (e.g. the CNN driver's ``cnn.digits_spec()``)
+    must pass the same spec here; config.json records topology, not the
+    model family.
     """
     import jax
     import jax.numpy as jnp
 
     from ptnn import kernel
 
-    spec = kernel.default_spec(cfg)
+    spec = spec if spec is not None else kernel.default_spec(cfg)
     draws = np.asarray(draws, np.float32)
     x = np.asarray(x, np.float32)
     if draws.ndim != 2 or draws.shape[1] != spec.w_size:
