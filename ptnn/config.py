@@ -134,7 +134,42 @@ class PTConfig:
     #                  and never recomputed). This replaces the reference's
     #                  epoch-SGD drift with the actual tempered-posterior
     #                  gradient — the mode built to win the ESS/s benchmark.
+    # "sgld"         — replica-exchange stochastic-gradient Langevin dynamics
+    #                  (reSGLD; Deng et al. 2020, and the retrieved PAPERS.md
+    #                  line: arxiv 2301.01898 / 2010.01084): per step, ONE
+    #                  minibatch of sg_batch rows drives an unadjusted
+    #                  Langevin move on (w, eta) toward the rung's tempered
+    #                  posterior — w += (sg_step/2) * grad log pi_beta_hat +
+    #                  N(0, sg_step) — with the likelihood gradient scaled by
+    #                  N/B (unbiased). NO Metropolis correction: this mode is
+    #                  deliberately APPROXIMATE (discretization + subsampling
+    #                  bias, the standard SG-MCMC trade), built for dataset
+    #                  sizes where the exact modes' full-batch passes dominate
+    #                  step cost. Swaps: sg_swap below. Requires the
+    #                  metropolis/untempered swap machinery and the canonical
+    #                  (no temper-switch) schedule.
     proposal: str = "reference"
+    # sgld minibatch size (rows sampled with replacement per step; shared
+    # across chains so the gather is one (B, F) block and pairwise swap
+    # energy differences correlate — which SHRINKS the corrected-swap
+    # variance, Deng et al. 2020 Sec. 4).
+    sg_batch: int = 0
+    # sgld Euler-Maruyama step eps: move = (eps/2) grad + N(0, eps).
+    sg_step: float = 1e-5
+    # How sgld swap energies are produced:
+    # "exact"     — at swap cadence, refresh the FULL-data log-likelihood
+    #               (+ prior + metrics) and run the standard metropolis
+    #               sweep; the per-step minibatch saving is untouched (the
+    #               full pass amortizes over swap_interval steps).
+    # "corrected" — never touch the full train set: swap on minibatch
+    #               energy estimates with the variance-corrected exponent
+    #               (beta_k - beta_j)(E_j_hat - E_k_hat) - (beta_k -
+    #               beta_j)^2 * sigma_hat^2_pair / 2, the unbiased noisy-
+    #               energy exchange test of Deng et al. 2020 (per-pair
+    #               variance from per-example energy differences on a
+    #               shared batch). For N too large for even periodic full
+    #               passes.
+    sg_swap: str = "exact"
     # Step at which M_c activates, as a fraction of samples_per_chain (before
     # that: identity preconditioner while Welford statistics accumulate).
     precond_start_frac: float = 0.125
@@ -417,7 +452,9 @@ class PTConfig:
                         "per-step bookkeeping. Raise surrogate_buffer to >= "
                         f"{fdim} or lower surrogate_proj."
                     )
-        if self.proposal not in ("reference", "precond_rw", "precond_mala"):
+        if self.proposal not in (
+            "reference", "precond_rw", "precond_mala", "sgld"
+        ):
             raise ValueError(f"unknown proposal {self.proposal!r}")
         if self.warmstart_frac and self.proposal != "precond_mala":
             raise ValueError(
@@ -426,20 +463,61 @@ class PTConfig:
         if self.proposal != "reference":
             if self.use_langevin_gradients:
                 raise ValueError(
-                    "precond_* proposals replace the reference proposal "
+                    "precond_*/sgld proposals replace the reference proposal "
                     "machinery entirely; use_langevin_gradients must be False"
                 )
             if self.use_surrogate:
                 raise ValueError(
-                    "precond_* proposals are not combined with surrogate "
-                    "modes (the surrogate inner kernels have their own "
-                    "proposal machinery)"
+                    "precond_*/sgld proposals are not combined with "
+                    "surrogate modes (the surrogate inner kernels have their "
+                    "own proposal machinery)"
                 )
             if self.adapt_step_size:
                 raise ValueError(
-                    "precond_* proposals always adapt their per-chain scale "
-                    "during burn-in; leave adapt_step_size=False"
+                    "precond_*/sgld proposals manage their own step scale; "
+                    "leave adapt_step_size=False"
                 )
+        if self.proposal == "sgld":
+            if self.sg_batch <= 0:
+                raise ValueError(
+                    "proposal='sgld' needs sg_batch > 0: the whole point is "
+                    "minibatch-subsampled likelihood gradients"
+                )
+            if self.sg_step <= 0.0:
+                raise ValueError("sg_step must be positive")
+            if self.sg_swap not in ("exact", "corrected"):
+                raise ValueError("sg_swap must be 'exact' or 'corrected'")
+            if self.swap_payload != "untempered" or self.swap_rule != "metropolis":
+                raise ValueError(
+                    "sgld swaps use untempered energies under the "
+                    "detailed-balance rule: set swap_payload='untempered', "
+                    "swap_rule='metropolis' (the reference quirk rules have "
+                    "no noisy-energy analogue)"
+                )
+            if self.stale_likelihood_after_swap:
+                raise ValueError(
+                    "sgld requires restore-likelihood swap semantics (the "
+                    "carried energy travels with the configuration)"
+                )
+            if 0 < self.temper_switch_step <= self.n_steps:
+                raise ValueError(
+                    "sgld requires the canonical (no temper-switch) "
+                    "schedule: pass pt_phase_frac >= 1. The 60% switch "
+                    "collapses every rung to T=1 mid-run, which the "
+                    "constant-beta SGLD drift does not model"
+                )
+            if self.variational_reference:
+                raise ValueError(
+                    "sgld + variational_reference is not combined (the "
+                    "corrected-path gradient/swap terms are not threaded "
+                    "through the stochastic-gradient branch)"
+                )
+            if self.record_fx:
+                raise ValueError(
+                    "sgld does not carry posterior-predictive fx traces "
+                    "(metrics refresh at swap cadence only); record_fx=False"
+                )
+        if self.proposal in ("precond_rw", "precond_mala"):
             if not 0.0 < self.precond_start_frac < self.burn_in:
                 raise ValueError(
                     "precond_start_frac must lie in (0, burn_in): the "

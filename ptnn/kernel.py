@@ -356,12 +356,13 @@ def init_state(
     else:
         fx_train = fx_test = None
 
+    is_precond = cfg.proposal in ("precond_rw", "precond_mala")
     log_step_w = None
-    if cfg.adapt_step_size or cfg.proposal != "reference":
+    if cfg.adapt_step_size or is_precond:
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
 
     g_like = pc_mean = pc_m2 = log_step_eta = None
-    if cfg.proposal != "reference":
+    if is_precond:
         pc_mean = jnp.zeros((c, w_dim), jnp.float32)
         pc_m2 = jnp.zeros((c, w_dim), jnp.float32)
         if cfg.task == "regression":
@@ -862,7 +863,7 @@ def make_step_fn(
             diff_prop = jnp.where(use_l, legacy / adapttemp, 0.0)
         return w_prop, diff_prop, state.n_langevin + use_l.astype(jnp.int32)
 
-    def do_swap(state: ChainState, i, ks) -> ChainState:
+    def do_swap(state: ChainState, i, ks, pair_penalty=None) -> ChainState:
         adapttemp = jnp.where(i < switch_step, temps, 1.0)
         ks_regen = None
         if vr_on and cfg.vr_regen:
@@ -885,10 +886,12 @@ def make_step_fn(
                 rule=cfg.swap_rule,
                 betas=1.0 / adapttemp,
                 parity=(i // swap_interval) % 2,
+                pair_penalty=pair_penalty,
             )
         else:
             res = swap_mod.sweep_permutation(
-                payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp
+                payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp,
+                pair_penalty=pair_penalty,
             )
         w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
         if cfg.stale_likelihood_after_swap:
@@ -1408,7 +1411,7 @@ def make_step_fn(
             trace["replica"] = new_state.replica_id
         return new_state, trace
 
-    if cfg.proposal != "reference":
+    if cfg.proposal in ("precond_rw", "precond_mala"):
         is_mala = cfg.proposal == "precond_mala"
         pc_start = int(cfg.samples_per_chain * cfg.precond_start_frac)
         burn_end_p = int(cfg.samples_per_chain * cfg.burn_in) - 1
@@ -1733,8 +1736,206 @@ def make_step_fn(
         chunk boundaries, together with recompute_ll to re-anchor)."""
         return st._replace(surr=surr_fam.fit(st.surr, surrogate_proj))
 
+    # ------------------------------------------------------------------
+    # Replica-exchange stochastic-gradient Langevin dynamics (reSGLD —
+    # Deng et al. 2020; PAPERS.md arxiv 2301.01898 / 2010.01084). Per step,
+    # ONE shared minibatch of sg_batch rows drives an unadjusted Langevin
+    # move on (w, eta) per rung; the per-step cost is O(C·B·forward) instead
+    # of O(C·N·forward). Deliberately APPROXIMATE within chains (no MH —
+    # discretization + subsampling bias, the standard SG-MCMC trade);
+    # swaps per cfg.sg_swap: "exact" refreshes full-data energies at swap
+    # cadence (amortized 1/swap_interval), "corrected" swaps on minibatch
+    # energy estimates with the variance-corrected exponent (the unbiased
+    # noisy-energy exchange test), never touching the full train set.
+    if cfg.proposal == "sgld":
+        n_train_s = data.y_train.shape[0]
+        bsz = min(cfg.sg_batch, n_train_s)
+        scale = n_train_s / bsz
+        betas_run = 1.0 / temps  # canonical schedule (validated: no switch)
+        eps = cfg.sg_step
+
+        if is_regression:
+
+            def _per_mb(wi, xb, yb):
+                """tau-independent per-example term: -(y - fx)^2 / 2."""
+                fx = spec.forward(wi, xb)[:, 0]
+                per = -0.5 * jnp.square(yb - fx)
+                return jnp.sum(per), per
+        else:
+
+            def _per_mb(wi, xb, yb):
+                out = spec.forward(wi, xb)
+                logp = spec.log_probs(out)
+                yi = yb.astype(jnp.int32)
+                per = jnp.take_along_axis(logp, yi[:, None], axis=-1)[:, 0]
+                return jnp.sum(per), per
+
+        _vg_mb = jax.vmap(
+            jax.value_and_grad(_per_mb, has_aux=True), in_axes=(0, None, None)
+        )
+        _per_only = jax.vmap(
+            lambda wi, xb, yb: _per_mb(wi, xb, yb)[1], in_axes=(0, None, None)
+        )
+        if not is_regression:
+            _hit_mb = jax.vmap(
+                lambda wi, xb, yb: (
+                    spec.forward(wi, xb).argmax(axis=-1)
+                    == yb.astype(jnp.int32)
+                ).astype(jnp.float32),
+                in_axes=(0, None, None),
+            )
+
+        def _gather_batch(kb):
+            # without-replacement (permutation prefix): unbiased like
+            # with-replacement, but sg_batch = N degenerates to EXACTLY the
+            # full batch (estimator variance 0, penalty 0, gradient exact) —
+            # the invariant tests/test_sgld.py pins. The with-replacement
+            # variance formula used for the corrected penalty then slightly
+            # overestimates (missing the finite-population factor), i.e.
+            # the swap test is conservative, never anti-conservative.
+            idx = jax.random.permutation(kb, n_train_s)[:bsz]
+            return (
+                jnp.take(data.x_train, idx, axis=0),
+                jnp.take(data.y_train, idx, axis=0),
+            )
+
+        def _refresh_full(s: ChainState) -> ChainState:
+            """Full-data energy + metric refresh (sg_swap='exact')."""
+            tau_s = jnp.exp(s.eta)
+            if is_regression:
+                ev_tr = b_eval_tr(s.w, data.x_train, data.y_train, tau_s)
+                ev_te = b_eval_te(s.w, data.x_test, data.y_test, tau_s)
+                prior_s = b_prior(s.w, tau_s)
+                acc_tr, acc_te = s.acc_train, s.acc_test
+            else:
+                ev_tr = b_eval_tr(s.w, data.x_train, data.y_train)
+                ev_te = b_eval_te(s.w, data.x_test, data.y_test)
+                prior_s = b_prior(s.w)
+                acc_tr, acc_te = ev_tr.acc, ev_te.acc
+            return s._replace(
+                ll=ev_tr.loglik, prior=prior_s,
+                rmse_train=ev_tr.rmse, rmse_test=ev_te.rmse,
+                acc_train=acc_tr, acc_test=acc_te,
+            )
+
+        def _corrected_swap(s: ChainState, i, ks) -> ChainState:
+            """Minibatch-energy swap with the variance-corrected exponent.
+
+            Estimator E_hat = (N/B) * sum_b c_b with c_b the per-example
+            full-LL contribution; on a SHARED batch the pair difference
+            E_hat_{k+1} - E_hat_k has variance (N^2/B) * var_b(c_{k+1,b} -
+            c_{k,b}) — the correlated rows cancel most of the noise (Deng
+            et al. 2020). The metropolis exponent gets
+            -(Delta beta)^2 * sigma_hat^2 / 2, making the exchange RATE
+            unbiased under Gaussian estimate noise. Test metrics + prior
+            refresh exactly (test passes / O(C*W) are not the bottleneck);
+            train metrics are minibatch estimates.
+            """
+            kb2, ks2 = jax.random.split(ks)
+            xb, yb = _gather_batch(kb2)
+            per = _per_only(s.w, xb, yb)  # (C, B) tau-independent
+            if is_regression:
+                tau_s = jnp.exp(s.eta)
+                cb = (
+                    -0.5 * (likelihood._LOG_2PI + s.eta)[:, None]
+                    + per * jnp.exp(-s.eta)[:, None]
+                )
+                ev_te = b_eval_te(s.w, data.x_test, data.y_test, tau_s)
+                prior_s = b_prior(s.w, tau_s)
+                rmse_tr = jnp.sqrt(-2.0 * jnp.mean(per, axis=-1))
+                acc_tr, acc_te = s.acc_train, s.acc_test
+            else:
+                cb = per
+                ev_te = b_eval_te(s.w, data.x_test, data.y_test)
+                prior_s = b_prior(s.w)
+                rmse_tr = s.rmse_train
+                acc_tr = 100.0 * jnp.mean(_hit_mb(s.w, xb, yb), axis=-1)
+                acc_te = ev_te.acc
+            ll_hat = scale * jnp.sum(cb, axis=-1)
+            d = cb[1:] - cb[:-1]  # (C-1, B)
+            var_pair = (float(n_train_s) ** 2 / bsz) * jnp.var(d, axis=-1)
+            dbeta = betas_run[:-1] - betas_run[1:]
+            penalty = 0.5 * jnp.square(dbeta) * var_pair
+            s = s._replace(
+                ll=ll_hat, prior=prior_s,
+                rmse_train=rmse_tr, rmse_test=ev_te.rmse,
+                acc_train=acc_tr, acc_test=acc_te,
+            )
+            return do_swap(s, i, ks2, pair_penalty=penalty)
+
+        def step_sgld(
+            state: ChainState, xs
+        ) -> Tuple[ChainState, Dict[str, jax.Array]]:
+            i, key = xs
+            kb, kn, ke, ks = jax.random.split(key, 4)
+            xb, yb = _gather_batch(kb)
+            (val, _per), g = _vg_mb(state.w, xb, yb)  # (C,), (C,B), (C,W)
+            # grad log pi_beta(w) = beta * (N/B) * grad(ll-term) - w/sigma^2
+            gl = g * jnp.exp(-state.eta)[:, None] if is_regression else g
+            grad_post = (
+                betas_run[:, None] * scale * gl - state.w / cfg.sigma_sq
+            )
+            w_new = (
+                state.w
+                + 0.5 * eps * grad_post
+                + jnp.sqrt(eps)
+                * jax.random.normal(kn, (c, w_dim), jnp.float32)
+            )
+            if is_regression:
+                # d log pi_beta / d eta with the minibatch SSE estimate
+                # (val = -SSE_b/2): dLL/deta = -N/2 - (N/B) val e^{-eta}
+                dll = -0.5 * n_train_s - scale * val * jnp.exp(-state.eta)
+                dpr = -(1.0 + cfg.nu_1) + cfg.nu_2 * jnp.exp(-state.eta)
+                eta_new = (
+                    state.eta
+                    + 0.5 * eps * (betas_run * dll + dpr)
+                    + jnp.sqrt(eps) * jax.random.normal(ke, (c,), jnp.float32)
+                )
+            else:
+                eta_new = state.eta
+            new_state = state._replace(
+                w=w_new,
+                eta=eta_new,
+                w_last=w_new,
+                # every SGLD move is accepted by construction (no MH) —
+                # accept% reads 100, documented in the config
+                n_accept=state.n_accept + 1,
+                n_langevin=state.n_langevin + 1,
+            )
+            if cfg.sg_swap == "exact":
+                new_state = jax.lax.cond(
+                    _swap_due(i),
+                    lambda s: do_swap(_refresh_full(s), i, ks),
+                    lambda s: s,
+                    new_state,
+                )
+            else:
+                new_state = jax.lax.cond(
+                    _swap_due(i),
+                    lambda s: _corrected_swap(s, i, ks),
+                    lambda s: s,
+                    new_state,
+                )
+            trace = {
+                "ll": new_state.ll,
+                "rmse_train": new_state.rmse_train,
+                "rmse_test": new_state.rmse_test,
+                "acc_train": new_state.acc_train,
+                "acc_test": new_state.acc_test,
+                "accept_count": state.n_accept,
+            }
+            if cfg.record_w:
+                trace["w"] = _w_trace(new_state.w_last)
+            if cfg.record_ll_state:
+                trace["ll_cur"] = new_state.ll
+            if cfg.track_replicas:
+                trace["replica"] = new_state.replica_id
+            return new_state, trace
+
     da_mode = cfg.use_surrogate and cfg.surrogate_mode == "delayed_acceptance"
-    if cfg.proposal != "reference":
+    if cfg.proposal == "sgld":
+        chosen = step_sgld
+    elif cfg.proposal != "reference":
         chosen = step_precond
     elif da_mode:
         chosen = step_da

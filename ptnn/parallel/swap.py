@@ -49,6 +49,7 @@ def sweep_permutation(
     key: jax.Array,
     rule: str = "half_exp",
     betas: jax.Array | None = None,
+    pair_penalty: jax.Array | None = None,
 ) -> SwapResult:
     """One sequential bubbling sweep over adjacent pairs.
 
@@ -68,14 +69,24 @@ def sweep_permutation(
       payloads and ``betas`` = 1/T per chain (not reference behavior; the
       classic form the reference approximates — cf. the dead variant
       Misc/ldpt_fnn_multi_fixed.py:520).
+
+    ``pair_penalty``: optional (C-1,) nonnegative exponent correction,
+    subtracted inside the metropolis exponent for adjacent pair (k, k+1) —
+    the unbiased noisy-energy swap test of reSGLD
+    (``PTConfig.sg_swap="corrected"``): penalty = Delta-beta^2 * sigma^2 / 2
+    from the minibatch variance of the pair's energy-difference estimate.
     """
     c = payload_ll.shape[0]
     if rule == "metropolis" and betas is None:
         raise ValueError("metropolis swap rule requires betas")
+    if pair_penalty is not None and rule != "metropolis":
+        raise ValueError("pair_penalty applies to the metropolis rule only")
     perm0 = jnp.arange(c, dtype=jnp.int32)
     us = jax.random.uniform(key, (c - 1,), dtype=payload_ll.dtype)
     if betas is None:
         betas = jnp.ones((c,), payload_ll.dtype)
+    if pair_penalty is None:
+        pair_penalty = jnp.zeros((c - 1,), payload_ll.dtype)
 
     def pair(carry, inputs):
         perm, ll = carry
@@ -94,7 +105,11 @@ def sweep_permutation(
             a = jnp.minimum(
                 1.0,
                 jnp.exp(
-                    jnp.minimum(_EXP_CLAMP, (betas[k] - betas[k + 1]) * (lh2 - lh1))
+                    jnp.minimum(
+                        _EXP_CLAMP,
+                        (betas[k] - betas[k + 1]) * (lh2 - lh1)
+                        - pair_penalty[k],
+                    )
                 ),
             )
         else:
@@ -131,14 +146,19 @@ def sweep_permutation(
     )
 
 
-def _pair_accept_prob(lh1, lh2, rule, beta1, beta2):
+def _pair_accept_prob(lh1, lh2, rule, beta1, beta2, penalty=0.0):
     if rule == "half_exp":
         return jnp.minimum(1.0, 0.5 * jnp.exp(jnp.minimum(_EXP_CLAMP, lh2 - lh1)))
     if rule == "unclamped":
         return jnp.minimum(1.0, 0.5 * jnp.exp(lh2 - lh1))
     if rule == "metropolis":
         return jnp.minimum(
-            1.0, jnp.exp(jnp.minimum(_EXP_CLAMP, (beta1 - beta2) * (lh2 - lh1)))
+            1.0,
+            jnp.exp(
+                jnp.minimum(
+                    _EXP_CLAMP, (beta1 - beta2) * (lh2 - lh1) - penalty
+                )
+            ),
         )
     raise ValueError(f"unknown swap rule {rule!r}")
 
@@ -149,6 +169,7 @@ def disjoint_pair_permutation(
     rule: str = "metropolis",
     betas: jax.Array | None = None,
     parity: jax.Array | int = 0,
+    pair_penalty: jax.Array | None = None,
 ) -> SwapResult:
     """One even/odd (DEO-style) sweep: disjoint adjacent pairs only.
 
@@ -166,11 +187,16 @@ def disjoint_pair_permutation(
     c = payload_ll.shape[0]
     if rule == "metropolis" and betas is None:
         raise ValueError("metropolis swap rule requires betas")
+    if pair_penalty is not None and rule != "metropolis":
+        raise ValueError("pair_penalty applies to the metropolis rule only")
     if betas is None:
         betas = jnp.ones((c,), payload_ll.dtype)
+    if pair_penalty is None:
+        pair_penalty = jnp.zeros((c - 1,), payload_ll.dtype)
     us = jax.random.uniform(key, (c - 1,), dtype=payload_ll.dtype)
     a = _pair_accept_prob(
-        payload_ll[:-1], payload_ll[1:], rule, betas[:-1], betas[1:]
+        payload_ll[:-1], payload_ll[1:], rule, betas[:-1], betas[1:],
+        pair_penalty,
     )
     active = (jnp.arange(c - 1) % 2) == (jnp.asarray(parity) % 2)
     swap = (us < a) & active
