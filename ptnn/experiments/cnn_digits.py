@@ -103,6 +103,18 @@ def main(argv=None) -> None:
         "--adapt/--lr (the epoch-drift machinery is bypassed entirely)",
     )
     p.add_argument(
+        "--sgld-batch", type=int, default=0, metavar="B",
+        help="replica-exchange stochastic-gradient Langevin dynamics "
+        "(PTConfig.proposal='sgld'): per-step minibatch of B rows instead "
+        "of full-batch passes — the scaling mode for MNIST-sized data "
+        "(approximate within chains; swaps refresh exact energies at swap "
+        "cadence). Supersedes --mala/--adapt/--lr",
+    )
+    p.add_argument(
+        "--sgld-step", type=float, default=1e-5,
+        help="sgld Euler-Maruyama step eps (PTConfig.sg_step)",
+    )
+    p.add_argument(
         "--warmstart-frac", type=float, default=0.0,
         help="fraction of the run spent on normalized-gradient warm start "
         "before MALA sampling begins (PTConfig.warmstart_frac; ends inside "
@@ -156,16 +168,34 @@ def main(argv=None) -> None:
                 if args.chains >= 1024 and args.chains % m == 0
             ) if args.chains >= 1024 else 1
         ),
-        adapt_step_size=args.adapt and not args.mala,
-        proposal="precond_mala" if args.mala else "reference",
+        adapt_step_size=args.adapt and not (args.mala or args.sgld_batch),
+        proposal=(
+            "sgld"
+            if args.sgld_batch
+            else ("precond_mala" if args.mala else "reference")
+        ),
         precond_power=args.precond_power,
         precond_start_frac=args.precond_start,
-        warmstart_frac=args.warmstart_frac,
+        warmstart_frac=0.0 if args.sgld_batch else args.warmstart_frac,
         warmstart_step=args.warmstart_step,
         record_w=False,  # 3.7k-3M params x chains x steps: keep scalars only
         chunk_steps=min(args.chunk_steps, args.steps),
         **(
             {"swap_style": args.swap_style} if args.swap_style else {}
+        ),
+        **(
+            # sgld requires the metropolis/untempered swap machinery and
+            # the canonical (no temper-switch) schedule
+            {
+                "sg_batch": args.sgld_batch,
+                "sg_step": args.sgld_step,
+                "swap_payload": "untempered",
+                "swap_rule": "metropolis",
+                "pt_phase_frac": 2.0,
+                "use_langevin_gradients": False,
+            }
+            if args.sgld_batch
+            else {}
         ),
     )
     mesh = None

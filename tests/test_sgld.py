@@ -179,6 +179,32 @@ def test_sgld_learns_and_transports():
     assert np.isfinite(np.asarray(res.final_state.ll)).all()
 
 
+def test_sgld_sharded_matches_unsharded():
+    """sgld under an 8-device chain mesh: the shared minibatch gather
+    replicates, per-rung moves shard, and the corrected swap's per-pair
+    variance reduction crosses shard boundaries. Traces must match the
+    single-device run."""
+    from ptnn.parallel import mesh as mesh_mod
+
+    prob = load_regression("Sunspot")
+    cfg = _sgld_cfg(
+        num_samples=8 * 400, sg_swap="corrected", chunk_steps=100
+    )
+    r_plain = ptnn.sample(cfg, prob.train, prob.test, seed=3)
+    r_mesh = ptnn.sample(
+        cfg, prob.train, prob.test, seed=3, mesh=mesh_mod.make_mesh()
+    )
+    np.testing.assert_allclose(
+        r_plain.traces["ll"], r_mesh.traces["ll"], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_plain.final_state.w),
+        np.asarray(r_mesh.final_state.w),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_sgld_checkpoint_resume_identical(tmp_path):
     prob = load_regression("Sunspot")
     cfg = _sgld_cfg(num_samples=8 * 600, chunk_steps=100)
