@@ -31,10 +31,14 @@ Variants (canonical names — COVERAGE/README cite this file's output):
   * lg_pallas   — reference Langevin proposals via the Pallas drift kernel
                   (opt-in via --full: its compile+run time pushes the default
                   bench past the tunneled backend's comfort zone)
-  * mala        — the TPU-first flagship: preconditioned MALA (fused
-                  value_and_grad proposals, Welford diagonal M, warm start)
-                  with even/odd (DEO) swaps every 10 steps
+  * mala        — preconditioned MALA (fused value_and_grad proposals,
+                  Welford diagonal M, warm start) with even/odd (DEO) swaps
+                  every 10 steps
                   (PTConfig.proposal="precond_mala", swap_style="even_odd")
+  * hmc         — preconditioned HMC-within-PT: 8-leapfrog trajectories on
+                  the tempered-posterior Hamiltonian, same Welford M as mass
+                  matrix, exact energy-difference MH, DEO swaps
+                  (PTConfig.proposal="hmc")
 
 Reference quality bar: committed Sunspot RW test RMSE 0.0239
 (multicore-pt-regression/Res_RW/master_result_file.txt:2).
@@ -90,6 +94,17 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             swap_interval=10,
             warmstart_frac=0.1,
             precond_start_frac=0.3,
+        ).validate(),
+        "hmc": dataclasses.replace(
+            cfg,
+            proposal="hmc",
+            hmc_leapfrog=8,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            step_w=0.01,
         ).validate(),
     }
     if full:

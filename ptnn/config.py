@@ -134,6 +134,23 @@ class PTConfig:
     #                  and never recomputed). This replaces the reference's
     #                  epoch-SGD drift with the actual tempered-posterior
     #                  gradient — the mode built to win the ESS/s benchmark.
+    # "hmc"          — preconditioned Hamiltonian Monte Carlo within PT:
+    #                  each step draws a momentum p ~ N(0, M_c^-1) (M_c the
+    #                  same Welford diagonal as precond_mala), runs
+    #                  ``hmc_leapfrog`` leapfrog steps of the tempered-
+    #                  posterior Hamiltonian (one fused value_and_grad per
+    #                  leapfrog), and applies the exact MH test on the total
+    #                  energy change (the leapfrog integrator is reversible
+    #                  and volume-preserving, so the q-ratio IS the kinetic-
+    #                  energy difference). With hmc_leapfrog=1 this is
+    #                  algebraically precond_mala with sigma = eps. Longer
+    #                  trajectories decorrelate draws far faster at the cost
+    #                  of L gradient passes per step — the ESS/s play on
+    #                  models where the FNN-scale step is latency-bound and
+    #                  extra gradient FLOPs ride the idle MXU
+    #                  (fnn_roofline.md). Step size (per chain) adapts by
+    #                  Robbins-Monro toward hmc_target_accept during burn-in
+    #                  and freezes, exactly like the precond_* scales.
     # "sgld"         — replica-exchange stochastic-gradient Langevin dynamics
     #                  (reSGLD; Deng et al. 2020, and the retrieved PAPERS.md
     #                  line: arxiv 2301.01898 / 2010.01084): per step, ONE
@@ -149,6 +166,19 @@ class PTConfig:
     #                  metropolis/untempered swap machinery and the canonical
     #                  (no temper-switch) schedule.
     proposal: str = "reference"
+    # hmc leapfrog steps per proposal (L). Static — the trajectory is an
+    # unrolled lax.scan inside the step. L=1 == precond_mala; 8-16 is the
+    # usual sweet spot (Neal 2011 §5.4).
+    hmc_leapfrog: int = 8
+    # Per-step per-chain uniform jitter of the leapfrog step size:
+    # eps_eff = eps * U(1 - j, 1 + j). Randomizing eps breaks the periodic
+    # orbits a fixed (eps, L) pair can resonate with (Neal 2011 §5.4.3.3);
+    # the MH test stays exact for any eps drawn independently of the state.
+    hmc_eps_jitter: float = 0.2
+    # Robbins-Monro acceptance target for hmc (0.651 is the optimal HMC
+    # acceptance rate, Beskos et al. 2013; Stan's NUTS default aims 0.8 —
+    # the higher target is safer when the preconditioner is noisy).
+    hmc_target_accept: float = 0.75
     # sgld minibatch size (rows sampled with replacement per step; shared
     # across chains so the gather is one (B, F) block and pairwise swap
     # energy differences correlate — which SHRINKS the corrected-swap
@@ -453,13 +483,22 @@ class PTConfig:
                         f"{fdim} or lower surrogate_proj."
                     )
         if self.proposal not in (
-            "reference", "precond_rw", "precond_mala", "sgld"
+            "reference", "precond_rw", "precond_mala", "hmc", "sgld"
         ):
             raise ValueError(f"unknown proposal {self.proposal!r}")
-        if self.warmstart_frac and self.proposal != "precond_mala":
+        if self.warmstart_frac and self.proposal not in (
+            "precond_mala", "hmc"
+        ):
             raise ValueError(
-                "warmstart_frac needs gradients: precond_mala only"
+                "warmstart_frac needs gradients: precond_mala/hmc only"
             )
+        if self.proposal == "hmc":
+            if self.hmc_leapfrog < 1:
+                raise ValueError("hmc_leapfrog must be >= 1")
+            if not 0.0 <= self.hmc_eps_jitter < 1.0:
+                raise ValueError("hmc_eps_jitter must lie in [0, 1)")
+            if not 0.0 < self.hmc_target_accept < 1.0:
+                raise ValueError("hmc_target_accept must lie in (0, 1)")
         if self.proposal != "reference":
             if self.use_langevin_gradients:
                 raise ValueError(
@@ -517,7 +556,7 @@ class PTConfig:
                     "sgld does not carry posterior-predictive fx traces "
                     "(metrics refresh at swap cadence only); record_fx=False"
                 )
-        if self.proposal in ("precond_rw", "precond_mala"):
+        if self.proposal in ("precond_rw", "precond_mala", "hmc"):
             if not 0.0 < self.precond_start_frac < self.burn_in:
                 raise ValueError(
                     "precond_start_frac must lie in (0, burn_in): the "
@@ -530,9 +569,12 @@ class PTConfig:
                     "Welford statistics are collected between warm-start end "
                     "and preconditioner activation"
                 )
-        if self.proposal == "precond_mala" and self.stale_likelihood_after_swap:
+        if (
+            self.proposal in ("precond_mala", "hmc")
+            and self.stale_likelihood_after_swap
+        ):
             raise ValueError(
-                "precond_mala requires restore-likelihood swap semantics: "
+                f"{self.proposal} requires restore-likelihood swap semantics: "
                 "the cached gradient permutes with (w, eta) at swaps, which "
                 "is only coherent when ll/prior permute too"
             )

@@ -34,6 +34,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--langevin", action="store_true", default=False)
     p.add_argument("--drift-mode", choices=("sequential", "batch"), default="sequential")
+    p.add_argument(
+        "--proposal",
+        choices=("reference", "precond_rw", "precond_mala", "hmc"),
+        default="reference",
+        help="proposal family (PTConfig.proposal): 'reference' keeps the "
+        "reference RW/Langevin machinery (--langevin & friends); the "
+        "precond_*/hmc flagship modes replace it (adapted per-chain scales "
+        "+ Welford diagonal preconditioner, DEO swaps every 10 steps)",
+    )
+    p.add_argument(
+        "--leapfrog",
+        type=int,
+        default=8,
+        help="leapfrog steps per hmc proposal (PTConfig.hmc_leapfrog)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-seed", type=int, default=0, help="train/test split seed")
     p.add_argument("--out", default="results/classification")
@@ -96,6 +111,18 @@ def main(argv=None) -> None:
             canonical=args.vref,  # VR requires the no-temper-switch schedule
         )
         cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
+        if args.proposal != "reference":
+            cfg = dataclasses.replace(
+                cfg,
+                proposal=args.proposal,
+                hmc_leapfrog=args.leapfrog,
+                use_langevin_gradients=False,
+                swap_style="even_odd",
+                swap_interval=10,
+                step_w=0.01,
+                adapt_rate=0.1,
+                precond_start_frac=0.3,
+            ).validate()
         if args.vref:
             # --vref --evidence composes: corrected-path estimators with
             # the analytic beta=0 anchor (absolute log marginal likelihood)

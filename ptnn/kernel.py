@@ -356,7 +356,7 @@ def init_state(
     else:
         fx_train = fx_test = None
 
-    is_precond = cfg.proposal in ("precond_rw", "precond_mala")
+    is_precond = cfg.proposal in ("precond_rw", "precond_mala", "hmc")
     log_step_w = None
     if cfg.adapt_step_size or is_precond:
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
@@ -367,7 +367,7 @@ def init_state(
         pc_m2 = jnp.zeros((c, w_dim), jnp.float32)
         if cfg.task == "regression":
             log_step_eta = jnp.full((c,), jnp.log(cfg.step_eta), jnp.float32)
-        if cfg.proposal == "precond_mala":
+        if cfg.proposal in ("precond_mala", "hmc"):
             (_, _), g_like = _like_value_and_grad(cfg, spec, data)(w)
 
     surr = None
@@ -1411,18 +1411,25 @@ def make_step_fn(
             trace["replica"] = new_state.replica_id
         return new_state, trace
 
-    if cfg.proposal in ("precond_rw", "precond_mala"):
+    if cfg.proposal in ("precond_rw", "precond_mala", "hmc"):
         is_mala = cfg.proposal == "precond_mala"
+        is_hmc = cfg.proposal == "hmc"
+        grad_mode = is_mala or is_hmc
         pc_start = int(cfg.samples_per_chain * cfg.precond_start_frac)
         burn_end_p = int(cfg.samples_per_chain * cfg.burn_in) - 1
-        target_acc = (
-            cfg.mala_target_accept if is_mala else cfg.adapt_target_accept
-        )
+        if is_hmc:
+            target_acc = cfg.hmc_target_accept
+        elif is_mala:
+            target_acc = cfg.mala_target_accept
+        else:
+            target_acc = cfg.adapt_target_accept
         n_train = data.y_train.shape[0]
         warm_end = (
-            int(cfg.samples_per_chain * cfg.warmstart_frac) if is_mala else 0
+            int(cfg.samples_per_chain * cfg.warmstart_frac)
+            if grad_mode
+            else 0
         )
-        if is_mala:
+        if grad_mode:
             b_vg = _like_value_and_grad(cfg, spec, data)
 
         def _precond_diag(state: ChainState, i) -> jax.Array:
@@ -1467,15 +1474,16 @@ def make_step_fn(
         def step_precond(
             state: ChainState, xs
         ) -> Tuple[ChainState, Dict[str, jax.Array]]:
-            """Preconditioned proposal step (precond_rw / precond_mala).
+            """Preconditioned proposal step (precond_rw / precond_mala / hmc).
 
             TPU-first flagship mode, not reference behavior. Two MH blocks
             per step (componentwise Metropolis-within-Gibbs — each block
             leaves the tempered posterior invariant, so their composition
             does):
 
-            1. w-block: preconditioned RW or MALA move on the weights at
-               fixed eta, with the exact preconditioned-Gaussian q-ratio.
+            1. w-block: preconditioned RW, MALA, or HMC move on the weights
+               at fixed eta, with the exact q-ratio (Gaussian reverse kernel
+               for RW/MALA; kinetic-energy difference for HMC).
                Its per-chain scale adapts on the block's OWN acceptance
                probability — a joint (w, eta) decision would let the
                fixed-scale eta walk pin joint acceptance below the MALA
@@ -1500,20 +1508,74 @@ def make_step_fn(
             if vr_on:
                 vr_mu, vr_var = _vr_stats(state, i)
                 vr_args = (vr_mu, vr_var, i >= vr_start)
-            noise = (
-                jax.random.normal(kp, (c, w_dim), jnp.float32)
-                * sig[:, None]
-                * jnp.sqrt(m)
-            )
-            if is_mala:
-                sig2m = (sig * sig)[:, None] * m
+            if grad_mode:
                 g_cur = _g_post(
                     state.g_like, state.w, tau_cur, adapttemp, vr_args
                 )
-                mean_fwd = state.w + 0.5 * sig2m * g_cur
+            g_like_prop = None
+            fx_props = []
+            if is_hmc:
+                # Preconditioned HMC trajectory (PTConfig.proposal "hmc").
+                # Mass matrix M = diag(1/m) — m the position-space Welford
+                # preconditioner — so momentum p ~ N(0, 1/m), kinetic energy
+                # K = 0.5 * sum(m p^2), position step dw = eps * m * p. With
+                # L=1 the leapfrog composes to exactly the precond_mala
+                # proposal with sigma = eps, and for any L the integrator is
+                # reversible + volume-preserving, so the MH correction is
+                # the total energy change: the q-ratio IS K_init - K_end.
+                # The gradient cache seeds the first half-kick (no recompute
+                # at the current point); the trajectory-end gradient becomes
+                # the cache on accept.
+                kp, kj = jax.random.split(kp)
+                eps = sig
+                if cfg.hmc_eps_jitter > 0.0:
+                    # independent-of-state step jitter breaks periodic orbits
+                    eps = eps * (
+                        1.0
+                        + cfg.hmc_eps_jitter
+                        * (2.0 * jax.random.uniform(kj, (c,)) - 1.0)
+                    )
+                epsw = eps[:, None]
+                p0 = jax.random.normal(
+                    kp, (c, w_dim), jnp.float32
+                ) / jnp.sqrt(m)
+                k_init = 0.5 * jnp.sum(m * jnp.square(p0), axis=-1)
+                (vsh, ash), _gsh = jax.eval_shape(b_vg, state.w)
+
+                def leap(cr, _):
+                    w_c, p_c, g_c = cr[:3]
+                    p_half = p_c + 0.5 * epsw * g_c
+                    w_n = w_c + epsw * m * p_half
+                    (v_n, a_n), gl_n = b_vg(w_n)
+                    g_n = _g_post(gl_n, w_n, tau_cur, adapttemp, vr_args)
+                    p_n = p_half + 0.5 * epsw * g_n
+                    return (w_n, p_n, g_n, gl_n, v_n, a_n), None
+
+                carry0 = (
+                    state.w,
+                    p0,
+                    g_cur,
+                    state.g_like,
+                    jnp.zeros(vsh.shape, vsh.dtype),
+                    jnp.zeros(ash.shape, ash.dtype),
+                )
+                (w_prop, p_end, _ge, g_like_prop, val, aux), _ = jax.lax.scan(
+                    leap, carry0, None, length=cfg.hmc_leapfrog
+                )
+                k_end = 0.5 * jnp.sum(m * jnp.square(p_end), axis=-1)
+                diff_hmc = k_init - k_end
             else:
-                mean_fwd = state.w
-            w_prop = mean_fwd + noise
+                noise = (
+                    jax.random.normal(kp, (c, w_dim), jnp.float32)
+                    * sig[:, None]
+                    * jnp.sqrt(m)
+                )
+                if is_mala:
+                    sig2m = (sig * sig)[:, None] * m
+                    mean_fwd = state.w + 0.5 * sig2m * g_cur
+                else:
+                    mean_fwd = state.w
+                w_prop = mean_fwd + noise
             if warm_end > 0:
                 # deterministic warm start: per-coordinate-RMS-normalized
                 # gradient ascent on the tempered log posterior (see
@@ -1526,15 +1588,23 @@ def make_step_fn(
                     g_rms, 1e-12
                 )
                 w_prop = jnp.where(i < warm_end, w_warm, w_prop)
+                if is_hmc:
+                    # the trajectory evaluated (val, aux, grad) at its own
+                    # endpoint; during the forced-accept warm phase the
+                    # proposal is w_warm instead — re-evaluate there
+                    (val, aux), g_like_prop = jax.lax.cond(
+                        i < warm_end,
+                        lambda: b_vg(w_warm),
+                        lambda: ((val, aux), g_like_prop),
+                    )
             prior_prop = (
                 b_prior(w_prop, tau_cur) if is_regression else b_prior(w_prop)
             )
 
-            g_like_prop = None
-            fx_props = []
-            if is_mala:
-                # one fused fwd+bwd: proposal likelihood AND its gradient
-                (val, aux), g_like_prop = b_vg(w_prop)
+            if grad_mode:
+                if is_mala:
+                    # one fused fwd+bwd: proposal likelihood AND its gradient
+                    (val, aux), g_like_prop = b_vg(w_prop)
                 if is_regression:
                     ll_prop = (-0.5 * n_train) * (
                         likelihood._LOG_2PI + state.eta
@@ -1560,17 +1630,22 @@ def make_step_fn(
                     if cfg.record_fx:
                         fx_props = [pred, ev_te.fx]
                 rmse_te_prop = ev_te.rmse
-                # exact reverse-kernel q-ratio for the preconditioned
-                # Gaussian proposal (eta is fixed in this block, so both
-                # directions scale the cached gradient by the same tau)
-                g_prop = _g_post(
-                    g_like_prop, w_prop, tau_cur, adapttemp, vr_args
-                )
-                mean_rev = w_prop + 0.5 * sig2m * g_prop
-                diff_prop = (
-                    jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
-                    - jnp.sum(jnp.square(state.w - mean_rev) / m, axis=-1)
-                ) / (2.0 * sig * sig)
+                if is_hmc:
+                    # leapfrog is reversible + volume-preserving: the MH
+                    # correction is the kinetic-energy difference
+                    diff_prop = diff_hmc
+                else:
+                    # exact reverse-kernel q-ratio for the preconditioned
+                    # Gaussian proposal (eta is fixed in this block, so both
+                    # directions scale the cached gradient by the same tau)
+                    g_prop = _g_post(
+                        g_like_prop, w_prop, tau_cur, adapttemp, vr_args
+                    )
+                    mean_rev = w_prop + 0.5 * sig2m * g_prop
+                    diff_prop = (
+                        jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
+                        - jnp.sum(jnp.square(state.w - mean_rev) / m, axis=-1)
+                    ) / (2.0 * sig * sig)
             else:
                 bundle, _ = _eval_bundle(state, w_prop, state.eta, tau_cur)
                 (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop,
@@ -1614,7 +1689,7 @@ def make_step_fn(
                 acc_test=trace["acc_test"],
                 n_accept=state.n_accept + accept.astype(jnp.int32),
             )
-            if is_mala:
+            if grad_mode:
                 new_state = new_state._replace(
                     g_like=jnp.where(accept_w, g_like_prop, state.g_like)
                 )
