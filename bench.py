@@ -39,6 +39,18 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   the tempered-posterior Hamiltonian, same Welford M as mass
                   matrix, exact energy-difference MH, DEO swaps
                   (PTConfig.proposal="hmc")
+  * mala_16x4   — the ESS/s flagship: mala on a REPLICATED tempering
+                  ensemble (PTConfig.n_ladders=16 — sixteen independent
+                  4-rung ladders in the same 64-chain budget; swap pairs
+                  never cross ladder boundaries). Sixteen independent cold
+                  chains whose ESS adds (ops/ess.pooled_multi_ess); chains
+                  are latency-free on a chip, so this is pure quality-per-
+                  second gain (results/ladder_ensembles.md: 19x the 1x64
+                  ladder at equal RMSE and equal steps/s)
+  * hmc4_8x8    — the QUALITY flagship: 4-leapfrog HMC on 8 replicated
+                  8-rung ladders — cold-chain test RMSE ~half the
+                  reference's committed number at 4x the 1x64 mala's
+                  pooled ESS/s
 
 Reference quality bar: committed Sunspot RW test RMSE 0.0239
 (multicore-pt-regression/Res_RW/master_result_file.txt:2).
@@ -106,6 +118,28 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             precond_start_frac=0.3,
             step_w=0.01,
         ).validate(),
+        "mala_16x4": dataclasses.replace(
+            cfg,
+            proposal="precond_mala",
+            n_ladders=16,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+        ).validate(),
+        "hmc4_8x8": dataclasses.replace(
+            cfg,
+            proposal="hmc",
+            hmc_leapfrog=4,
+            n_ladders=8,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            step_w=0.01,
+        ).validate(),
     }
     if full:
         out["lg_pallas"] = dataclasses.replace(
@@ -160,19 +194,24 @@ def main() -> None:
             track_replicas=True,  # transport metric rides the same runs
             chunk_steps=1000,
         ).validate()
+        # cold set: chain 0, or every ladder's T=1 rung under replicated
+        # ladders (pooled — R independent cold chains, ESS adds)
+        cold_idx = np.arange(0, ess_cfg.num_chains, ess_cfg.rungs_per_ladder)
         ess_s_seeds, rmse_seeds, rmse_cold_seeds, ess_draws = [], [], [], []
         cold_seeds, trip_rates = [], []
         draws = 0
         for seed in (1, 2, 3):
             res = ptnn.sample(ess_cfg, prob.train, prob.test, seed=seed)
             trip_rates.append(
-                rt_mod.roundtrip_stats(res.traces["replica"]).rate_per_kstep
+                rt_mod.roundtrip_stats(
+                    res.traces["replica"], n_ladders=ess_cfg.n_ladders
+                ).rate_per_kstep
             )
             b = ess_cfg.samples_per_chain // 2
-            cold = np.asarray(res.traces["w"][b:, 0, :])
-            cold_seeds.append(cold)
+            cold = np.asarray(res.traces["w"][b:, cold_idx, :])
+            cold_seeds.append(cold[:, 0, :])
             draws = cold.shape[0]
-            e = ess_mod.multi_ess(cold, max_params=16)
+            e = ess_mod.pooled_multi_ess(cold, max_params=16)
             ess_draws.append(e)
             ess_s_seeds.append((e / draws) * (sps_med / chains))
             # reference table semantics: post-burn-in rows pooled over all
@@ -181,7 +220,7 @@ def main() -> None:
                 float(np.mean(res.traces["rmse_test"][b:, :]))
             )
             rmse_cold_seeds.append(
-                float(np.mean(res.traces["rmse_test"][b:, 0]))
+                float(np.mean(res.traces["rmse_test"][b:, cold_idx]))
             )
         e_med, e_iqr = _median_iqr(ess_s_seeds)
         ess_per_sec[tag] = {
@@ -191,7 +230,7 @@ def main() -> None:
         # cross-seed convergence gate: the 3 independent seed runs are 3
         # chains of the same cold posterior — worst rank-normalized split
         # R-hat over sampled parameters (ops/ess.split_rhat; ~1.00 = mixed)
-        pidx = np.linspace(0, cold.shape[1] - 1, 8).astype(int)
+        pidx = np.linspace(0, cold_seeds[0].shape[1] - 1, 8).astype(int)
         rhat_cold[tag] = round(
             max(
                 ess_mod.split_rhat(
@@ -209,7 +248,8 @@ def main() -> None:
         notes.append(
             f"{tag}: {sps_med:,.0f} steps/s (IQR {sps_iqr[0]:,.0f}-"
             f"{sps_iqr[1]:,.0f}), ESS {np.median(ess_draws):.0f}/{draws} "
-            f"draws -> {e_med:.0f} ESS/s (IQR {e_iqr[0]:.0f}-{e_iqr[1]:.0f})"
+            f"draws x {len(cold_idx)} cold chain(s) "
+            f"-> {e_med:.0f} ESS/s (IQR {e_iqr[0]:.0f}-{e_iqr[1]:.0f})"
             f", pooled RMSE {quality[tag]} (cold {quality_cold[tag]}), accept "
             f"{last[tag]['accept_pct']:.1f}%, swap {last[tag]['swap_pct']:.1f}%"
             f", roundtrips/1k {roundtrips[tag]}"
@@ -232,7 +272,8 @@ def main() -> None:
                 "rhat_cold_max": rhat_cold,
                 "roundtrips_per_kstep": roundtrips,
                 "ref_rmse_test": 0.0239,
-                "flagship": "mala",
+                "flagship": "mala_16x4",
+                "flagship_quality": "hmc4_8x8",
             }
         )
     )

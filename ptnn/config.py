@@ -32,6 +32,20 @@ class PTConfig:
     # feedback-tuned schedule (ops/ladder.py:barrier_tuned_temperatures,
     # estimated from a pilot run's pair_swap_accept) is fed back in.
     custom_ladder: Optional[Tuple[float, ...]] = None
+    # Replicated tempering ensembles (NOT reference behavior; TPU-first).
+    # ``n_ladders = R`` partitions the ``num_chains`` chains into R
+    # INDEPENDENT ladders of K = num_chains / R rungs each: the K-rung
+    # temperature schedule (from maxtemp/geometric_ladder or a K-long
+    # custom_ladder) is tiled R times and swap proposals never cross a
+    # ladder boundary (a pair mask in parallel/swap.py). Rationale: on one
+    # chip the chain axis is nearly free (fnn_roofline.md), but extra rungs
+    # beyond what the communication barrier needs only densify the ladder
+    # (observed: a 64-rung maxtemp-5 ladder swaps at ~85% — wasted rungs),
+    # whereas R replicated ladders yield R INDEPENDENT cold chains whose
+    # effective sample sizes add. Cold rungs sit at chain indices
+    # {0, K, 2K, ...}; results.summarize(cold_only=True) and the ESS/
+    # round-trip diagnostics understand the tiling.
+    n_ladders: int = 1
 
     # Replica exchange. ``swap_interval`` in steps; the reference derives it
     # as int(swap_ratio * num_samples / num_chains) (pt_classification.py:1040).
@@ -389,6 +403,12 @@ class PTConfig:
         i, h, o = self.topology
         return i * h + h * o + h + o
 
+    @property
+    def rungs_per_ladder(self) -> int:
+        """Rungs in each independent temperature ladder (= num_chains unless
+        replicated ladders are on — see ``n_ladders``)."""
+        return self.num_chains // self.n_ladders
+
     def validate(self) -> "PTConfig":
         if self.task not in ("classification", "regression"):
             raise ValueError(f"unknown task {self.task!r}")
@@ -400,12 +420,31 @@ class PTConfig:
             raise ValueError("metropolis swap rule requires untempered payloads")
         if self.swap_style not in ("bubbling", "even_odd"):
             raise ValueError(f"unknown swap_style {self.swap_style!r}")
+        if self.n_ladders < 1:
+            raise ValueError(f"n_ladders must be >=1, got {self.n_ladders}")
+        if self.num_chains % self.n_ladders:
+            raise ValueError(
+                f"n_ladders={self.n_ladders} must divide "
+                f"num_chains={self.num_chains}"
+            )
+        if self.n_ladders > 1:
+            if self.rungs_per_ladder < 2:
+                raise ValueError(
+                    "replicated ladders need >=2 rungs each "
+                    f"(num_chains={self.num_chains}, n_ladders={self.n_ladders})"
+                )
+            if self.variational_reference:
+                # the VR fit/regen machinery assumes one cold rung (index 0)
+                # and one hot rung (index C-1); pooled-fit support is future
+                raise ValueError(
+                    "variational_reference does not support n_ladders > 1"
+                )
         if self.custom_ladder is not None:
             lad = tuple(float(t) for t in self.custom_ladder)
-            if len(lad) != self.num_chains:
+            if len(lad) != self.rungs_per_ladder:
                 raise ValueError(
                     f"custom_ladder has {len(lad)} temperatures for "
-                    f"{self.num_chains} chains"
+                    f"{self.rungs_per_ladder} rungs per ladder"
                 )
             if lad[0] != 1.0:
                 raise ValueError("custom_ladder[0] must be 1.0 (cold chain)")

@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=8,
         help="leapfrog steps per hmc proposal (PTConfig.hmc_leapfrog)",
     )
+    p.add_argument(
+        "--ladders",
+        type=int,
+        default=1,
+        help="replicated tempering ensembles (PTConfig.n_ladders): run R "
+        "independent (chains/R)-rung ladders in one program; the R cold "
+        "chains' ESS adds (results/ladder_ensembles.md)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-seed", type=int, default=0, help="train/test split seed")
     p.add_argument("--out", default="results/classification")
@@ -110,7 +118,9 @@ def main(argv=None) -> None:
             learn_rate=args.lr,
             canonical=args.vref,  # VR requires the no-temper-switch schedule
         )
-        cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
+        cfg = dataclasses.replace(
+            cfg, drift_mode=args.drift_mode, n_ladders=args.ladders
+        ).validate()
         if args.proposal != "reference":
             cfg = dataclasses.replace(
                 cfg,

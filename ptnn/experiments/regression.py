@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=8,
         help="leapfrog steps per hmc proposal (PTConfig.hmc_leapfrog)",
     )
+    p.add_argument(
+        "--ladders",
+        type=int,
+        default=1,
+        help="replicated tempering ensembles (PTConfig.n_ladders): run R "
+        "independent (chains/R)-rung ladders in one program; the R cold "
+        "chains' ESS adds (results/ladder_ensembles.md)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results/regression")
     p.add_argument("--no-plots", action="store_true")
@@ -117,7 +125,9 @@ def main(argv=None) -> None:
                 langevin_prob=lp,
                 learn_rate=args.lr,
             )
-            cfg = dataclasses.replace(cfg, drift_mode=args.drift_mode).validate()
+            cfg = dataclasses.replace(
+                cfg, drift_mode=args.drift_mode, n_ladders=args.ladders
+            ).validate()
             if args.proposal != "reference":
                 cfg = dataclasses.replace(
                     cfg,

@@ -105,7 +105,9 @@ def run_problem(
     if roundtrip:
         from ptnn.ops import roundtrip as rt_mod
 
-        stats = rt_mod.roundtrip_stats(res.traces["replica"])
+        stats = rt_mod.roundtrip_stats(
+            res.traces["replica"], n_ladders=cfg.n_ladders
+        )
         with open(os.path.join(path, "roundtrip.txt"), "w") as f:
             f.write(rt_mod.format_report(stats, temps=res.temperatures) + "\n")
         print(

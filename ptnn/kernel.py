@@ -39,6 +39,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptnn.config import PTConfig
 from ptnn.models import api as model_api
@@ -863,6 +864,16 @@ def make_step_fn(
             diff_prop = jnp.where(use_l, legacy / adapttemp, 0.0)
         return w_prop, diff_prop, state.n_langevin + use_l.astype(jnp.int32)
 
+    # Replicated tempering ensembles (PTConfig.n_ladders): adjacent pairs
+    # whose members belong to different ladders are never swap candidates.
+    # None (not an all-True array) when off, so the single-ladder path
+    # compiles exactly as before.
+    swap_pair_mask = None
+    if cfg.n_ladders > 1:
+        swap_pair_mask = jnp.asarray(
+            (np.arange(c - 1) + 1) % cfg.rungs_per_ladder != 0, bool
+        )
+
     def do_swap(state: ChainState, i, ks, pair_penalty=None) -> ChainState:
         adapttemp = jnp.where(i < switch_step, temps, 1.0)
         ks_regen = None
@@ -887,11 +898,13 @@ def make_step_fn(
                 betas=1.0 / adapttemp,
                 parity=(i // swap_interval) % 2,
                 pair_penalty=pair_penalty,
+                pair_mask=swap_pair_mask,
             )
         else:
             res = swap_mod.sweep_permutation(
                 payload, ks, rule=cfg.swap_rule, betas=1.0 / adapttemp,
                 pair_penalty=pair_penalty,
+                pair_mask=swap_pair_mask,
             )
         w, eta = swap_mod.apply_permutation(res.perm, state.w, state.eta)
         if cfg.stale_likelihood_after_swap:

@@ -96,3 +96,21 @@ def multi_ess(samples: np.ndarray, max_params: int = 64) -> float:
     p = min(max_params, s.shape[1])
     idx = np.linspace(0, s.shape[1] - 1, p).astype(int)
     return float(np.mean([ess(s[:, j]) for j in idx]))
+
+
+def pooled_multi_ess(samples: np.ndarray, max_params: int = 64) -> float:
+    """Total ESS over R independent chains of the same target.
+
+    ``samples``: (S, R, P) post-burn-in draws — e.g. the R cold rungs of a
+    replicated-ladder run (``PTConfig.n_ladders``), chain axis second as in
+    ``traces["w"][burnin:, cold_idx, :]``. The R chains share no RNG and
+    never exchange configurations (swap pairs are masked at ladder
+    boundaries), so their effective sample sizes add: returns
+    sum_r multi_ess(samples[:, r, :]). Deliberately NOT the
+    between/within-variance multichain estimator — unmixed replicas should
+    read as R small ESSs summed, not be rewarded for disagreeing.
+    """
+    s = np.asarray(samples)
+    if s.ndim != 3:
+        raise ValueError(f"expected (S, R, P) draws, got {s.shape}")
+    return float(sum(multi_ess(s[:, r, :], max_params) for r in range(s.shape[1])))

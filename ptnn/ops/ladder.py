@@ -147,3 +147,32 @@ def barrier_tuned_temperatures(
             new_betas[k] = new_betas[k - 1] * (1.0 - 1e-9)
     with np.errstate(divide="ignore"):
         return 1.0 / new_betas
+
+
+def build_temperatures(cfg) -> np.ndarray:
+    """The (num_chains,) host-side temperature array for a PTConfig.
+
+    float64 — also the artifact filename source (chain_<T>.txt). One ladder
+    by default; with ``cfg.n_ladders = R`` the K-rung schedule (K =
+    rungs_per_ladder, from maxtemp/geometric_ladder or a K-long
+    custom_ladder) is tiled R times — swap pairs crossing ladder boundaries
+    are masked in the kernel (parallel/swap.py pair_mask). Duck-typed on the
+    config to keep this module import-light.
+    """
+    if cfg.custom_ladder is not None:
+        temps = np.asarray(cfg.custom_ladder, np.float64)
+    else:
+        temps = np.asarray(
+            assign_temperatures(
+                cfg.rungs_per_ladder, cfg.maxtemp, cfg.geometric_ladder
+            ),
+            np.float64,
+        )
+    if cfg.vr_hot_infinite:
+        # beta=0 reference leg (stabilized PT): the hottest rung targets the
+        # fitted q itself, which vr_regen refreshes IID (ops/vref.py)
+        temps = temps.copy()
+        temps[-1] = np.inf
+    if cfg.n_ladders > 1:
+        temps = np.tile(temps, cfg.n_ladders)
+    return temps

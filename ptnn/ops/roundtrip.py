@@ -50,13 +50,19 @@ def _positions(replica: np.ndarray) -> np.ndarray:
     return pos
 
 
-def roundtrip_stats(replica: np.ndarray) -> RoundTripStats:
+def roundtrip_stats(replica: np.ndarray, n_ladders: int = 1) -> RoundTripStats:
     """Compute round-trip counts and the Katzgraber flow fraction.
 
     Parameters
     ----------
     replica : (steps, C) int array — ``traces["replica"]`` from a run with
         ``track_replicas=True`` (rung-major, as recorded).
+    n_ladders : with replicated tempering ensembles (``PTConfig.n_ladders``)
+        the C chains are R independent K-rung ladders; swaps never cross a
+        boundary, so each ladder block is analyzed on its own (cold = its
+        rung 0, hot = its rung K-1) and the per-rung/per-replica arrays are
+        concatenated back in chain order. ``rate_per_kstep`` totals trips
+        across all ladders.
 
     Notes
     -----
@@ -72,6 +78,24 @@ def roundtrip_stats(replica: np.ndarray) -> RoundTripStats:
     if replica.ndim != 2:
         raise ValueError(f"replica trace must be (steps, C), got {replica.shape}")
     steps, c = replica.shape
+    if n_ladders > 1:
+        if c % n_ladders:
+            raise ValueError(f"n_ladders={n_ladders} must divide C={c}")
+        k = c // n_ladders
+        parts = [
+            roundtrip_stats(replica[:, b * k : (b + 1) * k] - b * k)
+            for b in range(n_ladders)
+        ]
+        return RoundTripStats(
+            round_trips=np.concatenate([p.round_trips for p in parts]),
+            rate_per_kstep=float(
+                sum(p.round_trips.sum() for p in parts)
+            ) * 1000.0 / max(steps, 1),
+            flow_up=np.concatenate([p.flow_up for p in parts]),
+            flow_samples=np.concatenate([p.flow_samples for p in parts]),
+            visits_cold=np.concatenate([p.visits_cold for p in parts]),
+            visits_hot=np.concatenate([p.visits_hot for p in parts]),
+        )
     pos = _positions(replica)  # (steps, C) rung of each replica over time
 
     # Label evolution, vectorized over replicas: +1 after touching cold,

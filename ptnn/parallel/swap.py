@@ -50,6 +50,7 @@ def sweep_permutation(
     rule: str = "half_exp",
     betas: jax.Array | None = None,
     pair_penalty: jax.Array | None = None,
+    pair_mask: jax.Array | None = None,
 ) -> SwapResult:
     """One sequential bubbling sweep over adjacent pairs.
 
@@ -75,6 +76,11 @@ def sweep_permutation(
     the unbiased noisy-energy swap test of reSGLD
     (``PTConfig.sg_swap="corrected"``): penalty = Delta-beta^2 * sigma^2 / 2
     from the minibatch variance of the pair's energy-difference estimate.
+
+    ``pair_mask``: optional (C-1,) bool — pairs with a False entry are never
+    proposed (used by replicated tempering ensembles, ``PTConfig.n_ladders``,
+    to keep swaps from crossing ladder boundaries). Masked pairs count
+    neither as proposed nor as accepted and report pair_active=False.
     """
     c = payload_ll.shape[0]
     if rule == "metropolis" and betas is None:
@@ -87,10 +93,14 @@ def sweep_permutation(
         betas = jnp.ones((c,), payload_ll.dtype)
     if pair_penalty is None:
         pair_penalty = jnp.zeros((c - 1,), payload_ll.dtype)
+    mask = (
+        jnp.ones((c - 1,), bool) if pair_mask is None
+        else jnp.asarray(pair_mask, bool)
+    )
 
     def pair(carry, inputs):
         perm, ll = carry
-        k, u = inputs
+        k, u, active = inputs
         lh1 = ll[k]
         lh2 = ll[k + 1]
         if rule == "half_exp":
@@ -114,7 +124,7 @@ def sweep_permutation(
             )
         else:
             raise ValueError(f"unknown swap rule {rule!r}")
-        swap = u < a
+        swap = jnp.logical_and(u < a, active)
         # Swap entries k and k+1 of both the permutation and the traveling
         # payloads (the bubbling semantics: pair k+1 sees pair k's output).
         pk, pk1 = perm[k], perm[k + 1]
@@ -122,7 +132,7 @@ def sweep_permutation(
         perm = perm.at[k + 1].set(jnp.where(swap, pk, pk1))
         ll = ll.at[k].set(jnp.where(swap, lh2, lh1))
         ll = ll.at[k + 1].set(jnp.where(swap, lh1, lh2))
-        return (perm, ll), (swap, a)
+        return (perm, ll), (swap, jnp.where(active, a, 0.0))
 
     # Unroll the pair sweep for reference-scale ladders: the body is scalar
     # work and unrolling makes the k-indexing static. Measured effect at 64
@@ -134,15 +144,15 @@ def sweep_permutation(
     (perm, _), (swaps, accs) = jax.lax.scan(
         pair,
         (perm0, payload_ll),
-        (jnp.arange(c - 1, dtype=jnp.int32), us),
+        (jnp.arange(c - 1, dtype=jnp.int32), us, mask),
         unroll=(c - 1) if c <= 128 else 16,
     )
     return SwapResult(
         perm=perm,
         n_accepted=jnp.sum(swaps.astype(jnp.int32)),
-        n_proposed=jnp.asarray(c - 1, jnp.int32),
+        n_proposed=jnp.sum(mask.astype(jnp.int32)),
         pair_accept=accs,
-        pair_active=jnp.ones((c - 1,), bool),
+        pair_active=mask,
     )
 
 
@@ -170,6 +180,7 @@ def disjoint_pair_permutation(
     betas: jax.Array | None = None,
     parity: jax.Array | int = 0,
     pair_penalty: jax.Array | None = None,
+    pair_mask: jax.Array | None = None,
 ) -> SwapResult:
     """One even/odd (DEO-style) sweep: disjoint adjacent pairs only.
 
@@ -199,6 +210,10 @@ def disjoint_pair_permutation(
         pair_penalty,
     )
     active = (jnp.arange(c - 1) % 2) == (jnp.asarray(parity) % 2)
+    if pair_mask is not None:
+        # replicated tempering ensembles (PTConfig.n_ladders): pairs
+        # crossing a ladder boundary are never proposed
+        active = jnp.logical_and(active, jnp.asarray(pair_mask, bool))
     swap = (us < a) & active
     # perm[k] = k+1 where pair k swapped, k-1 where pair k-1 swapped, else k.
     # Disjoint pairs guarantee the two shifts never collide.

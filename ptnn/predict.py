@@ -61,15 +61,25 @@ def load_posterior(
         raise FileNotFoundError(
             f"{pos_dir} not found: the run must be written with record_w=True"
         )
+    def _temp_of(f: str) -> float:
+        # chain_<T>.txt, or chain_<T>_l<r>.txt under replicated ladders
+        # (PTConfig.n_ladders — results.write_artifacts qualifies duplicate
+        # temperatures with the ladder index)
+        stem = f[len("chain_"):-len(".txt")]
+        return float(stem.split("_l")[0])
+
     files = sorted(
-        (float(f[len("chain_"):-len(".txt")]), f)
+        (_temp_of(f), f)
         for f in os.listdir(pos_dir)
         if f.startswith("chain_") and f.endswith(".txt")
     )
     if not files:
         raise FileNotFoundError(f"no chain_<T>.txt traces under {pos_dir}")
     if chains == "cold":
-        files = files[:1]
+        # every file at the minimum temperature — one per ladder; their
+        # draws pool (independent samplers of the same cold posterior)
+        t_cold = files[0][0]
+        files = [fc for fc in files if fc[0] == t_cold]
     elif chains != "all":
         raise ValueError("chains must be 'cold' or 'all'")
     b = burn_in if burn_in is not None else (cfg.burn_in if cfg else 0.5)

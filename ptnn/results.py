@@ -83,13 +83,18 @@ def summarize(res: SampleResult, problem: str, cold_only: bool = False) -> Summa
     ``cold_only=True`` is the reference's "truepos" reporting mode: aggregate
     only chain 0 (T = 1) instead of pooling the whole ladder
     (Misc_code/pt_classifier_truepos.py:742-768 vs pt_classifier.py) — the
-    statistically meaningful posterior.
+    statistically meaningful posterior. With replicated ladders
+    (``cfg.n_ladders > 1``) the cold set is every ladder's T=1 rung,
+    indices {0, K, 2K, ...} — R independent cold chains pooled.
     """
     cfg: PTConfig = res.config
     burnin = int(cfg.samples_per_chain * cfg.burn_in)
     is_reg = cfg.task == "regression"
     key = "rmse" if is_reg else "acc"
-    sel = slice(0, 1) if cold_only else slice(None)
+    if cold_only:
+        sel = np.arange(0, cfg.num_chains, cfg.rungs_per_ladder)
+    else:
+        sel = slice(None)
     tr = res.traces[f"{key}_train"][burnin:, sel]  # (S-b, C or 1)
     te = res.traces[f"{key}_test"][burnin:, sel]
     best = np.amin if is_reg else np.amax  # reference quirk (see module doc)
@@ -161,6 +166,11 @@ def write_artifacts(
     likeh = np.zeros((samples, 2))
     for ci in range(cfg.num_chains):
         t_str = str(float(temps[ci]))
+        if cfg.n_ladders > 1:
+            # replicated ladders duplicate every temperature — qualify the
+            # reference's chain_<T>.txt naming with the ladder index so the
+            # R artifact sets don't overwrite each other
+            t_str = f"{t_str}_l{ci // cfg.rungs_per_ladder}"
         if "w" in res.traces:
             native.savetxt(
                 os.path.join(path, "posterior", "pos_w", f"chain_{t_str}.txt"),

@@ -107,6 +107,11 @@ def _step_keys(base_key: jax.Array, start: jax.Array, length: int) -> jax.Array:
     )
 
 
+# canonical config -> ladder construction (ops/ladder.py); re-exported here
+# because sampler is where driver code historically found it
+build_temperatures = ladder.build_temperatures
+
+
 def sample(
     cfg: PTConfig,
     train: np.ndarray,
@@ -127,17 +132,7 @@ def sample(
     """
     cfg.validate()
     data = make_dataset(cfg, train, test)
-    if cfg.custom_ladder is not None:
-        temps_host = np.asarray(cfg.custom_ladder, np.float64)
-    else:
-        temps_host = ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        )  # float64 — also the artifact filename source (chain_<T>.txt)
-    if cfg.vr_hot_infinite:
-        # beta=0 reference leg (stabilized PT): the hottest rung targets the
-        # fitted q itself, which vr_regen refreshes IID (ops/vref.py)
-        temps_host = np.array(temps_host, np.float64)
-        temps_host[-1] = np.inf
+    temps_host = build_temperatures(cfg)
     temps = jnp.asarray(temps_host, jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
@@ -417,18 +412,7 @@ def _throughput_build(
 
     cfg2 = _dc.replace(cfg, record_w=False)
     data = make_dataset(cfg2, train, test)
-    temps_np = np.asarray(
-        np.asarray(cfg2.custom_ladder, np.float64)
-        if cfg2.custom_ladder is not None
-        else ladder.assign_temperatures(
-            cfg2.num_chains, cfg2.maxtemp, cfg2.geometric_ladder
-        ),
-        np.float64,
-    )
-    if cfg2.vr_hot_infinite:
-        temps_np = temps_np.copy()
-        temps_np[-1] = np.inf
-    temps = jnp.asarray(temps_np, jnp.float32)
+    temps = jnp.asarray(build_temperatures(cfg2), jnp.float32)
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
     if mesh is not None:

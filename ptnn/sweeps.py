@@ -46,12 +46,7 @@ def seed_sweep(
     run-to-run spread (mean/std over seeds) for the parity gates, which the
     reference could only estimate by re-running the whole process pipeline."""
     cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
-    temps = jnp.asarray(
-        ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        ),
-        jnp.float32,
-    )
+    temps = jnp.asarray(ladder.build_temperatures(cfg), jnp.float32)
     temps_batch = jnp.broadcast_to(temps, (len(seeds),) + temps.shape)
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
     return _run_grid(cfg, temps_batch, keys, train, test)
@@ -73,7 +68,10 @@ def maxtemp_sweep(
     temps_batch = jnp.stack(
         [
             jnp.asarray(
-                ladder.assign_temperatures(cfg.num_chains, float(mt)), jnp.float32
+                ladder.build_temperatures(
+                    dataclasses.replace(cfg, maxtemp=float(mt))
+                ),
+                jnp.float32,
             )
             for mt in maxtemps
         ]
@@ -95,12 +93,7 @@ def swap_interval_sweep(
     interval can be a per-cell traced scalar (kernel.make_step_fn
     ``swap_interval_t``) instead of a recompile axis."""
     cfg = dataclasses.replace(cfg, record_w=False, record_fx=False).validate()
-    temps = jnp.asarray(
-        ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        ),
-        jnp.float32,
-    )
+    temps = jnp.asarray(ladder.build_temperatures(cfg), jnp.float32)
     n = len(intervals)
     temps_batch = jnp.broadcast_to(temps, (n,) + temps.shape)
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
@@ -123,12 +116,7 @@ def lprob_sweep(
     cfg = dataclasses.replace(
         cfg, record_w=False, record_fx=False, use_langevin_gradients=True
     ).validate()
-    temps = jnp.asarray(
-        ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        ),
-        jnp.float32,
-    )
+    temps = jnp.asarray(ladder.build_temperatures(cfg), jnp.float32)
     n = len(lprobs)
     temps_batch = jnp.broadcast_to(temps, (n,) + temps.shape)
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
@@ -202,12 +190,7 @@ def dataset_grid(
     )
     lp = jnp.asarray([REGRESSION_MODES[m][0] for _n, m in cells], jnp.float32)
     lr = jnp.asarray([REGRESSION_MODES[m][1] for _n, m in cells], jnp.float32)
-    temps = jnp.asarray(
-        ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        ),
-        jnp.float32,
-    )
+    temps = jnp.asarray(ladder.build_temperatures(cfg), jnp.float32)
     temps_batch = jnp.broadcast_to(temps, (len(cells),) + temps.shape)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(cells))
     out = _run_grid(
@@ -316,12 +299,7 @@ def classification_grid(
         lambda *leaves: jnp.stack(leaves),
         *[padded[names.index(n)] for n, _s in cells],
     )
-    temps = jnp.asarray(
-        ladder.assign_temperatures(
-            cfg.num_chains, cfg.maxtemp, cfg.geometric_ladder
-        ),
-        jnp.float32,
-    )
+    temps = jnp.asarray(ladder.build_temperatures(cfg), jnp.float32)
     temps_batch = jnp.broadcast_to(temps, (len(cells),) + temps.shape)
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for _n, s in cells])
     out = _run_grid(cfg, temps_batch, keys, None, None, data_batch=data_batch)
