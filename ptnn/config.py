@@ -193,6 +193,23 @@ class PTConfig:
     # acceptance rate, Beskos et al. 2013; Stan's NUTS default aims 0.8 —
     # the higher target is safer when the preconditioner is noisy).
     hmc_target_accept: float = 0.75
+    # ChEES cross-REPLICA trajectory-length adaptation (Hoffman, Radul &
+    # Sountsov, AISTATS 2021 — built for exactly this many-parallel-chains
+    # regime). Requires replicated ladders (n_ladders >= 2): the criterion's
+    # cross-chain expectations are taken over the R replicas at each RUNG
+    # (chains at different temperatures target different distributions, so
+    # a plain cross-chain mean would be wrong). Per step the trajectory
+    # length is jittered, tau = u_i * exp(log_traj) with u_i a van der
+    # Corput (Halton base-2) sequence in the step index; realized leapfrog
+    # steps L = clip(ceil(tau / eps), 1, hmc_leapfrog) — ``hmc_leapfrog``
+    # becomes the STATIC bound, masked per chain inside the scan. log_traj
+    # follows per-rung Adam ascent on the ChEES gradient estimate and
+    # freezes at burn-in end (same exactness convention as the
+    # preconditioner: the post-burn-in kernel is a fixed mixture over the
+    # state-independent jitter, hence exact).
+    hmc_adapt_traj: bool = False
+    # Adam learning rate on log trajectory length (paper default 0.025).
+    chees_rate: float = 0.025
     # sgld minibatch size (rows sampled with replacement per step; shared
     # across chains so the gather is one (B, F) block and pairwise swap
     # energy differences correlate — which SHRINKS the corrected-swap
@@ -538,6 +555,17 @@ class PTConfig:
                 raise ValueError("hmc_eps_jitter must lie in [0, 1)")
             if not 0.0 < self.hmc_target_accept < 1.0:
                 raise ValueError("hmc_target_accept must lie in (0, 1)")
+            if self.hmc_adapt_traj:
+                if self.n_ladders < 2:
+                    raise ValueError(
+                        "hmc_adapt_traj (ChEES) estimates its cross-chain "
+                        "expectations over the replicas at each rung — it "
+                        "requires replicated ladders (n_ladders >= 2)"
+                    )
+                if self.chees_rate <= 0.0:
+                    raise ValueError("chees_rate must be > 0")
+        elif self.hmc_adapt_traj:
+            raise ValueError("hmc_adapt_traj applies to proposal='hmc' only")
         if self.proposal != "reference":
             if self.use_langevin_gradients:
                 raise ValueError(

@@ -128,6 +128,14 @@ class ChainState(NamedTuple):
     pc_mean: Any  # (C, W) Welford running mean of w over burn-in
     pc_m2: Any  # (C, W) Welford running sum of squared deviations
     log_step_eta: Any  # (C,) adapted eta RW scale (precond_* regression only)
+    # ChEES trajectory-length adaptation state (None unless
+    # cfg.hmc_adapt_traj; config.py has the scheme): log mean trajectory
+    # length + Adam moments, per chain but rung-tied (NOT permuted on swaps,
+    # like log_step_w — trajectory length is a property of the rung's
+    # tempered posterior, not of the traveling configuration).
+    log_traj: Any  # (C,) float32
+    chees_m1: Any  # (C,) float32 Adam first moment
+    chees_v2: Any  # (C,) float32 Adam second moment
     # Optional replica identity labels (None unless cfg.track_replicas):
     # replica_id[k] = which of the C initial configurations currently sits
     # at rung k; permuted with (w, eta) on swaps (ops/roundtrip.py)
@@ -382,6 +390,18 @@ def init_state(
         jnp.arange(c, dtype=jnp.int32) if cfg.track_replicas else None
     )
 
+    log_traj = chees_m1 = chees_v2 = None
+    if cfg.proposal == "hmc" and cfg.hmc_adapt_traj:
+        # init mean trajectory length at half the static bound: with the
+        # vdc jitter (mean 1/2) the realized L starts around hmc_leapfrog/4
+        # and ChEES moves it from there
+        log_traj = jnp.full(
+            (c,), float(np.log(0.5 * cfg.hmc_leapfrog * cfg.step_w)),
+            jnp.float32,
+        )
+        chees_m1 = jnp.zeros((c,), jnp.float32)
+        chees_v2 = jnp.zeros((c,), jnp.float32)
+
     vr_mean = vr_m2 = n_regen_acc = n_regen_prop = None
     if cfg.variational_reference:
         # reference coordinates z = (w, eta) for regression (eta is a
@@ -413,6 +433,9 @@ def init_state(
         pc_mean=pc_mean,
         pc_m2=pc_m2,
         log_step_eta=log_step_eta,
+        log_traj=log_traj,
+        chees_m1=chees_m1,
+        chees_v2=chees_v2,
         replica_id=replica_id,
         pair_accept_sum=jnp.zeros((c,), jnp.float32),
         pair_prop_count=jnp.zeros((c,), jnp.int32),
@@ -425,6 +448,25 @@ def init_state(
         n_swap_accepted=jnp.zeros((), jnp.int32),
         n_swap_proposed=jnp.zeros((), jnp.int32),
     )
+
+
+def vdc_u(i) -> jax.Array:
+    """Van der Corput base-2 (bit-reversal) low-discrepancy point in (0, 1)
+    for step index ``i`` — the quasi-random trajectory jitter ChEES wants
+    (Hoffman et al. 2021 §4: consecutive steps cover (0, 1] evenly, so the
+    jittered trajectory lengths stratify instead of clumping; the sequence
+    is state-independent, which is what keeps the jittered kernel exact)."""
+    x = jnp.asarray(i, jnp.uint32) + jnp.uint32(1)
+    m5 = jnp.uint32(0x55555555)
+    m3 = jnp.uint32(0x33333333)
+    m0f = jnp.uint32(0x0F0F0F0F)
+    mff = jnp.uint32(0x00FF00FF)
+    x = ((x & m5) << 1) | ((x >> 1) & m5)
+    x = ((x & m3) << 2) | ((x >> 2) & m3)
+    x = ((x & m0f) << 4) | ((x >> 4) & m0f)
+    x = ((x & mff) << 8) | ((x >> 8) & mff)
+    x = (x << 16) | (x >> 16)
+    return x.astype(jnp.float32) / jnp.float32(4294967296.0)
 
 
 def swap_due(cfg: PTConfig, i: jax.Array) -> jax.Array:
@@ -1427,6 +1469,7 @@ def make_step_fn(
     if cfg.proposal in ("precond_rw", "precond_mala", "hmc"):
         is_mala = cfg.proposal == "precond_mala"
         is_hmc = cfg.proposal == "hmc"
+        chees_on = is_hmc and cfg.hmc_adapt_traj
         grad_mode = is_mala or is_hmc
         pc_start = int(cfg.samples_per_chain * cfg.precond_start_frac)
         burn_end_p = int(cfg.samples_per_chain * cfg.burn_in) - 1
@@ -1549,19 +1592,44 @@ def make_step_fn(
                         * (2.0 * jax.random.uniform(kj, (c,)) - 1.0)
                     )
                 epsw = eps[:, None]
+                l_steps = None
+                if chees_on:
+                    # ChEES (config.hmc_adapt_traj): jittered trajectory
+                    # length tau = u_i * exp(log_traj); realized leapfrog
+                    # count per chain, masked inside the static-length scan
+                    # (all chains pay hmc_leapfrog gradient evals — SIMD)
+                    u_traj = vdc_u(i)
+                    tau_traj = jnp.exp(state.log_traj) * u_traj  # (C,)
+                    l_steps = jnp.clip(
+                        jnp.ceil(tau_traj / eps), 1.0, float(cfg.hmc_leapfrog)
+                    ).astype(jnp.int32)
                 p0 = jax.random.normal(
                     kp, (c, w_dim), jnp.float32
                 ) / jnp.sqrt(m)
                 k_init = 0.5 * jnp.sum(m * jnp.square(p0), axis=-1)
                 (vsh, ash), _gsh = jax.eval_shape(b_vg, state.w)
 
-                def leap(cr, _):
-                    w_c, p_c, g_c = cr[:3]
+                def leap(cr, n):
+                    w_c, p_c, g_c, gl_c, v_c, a_c = cr
                     p_half = p_c + 0.5 * epsw * g_c
                     w_n = w_c + epsw * m * p_half
                     (v_n, a_n), gl_n = b_vg(w_n)
                     g_n = _g_post(gl_n, w_n, tau_cur, adapttemp, vr_args)
                     p_n = p_half + 0.5 * epsw * g_n
+                    if chees_on:
+                        # chains whose trajectory already ended carry through
+                        upd = n < l_steps
+                        uw = upd[:, None]
+                        w_n = jnp.where(uw, w_n, w_c)
+                        p_n = jnp.where(uw, p_n, p_c)
+                        g_n = jnp.where(uw, g_n, g_c)
+                        gl_n = jnp.where(uw, gl_n, gl_c)
+                        v_n = jnp.where(upd, v_n, v_c)
+                        a_n = jnp.where(
+                            upd.reshape((c,) + (1,) * (a_n.ndim - 1)),
+                            a_n,
+                            a_c,
+                        )
                     return (w_n, p_n, g_n, gl_n, v_n, a_n), None
 
                 carry0 = (
@@ -1573,7 +1641,9 @@ def make_step_fn(
                     jnp.zeros(ash.shape, ash.dtype),
                 )
                 (w_prop, p_end, _ge, g_like_prop, val, aux), _ = jax.lax.scan(
-                    leap, carry0, None, length=cfg.hmc_leapfrog
+                    leap,
+                    carry0,
+                    jnp.arange(cfg.hmc_leapfrog, dtype=jnp.int32),
                 )
                 k_end = 0.5 * jnp.sum(m * jnp.square(p_end), axis=-1)
                 diff_hmc = k_init - k_end
@@ -1800,6 +1870,69 @@ def make_step_fn(
             new_state = new_state._replace(
                 log_step_w=new_lsw, pc_mean=mean_new, pc_m2=m2_new
             )
+            if chees_on:
+                # ChEES gradient ascent on log trajectory length (Hoffman
+                # et al. 2021 eq. 8, adapted to tempering): expectations are
+                # per-RUNG means over the R ladder replicas; norms/inner
+                # products live in the preconditioned metric z = sqrt(m) w,
+                # where |z|^2 = sum(m w^2) and <z' - zbar', p'_z> reduces to
+                # the PLAIN <w' - wbar', p'> (p_z = p / sqrt(m) cancels m).
+                n_lad, k_rung = cfg.n_ladders, cfg.rungs_per_ladder
+
+                def _rung_mean(x):
+                    xr = x.reshape(n_lad, k_rung, -1)
+                    mu = jnp.mean(xr, axis=0, keepdims=True)
+                    return jnp.broadcast_to(mu, xr.shape).reshape(c, -1)
+
+                dxp = w_prop - _rung_mean(w_prop)
+                dx = state.w - _rung_mean(state.w)
+                dsq = jnp.sum(m * jnp.square(dxp), -1) - jnp.sum(
+                    m * jnp.square(dx), -1
+                )
+                inner = jnp.sum(dxp * p_end, -1)
+                # per-chain estimator, acceptance-weighted and rung-averaged
+                g_c = mh_prob * dsq * inner * u_traj
+                wsum = jnp.maximum(mh_prob.reshape(n_lad, k_rung).sum(0), 1e-6)
+                g_rung = jnp.broadcast_to(
+                    (g_c.reshape(n_lad, k_rung).sum(0) / wsum)[None, :],
+                    (n_lad, k_rung),
+                ).reshape(c)
+                # chain rule to log-space (d tau / d log_traj = tau), then
+                # Adam; frozen with everything else at burn-in end
+                g_log = g_rung * tau_traj
+                live_tr = jnp.logical_and(i >= warm_end, i < burn_end_p)
+                t_ad = jnp.maximum(
+                    (jnp.minimum(i, burn_end_p) - warm_end).astype(
+                        jnp.float32
+                    )
+                    + 1.0,
+                    1.0,
+                )
+                m1 = jnp.where(
+                    live_tr, 0.9 * state.chees_m1 + 0.1 * g_log, state.chees_m1
+                )
+                v2 = jnp.where(
+                    live_tr,
+                    0.999 * state.chees_v2 + 0.001 * jnp.square(g_log),
+                    state.chees_v2,
+                )
+                step_ad = (
+                    cfg.chees_rate
+                    * (m1 / (1.0 - 0.9**t_ad))
+                    / (jnp.sqrt(v2 / (1.0 - 0.999**t_ad)) + 1e-8)
+                )
+                new_lt = jnp.clip(
+                    state.log_traj + jnp.where(live_tr, step_ad, 0.0),
+                    jnp.log(1e-4),
+                    # cap the MEAN length at what the static bound can
+                    # realize (u <= 1), else the gradient pushes into a
+                    # regime the clip on l_steps silently ignores
+                    jnp.log(eps * cfg.hmc_leapfrog),
+                )
+                new_state = new_state._replace(
+                    log_traj=new_lt, chees_m1=m1, chees_v2=v2
+                )
+                trace["traj_len"] = l_steps.astype(jnp.float32)
             new_state = jax.lax.cond(
                 _swap_due(i),
                 lambda s: do_swap(s, i, ks),
