@@ -47,10 +47,13 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   are latency-free on a chip, so this is pure quality-per-
                   second gain (results/ladder_ensembles.md: 19x the 1x64
                   ladder at equal RMSE and equal steps/s)
-  * hmc4_8x8    — the QUALITY flagship: 4-leapfrog HMC on 8 replicated
-                  8-rung ladders — cold-chain test RMSE ~half the
-                  reference's committed number at 4x the 1x64 mala's
-                  pooled ESS/s
+  * chees16_16x4 — the QUALITY flagship: ChEES-adapted HMC
+                  (hmc_adapt_traj, trajectory bound 16, realized mean
+                  L~7 chosen by the cross-replica criterion — no hand
+                  tuning) on 16 replicated 4-rung ladders. Beats every
+                  fixed-L variant measured on BOTH axes at once
+                  (results/chees_study.md: RMSE 0.0103 at 6,230 pooled
+                  cold ESS/s)
 
 Reference quality bar: committed Sunspot RW test RMSE 0.0239
 (multicore-pt-regression/Res_RW/master_result_file.txt:2).
@@ -128,11 +131,12 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             warmstart_frac=0.1,
             precond_start_frac=0.3,
         ).validate(),
-        "hmc4_8x8": dataclasses.replace(
+        "chees16_16x4": dataclasses.replace(
             cfg,
             proposal="hmc",
-            hmc_leapfrog=4,
-            n_ladders=8,
+            hmc_leapfrog=16,
+            hmc_adapt_traj=True,
+            n_ladders=16,
             adapt_rate=0.1,
             swap_style="even_odd",
             swap_interval=10,
@@ -273,7 +277,7 @@ def main() -> None:
                 "roundtrips_per_kstep": roundtrips,
                 "ref_rmse_test": 0.0239,
                 "flagship": "mala_16x4",
-                "flagship_quality": "hmc4_8x8",
+                "flagship_quality": "chees16_16x4",
             }
         )
     )

@@ -136,6 +136,13 @@ def main(argv=None) -> None:
         "even_odd is the vectorized DEO scheme, recommended with --mala "
         "and small --swap-interval)",
     )
+    p.add_argument(
+        "--ladders", type=int, default=1,
+        help="replicated tempering ensembles (PTConfig.n_ladders): spend "
+        "the chain budget as R independent (chains/R)-rung ladders; the R "
+        "cold chains pool in the cold-only summary "
+        "(results/ladder_ensembles.md)",
+    )
     args = p.parse_args(argv)
 
     if args.lr is None:
@@ -158,6 +165,7 @@ def main(argv=None) -> None:
         ),
         swap_interval=args.swap_interval,
         step_w=args.step_w,
+        n_ladders=args.ladders,
         drift_chain_microbatch=(
             args.drift_microbatch
             if args.drift_microbatch
@@ -219,6 +227,14 @@ def main(argv=None) -> None:
         f"swap%={summary.swap_perc:.2f} "
         f"({res.chain_steps_per_sec:,.0f} chain-steps/s) -> {path}"
     )
+    if args.ladders > 1:
+        # the statistically meaningful posterior summary: the R independent
+        # cold (T=1) chains pooled, vs the whole-ladder pool above
+        cold = results_mod.summarize(res, prob.name, cold_only=True)
+        print(
+            f"[{prob.name}] cold chains x{args.ladders}: "
+            f"test_acc mean={cold.test_mean:.2f} max={cold.test_best:.2f}"
+        )
 
 
 if __name__ == "__main__":
