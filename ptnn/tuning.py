@@ -72,6 +72,13 @@ def tune_ladder(
     Returns the tuned ladder (NOT re-measured after the last adjustment),
     the per-round history, and the chain-count suggestion derived from the
     final barrier estimate.
+
+    Replicated ladders (``cfg.n_ladders > 1``) make the pilot R times
+    cheaper per unit of precision: every replica measures the same
+    (K-1)-pair rejection profile, so the profiles pool across replicas and
+    all returned/record arrays are PER-LADDER (length K / K-1) — the tuned
+    schedule feeds straight back into ``custom_ladder``, which tiles.
+    ``suggested_num_chains`` is then rungs per ladder.
     """
     from ptnn import sampler as sampler_mod
 
@@ -97,11 +104,25 @@ def tune_ladder(
             ).validate()
         )
         rej_acc, swap_acc, temps_used = [], [], None
+        k = pilot.rungs_per_ladder
         for seed in seeds:
             res = sampler_mod.sample(cur, train, test, seed=seed, mesh=mesh)
-            rej_acc.append(1.0 - res.pair_swap_accept)
+            acc = res.pair_swap_accept  # (C-1,)
+            if pilot.n_ladders > 1:
+                # replicated ladders: every replica measures the SAME
+                # (K-1)-pair profile (boundary pairs are masked, never
+                # proposed) — pooling the R profiles cuts the estimator
+                # variance ~R-fold per pilot
+                acc = np.mean(
+                    [
+                        acc[r * k : r * k + k - 1]
+                        for r in range(pilot.n_ladders)
+                    ],
+                    axis=0,
+                )
+            rej_acc.append(1.0 - acc)
             swap_acc.append(res.swap_percent)
-            temps_used = res.temperatures
+            temps_used = res.temperatures[:k]
         rej = np.mean(rej_acc, axis=0)
         history.append(
             TuneRound(

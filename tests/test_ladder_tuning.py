@@ -198,3 +198,30 @@ def test_feedback_rounds_equalize_rejections(sunspot):
         num_chains=8,
         custom_ladder=tuple(float(t) for t in out.temperatures),
     ).validate()
+
+
+def test_tune_ladder_pools_replicated_ladders(sunspot):
+    """With replicated ladders the tuner returns PER-LADDER arrays and its
+    rejection profile equals the manual pooling of the R replicas' pair
+    stats from an identical pilot run."""
+    cfg = _cfg(num_chains=8, n_ladders=2, maxtemp=5.0)
+    out = tuning.tune_ladder(cfg, *sunspot, rounds=1, seeds=(0,))
+    k = cfg.rungs_per_ladder
+    assert out.history[0].temperatures.shape == (k,)
+    assert out.history[0].pair_reject.shape == (k - 1,)
+    assert out.temperatures.shape == (k,)
+    # manual pooling from the same pilot config/seed
+    pilot = dataclasses.replace(
+        cfg, pt_phase_frac=2.0, record_fx=False, record_w=False,
+        track_replicas=False,
+    ).validate()
+    res = sample(pilot, *sunspot, seed=0)
+    acc = np.mean(
+        [res.pair_swap_accept[r * k : r * k + k - 1] for r in range(2)],
+        axis=0,
+    )
+    np.testing.assert_allclose(out.history[0].pair_reject, 1.0 - acc)
+    # tuned schedule is a valid per-ladder custom_ladder for the SAME config
+    dataclasses.replace(
+        cfg, custom_ladder=tuple(float(t) for t in out.temperatures)
+    ).validate()
