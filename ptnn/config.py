@@ -368,7 +368,10 @@ class PTConfig:
     # Record the pos_w trace for only the first k chains (0 = all). The
     # trace is (samples, k, w_size): at 1024+ chains a full-w trace is a
     # multi-100MB host fetch per run — cold-chain-only (k=1) keeps ESS
-    # diagnostics cheap on the tunneled backend.
+    # diagnostics cheap on the tunneled backend. Under replicated ladders
+    # (n_ladders > 1) the k traced chains are the first k COLD rungs
+    # (stride rungs_per_ladder), so k=n_ladders captures exactly the
+    # independent posterior samplers.
     record_w_chains: int = 0
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     # Record the post-MH post-swap UNTEMPERED state log-likelihood per rung

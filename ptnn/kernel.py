@@ -523,9 +523,17 @@ def make_step_fn(
     learn_rate = cfg.learn_rate if learn_rate_t is None else learn_rate_t
 
     def _w_trace(w_last: jax.Array) -> jax.Array:
-        # cfg.record_w_chains: trace only the first k chains' pos_w rows
+        # cfg.record_w_chains: trace only the first k chains' pos_w rows.
+        # Under replicated ladders (cfg.n_ladders) "first k chains" would be
+        # one cold rung plus hot rungs of ladder 0 — record the first k COLD
+        # rungs (stride rungs_per_ladder) instead, so k=n_ladders captures
+        # exactly the independent posterior samplers.
         k = cfg.record_w_chains
-        return w_last[:k] if k > 0 else w_last
+        if k <= 0:
+            return w_last
+        if cfg.n_ladders > 1:
+            return w_last[:: cfg.rungs_per_ladder][:k]
+        return w_last[:k]
 
     def _swap_due(i) -> jax.Array:
         if swap_interval_t is None:

@@ -205,3 +205,17 @@ def test_roundtrip_stats_per_ladder():
     # same trace read as ONE 6-rung ladder: no replica touches rung 5 -> 0 trips
     st1 = rt_mod.roundtrip_stats(rid)
     assert int(st1.round_trips.sum()) == 0
+
+
+def test_record_w_chains_records_cold_rungs(sunspot):
+    """Under replicated ladders record_w_chains=k traces the first k COLD
+    rungs (stride K), not the first k chain indices."""
+    cfg_all = ladder_cfg()
+    cfg_k = ladder_cfg(record_w_chains=2)
+    r_all = sample(cfg_all, *sunspot, seed=13)
+    r_k = sample(cfg_k, *sunspot, seed=13)
+    k = cfg_all.rungs_per_ladder
+    assert r_k.traces["w"].shape[1] == 2
+    np.testing.assert_array_equal(
+        r_k.traces["w"], r_all.traces["w"][:, [0, k], :]
+    )
