@@ -190,30 +190,34 @@ def from_samples(
     sample i of column r distributed under the rung-r path member."""
     ll = np.asarray(ll, np.float64)
     betas = 1.0 / np.asarray(temperatures, np.float64)
-    order = np.argsort(betas)
-    betas = betas[order]
-    ll = ll[:, order]
-    if len(betas) < 2:
+    # Pool duplicate-beta columns: under replicated ladders
+    # (PTConfig.n_ladders) every rung appears once per ladder and the R
+    # replicas' draws are same-path samples — pooling multiplies the draws
+    # behind each rung's expectation by R. With a plain ladder this is a
+    # no-op (unique betas, one column each).
+    ub = np.unique(betas)  # ascending
+    if len(ub) < 2:
         raise ValueError("evidence integration needs at least 2 rungs")
-
-    mean_ll = ll.mean(axis=0)
+    cols = [ll[:, betas == b].T.reshape(-1) for b in ub]
+    betas = ub
+    mean_ll = np.asarray([c.mean() for c in cols])
     ti = float(np.trapz(mean_ll, betas))
 
     # stepping stone: sum_k logmeanexp((b_{k+1}-b_k) * ll_k) using rung k's
     # own samples (the colder ratio endpoint is estimated from the warmer
     # rung — the standard direction, whose importance weights are bounded)
     db = np.diff(betas)  # (R-1,)
-    z = db[None, :] * ll[:, :-1]  # (n, R-1)
-    zmax = z.max(axis=0)
-    ss = float(
-        np.sum(zmax + np.log(np.mean(np.exp(z - zmax), axis=0)))
-    )
+    ss = 0.0
+    for k in range(len(db)):
+        z = db[k] * cols[k]
+        zmax = z.max()
+        ss += float(zmax + np.log(np.mean(np.exp(z - zmax))))
     return EvidenceEstimate(
         log_z_ti=ti,
         log_z_ss=ss,
         betas=betas,
         mean_ll=mean_ll,
-        n_samples=ll.shape[0],
+        n_samples=len(cols[0]),
         window=window,
         log_z0=log_z0,
     )

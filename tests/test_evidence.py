@@ -196,3 +196,24 @@ def test_window_validation():
         evidence.from_samples(np.zeros((10, 1)), np.array([1.0]))
     with pytest.raises(ValueError, match="record_ll_state"):
         evidence.from_traces({}, np.array([1.0, 2.0]), None)
+
+
+def test_from_samples_pools_duplicate_betas():
+    """Replicated ladders hand from_samples a tiled temperature array; the
+    duplicate-beta columns must pool into one rung with R x the draws —
+    identical to stacking the replicas' draw rows on a single ladder."""
+    rng = np.random.default_rng(7)
+    k, n = 4, 50
+    temps = np.array([1.0, 2.0, 4.0, 8.0])
+    ll_a = rng.normal(-10.0, 1.0, size=(n, k))
+    ll_b = rng.normal(-10.0, 1.0, size=(n, k))
+    tiled = evidence.from_samples(
+        np.concatenate([ll_a, ll_b], axis=1), np.tile(temps, 2)
+    )
+    stacked = evidence.from_samples(
+        np.concatenate([ll_a, ll_b], axis=0), temps
+    )
+    assert tiled.log_z_ti == pytest.approx(stacked.log_z_ti)
+    assert tiled.log_z_ss == pytest.approx(stacked.log_z_ss)
+    assert tiled.n_samples == 2 * n
+    np.testing.assert_allclose(tiled.betas, stacked.betas)
