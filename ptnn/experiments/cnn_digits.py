@@ -103,6 +103,11 @@ def main(argv=None) -> None:
         "--adapt/--lr (the epoch-drift machinery is bypassed entirely)",
     )
     p.add_argument(
+        "--hmc", type=int, default=0, metavar="L",
+        help="preconditioned HMC-within-PT with L leapfrog steps "
+        "(PTConfig.proposal='hmc'); supersedes --mala/--adapt/--lr",
+    )
+    p.add_argument(
         "--sgld-batch", type=int, default=0, metavar="B",
         help="replica-exchange stochastic-gradient Langevin dynamics "
         "(PTConfig.proposal='sgld'): per-step minibatch of B rows instead "
@@ -160,7 +165,7 @@ def main(argv=None) -> None:
             num_samples=args.chains * args.steps,
             num_chains=args.chains,
             maxtemp=args.maxtemp,
-            use_langevin_gradients=not args.mala,
+            use_langevin_gradients=not (args.mala or args.hmc),
             learn_rate=args.lr,
         ),
         swap_interval=args.swap_interval,
@@ -176,12 +181,18 @@ def main(argv=None) -> None:
                 if args.chains >= 1024 and args.chains % m == 0
             ) if args.chains >= 1024 else 1
         ),
-        adapt_step_size=args.adapt and not (args.mala or args.sgld_batch),
+        adapt_step_size=args.adapt
+        and not (args.mala or args.hmc or args.sgld_batch),
         proposal=(
             "sgld"
             if args.sgld_batch
-            else ("precond_mala" if args.mala else "reference")
+            else (
+                "hmc"
+                if args.hmc
+                else ("precond_mala" if args.mala else "reference")
+            )
         ),
+        hmc_leapfrog=args.hmc or 8,
         precond_power=args.precond_power,
         precond_start_frac=args.precond_start,
         warmstart_frac=0.0 if args.sgld_batch else args.warmstart_frac,

@@ -223,3 +223,23 @@ def test_sgld_checkpoint_resume_identical(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(full.final_state.w), np.asarray(r.final_state.w)
         )
+
+
+def test_sgld_respects_replicated_ladders():
+    """reSGLD composes with n_ladders: swap pairs never cross a ladder
+    boundary in either sg_swap mode (the pair mask applies to the sgld
+    swap path via do_swap like every other proposal)."""
+    prob = load_regression("Sunspot")
+    for mode in ("exact", "corrected"):
+        cfg = _sgld_cfg(
+            n_ladders=2, track_replicas=True, sg_swap=mode,
+            num_samples=8 * 600, chunk_steps=200,
+        )
+        res = ptnn.sample(cfg, prob.train, prob.test, seed=4)
+        k = cfg.rungs_per_ladder
+        rid = np.asarray(res.traces["replica"])
+        np.testing.assert_array_equal(
+            rid // k,
+            np.broadcast_to(np.arange(cfg.num_chains) // k, rid.shape),
+        )
+        assert int(res.final_state.n_swap_accepted) > 0
