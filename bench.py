@@ -26,6 +26,13 @@ variance, so single-shot numbers are meaningless):
 Variants (canonical names — COVERAGE/README cite this file's output):
   * rw          — the reference's headline random-walk mode, reference swap
                   machinery (bubbling sweep every 100 steps)
+  * rw_fused    — the SAME sampler, executed as fused Pallas blocks
+                  (PTConfig.fused_step: each inter-swap interval is ONE
+                  kernel invocation with chain state resident in VMEM, so
+                  the per-step dispatch floor amortizes over the interval;
+                  ptnn/fused.py). Statistically the same chain (tested);
+                  RNG stream differs, so its quality figures are an
+                  independent draw, not a paired comparison.
   * rw_adaptive — rw + per-chain Robbins-Monro step-size adaptation
                   (formerly reported as "adaptive")
   * lg_pallas   — reference Langevin proposals via the Pallas drift kernel
@@ -98,6 +105,7 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
     ).validate()
     out = {
         "rw": cfg,
+        "rw_fused": dataclasses.replace(cfg, fused_step=True).validate(),
         "rw_adaptive": dataclasses.replace(
             cfg, adapt_step_size=True, adapt_rate=0.1
         ).validate(),
@@ -259,12 +267,17 @@ def main() -> None:
             f", roundtrips/1k {roundtrips[tag]}"
         )
 
-    value, iqr = _median_iqr(reps["rw"])
+    # headline: the fastest execution of the reference RW sampler (the
+    # fused-block path when it wins, the per-step scan otherwise — same
+    # sampler, two execution strategies)
+    head_tag = max(("rw", "rw_fused"), key=lambda t: _median_iqr(reps[t])[0])
+    value, iqr = _median_iqr(reps[head_tag])
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
     print(
         json.dumps(
             {
                 "metric": "sunspot_rw_pt_chain_steps_per_sec_64chains_1chip",
+                "headline_variant": head_tag,
                 "value": round(value, 1),
                 "unit": "chain-steps/s",
                 "vs_baseline": round(value / baseline, 2),

@@ -388,6 +388,14 @@ class PTConfig:
     # swap%% scalar cannot distinguish from neighbor ping-ponging.
     track_replicas: bool = False
     chunk_steps: int = 1000  # steps per jitted chunk (host streaming cadence)
+    # Fused-block execution (TPU-first; NOT reference behavior; ptnn/fused.py
+    # + ops/pallas_step.py): run every inter-swap interval as ONE Pallas
+    # kernel invocation with chain state resident in VMEM, so the per-step
+    # scan dispatch floor (~20-40 us, fnn_roofline.md) amortizes over the
+    # whole interval. Identical sampling semantics (pinned vs an oracle and
+    # vs the per-step path); different RNG stream, so cross-path parity is
+    # distributional. Scope: reference RW regression, single device, f32.
+    fused_step: bool = False
     # Unroll factor for the main step lax.scan (identical sampling
     # semantics at any value; results are bit-equal). Measured NEUTRAL on
     # the FNN-scale step (fnn_roofline.md "unroll ablation"): the ~20 us
@@ -715,6 +723,28 @@ class PTConfig:
                 "the beta=0 rung would random-walk a distribution it could "
                 "sample IID)"
             )
+        if self.fused_step:
+            if self.task != "regression":
+                raise ValueError(
+                    "fused_step covers the regression task (the headline "
+                    "bench path); classification keeps the per-step sampler"
+                )
+            if self.proposal != "reference" or self.use_langevin_gradients:
+                raise ValueError(
+                    "fused_step covers the reference RW proposal; gradient "
+                    "modes keep the per-step sampler"
+                )
+            if self.use_surrogate or self.variational_reference:
+                raise ValueError(
+                    "fused_step excludes surrogate/variational-reference "
+                    "machinery"
+                )
+            if self.record_fx or self.record_ll_state:
+                raise ValueError(
+                    "fused_step does not record fx/ll_cur traces"
+                )
+            if self.eval_dtype != "float32":
+                raise ValueError("fused_step is float32-only")
         if self.num_chains < 2 and self.swaps_enabled:
             raise ValueError(
                 "need at least 2 chains for parallel tempering (single-chain "

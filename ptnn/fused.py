@@ -1,0 +1,449 @@
+"""Fused-block sampling drivers (PTConfig.fused_step).
+
+The standard sampler advances one MCMC step per `lax.scan` iteration, paying
+a fixed ~20-40 us of per-iteration kernel sequencing on TPU regardless of how
+small the model is (fnn_roofline.md). Here the run is re-cut at its replica-
+exchange boundaries: every inter-swap interval becomes ONE invocation of the
+fused Pallas block kernel (ops/pallas_step.py) that executes the whole
+interval's steps with chain state resident in VMEM, and only the swap sweep
+itself (plus the 60% temper-switch recompute) stays at the XLA level, where
+it reuses the exact same `do_swap` / `recompute_ll` closures as the per-step
+path (kernel.make_step_fn) — so swap semantics, counters, pair statistics,
+replica tracking and ensemble pair masks are shared, not re-implemented.
+
+Scope (validated by PTConfig.validate + `fused_reason`): the reference
+random-walk regression path — the headline bench mode — single device,
+float32, no surrogate/VR/fx machinery. Everything else keeps the per-step
+sampler; `ptnn.sample` / throughput dispatch transparently on cfg.fused_step.
+
+Statistical equivalence with the per-step path is tested
+(tests/test_fused_driver.py); bit-level step semantics are pinned against an
+independent oracle in tests/test_pallas_step.py. RNG streams differ from the
+per-step path by construction (noise is drawn per block, not per step), so
+cross-path parity is distributional — exactly like the reference itself
+(SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptnn import kernel
+from ptnn.compat import fast_jit
+from ptnn.config import PTConfig
+from ptnn.ops import ladder
+from ptnn.ops import pallas_step as ps
+
+LANES = ps.LANES
+
+
+def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
+    """Why the fused path CANNOT run this config (None = supported)."""
+    if cfg.task != "regression":
+        return "fused_step supports the regression task (phase 1)"
+    if cfg.proposal != "reference" or cfg.use_langevin_gradients:
+        return "fused_step supports the reference RW proposal"
+    if cfg.use_surrogate or cfg.variational_reference:
+        return "fused_step excludes surrogate/variational-reference modes"
+    if cfg.record_fx or cfg.record_ll_state:
+        return "fused_step does not record fx/ll_cur traces"
+    if cfg.eval_dtype != "float32":
+        return "fused_step is float32-only"
+    if mesh is not None:
+        return "fused_step is single-device (chain axis on lanes)"
+    if model_spec is not None and model_spec.name != "fnn":
+        return "fused_step supports the reference FNN spec"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Block planning: cut [0, n_steps) at swap events and the temper switch.
+
+
+def _swap_due_host(cfg: PTConfig, i: int) -> bool:
+    si = cfg.swap_interval
+    if si <= 0 or si > cfg.n_steps:
+        return False
+    k = i + cfg.swap_offset
+    return k % si == 0 and k > 0
+
+
+def block_plan(
+    cfg: PTConfig, k_cap: int = 128
+) -> List[List[Tuple[int, int, bool]]]:
+    """Per segment (split at the temper switch), a list of
+    ``(start, length, swap_after)`` blocks covering the segment, each block
+    at most ``k_cap`` steps and ending at a swap event iff ``swap_after``."""
+    n = cfg.n_steps
+    switch = cfg.temper_switch_step
+    seg_bounds = (
+        [(0, switch), (switch, n)] if 0 < switch < n else [(0, n)]
+    )
+    segments = []
+    for a, b in seg_bounds:
+        points = [a]
+        for i in range(a, b):
+            if _swap_due_host(cfg, i) and i + 1 < b:
+                points.append(i + 1)
+        points.append(b)
+        blocks = []
+        for lo, hi in zip(points, points[1:]):
+            # subdivide long pieces; only the LAST sub-piece may end at a
+            # swap event
+            cur = lo
+            while hi - cur > k_cap:
+                blocks.append((cur, k_cap, False))
+                cur += k_cap
+            blocks.append((cur, hi - cur, _swap_due_host(cfg, hi - 1)))
+        segments.append(blocks)
+    return segments
+
+
+# ---------------------------------------------------------------------------
+# ChainState <-> kernel-layout conversion.
+
+
+def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt):
+    c, w = st.w.shape
+
+    def pad_pc(a):  # (C, W) -> (P, C)
+        return jnp.pad(a.T, ((0, p_pad - w), (0, c_pad - c)))
+
+    def pad_1c(a, dtype=jnp.float32):  # (C,) -> (1, C)
+        return jnp.pad(a.astype(dtype), (0, c_pad - c)).reshape(1, c_pad)
+
+    lsw = (
+        st.log_step_w
+        if adapt
+        else jnp.zeros((c,), jnp.float32)
+    )
+    return dict(
+        w=pad_pc(st.w),
+        w_last=pad_pc(st.w_last),
+        eta=pad_1c(st.eta),
+        ll=pad_1c(st.ll),
+        prior=pad_1c(st.prior),
+        rmse_train=pad_1c(st.rmse_train),
+        rmse_test=pad_1c(st.rmse_test),
+        n_accept=pad_1c(st.n_accept, jnp.int32),
+        log_step_w=pad_1c(lsw),
+    )
+
+
+def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt):
+    c, w = st.w.shape
+    take_pc = lambda a: a[:w, :c].T
+    take_1c = lambda a: a[0, :c]
+    out = st._replace(
+        w=take_pc(ks["w"]),
+        w_last=take_pc(ks["w_last"]),
+        eta=take_1c(ks["eta"]),
+        ll=take_1c(ks["ll"]),
+        prior=take_1c(ks["prior"]),
+        rmse_train=take_1c(ks["rmse_train"]),
+        rmse_test=take_1c(ks["rmse_test"]),
+        n_accept=take_1c(ks["n_accept"]),
+    )
+    if adapt:
+        out = out._replace(log_step_w=take_1c(ks["log_step_w"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shared machinery for both drivers.
+
+
+class _Fused:
+    def __init__(self, cfg: PTConfig, train, test, seed, model_spec=None,
+                 record_w: bool = False, interpret: Optional[bool] = None):
+        if interpret is None:
+            # off-TPU (CPU test tier) the Mosaic kernel only runs interpreted
+            interpret = jax.default_backend() != "tpu"
+        from ptnn import sampler as sampler_mod
+
+        reason = fused_reason(cfg, model_spec=model_spec)
+        if reason is not None:
+            raise ValueError(f"fused_step unsupported here: {reason}")
+        self.cfg = cfg
+        self.data = sampler_mod.make_dataset(cfg, train, test)
+        if self.data.mask_train is not None or self.data.w_mask is not None:
+            raise ValueError("fused_step does not support padded datasets")
+        self.temps_host = ladder.build_temperatures(cfg)
+        self.temps = jnp.asarray(self.temps_host, jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        self.k_init, self.k_run = jax.random.split(key)
+        self.spec = (
+            model_spec if model_spec is not None else kernel.default_spec(cfg)
+        )
+        # the per-step machinery supplies do_swap / recompute_ll closures
+        self.step = kernel.make_step_fn(cfg, self.data, self.temps, self.spec)
+        self.record_w = record_w and cfg.record_w
+        self.interpret = interpret
+
+        c = cfg.num_chains
+        self.c_pad = ((c + LANES - 1) // LANES) * LANES
+        self.p_pad = ((self.spec.w_size + 7) // 8) * 8
+        self.plan = block_plan(cfg)
+        self.k_max = max(
+            ln for seg in self.plan for (_s, ln, _f) in seg
+        )
+        self.kdata = ps.prep_data(
+            self.data.x_train, self.data.y_train,
+            self.data.x_test, self.data.y_test,
+        )
+        self.scal = dict(
+            step_w=cfg.step_w, step_eta=cfg.step_eta, sigma_sq=cfg.sigma_sq,
+            nu_1=cfg.nu_1, nu_2=cfg.nu_2, adapt=cfg.adapt_step_size,
+            adapt_rate=cfg.adapt_rate, adapt_target=cfg.adapt_target_accept,
+            burn_end=int(cfg.samples_per_chain * cfg.burn_in) - 1,
+        )
+        # (P, 1) mask zeroing proposal noise on padded weight rows
+        self.row_mask = (
+            jnp.arange(self.p_pad) < self.spec.w_size
+        ).astype(jnp.float32)[:, None]
+        temps_pad = np.ones((1, self.c_pad), np.float32)
+        temps_pad[0, :c] = self.temps_host
+        self.temps_pad = jnp.asarray(temps_pad)
+        self.switch = cfg.temper_switch_step
+
+    def init_state(self) -> kernel.ChainState:
+        return kernel.init_state(self.k_init, self.cfg, self.data, self.spec)
+
+    def _w_trace(self, w_rows: jax.Array) -> jax.Array:
+        """(K, C, W) -> the recorded slice (kernel._w_trace semantics)."""
+        cfg = self.cfg
+        k = cfg.record_w_chains
+        if k <= 0:
+            return w_rows
+        if cfg.n_ladders > 1:
+            return w_rows[:, :: cfg.rungs_per_ladder][:, :k]
+        return w_rows[:, :k]
+
+    def block_body(self, st: kernel.ChainState, xs):
+        """One fused block + boundary swap; scan-compatible."""
+        start, length, swap_flag = xs
+        cfg = self.cfg
+        kb = jax.random.fold_in(self.k_run, start)
+        kp, ke, ku, ks = jax.random.split(kb, 4)
+        noise_w = (
+            jax.random.normal(
+                kp, (self.k_max, self.p_pad, self.c_pad), jnp.float32
+            )
+            * self.row_mask
+        )
+        noise_eta = jax.random.normal(
+            ke, (self.k_max, self.c_pad), jnp.float32
+        )
+        u = jax.random.uniform(ku, (self.k_max, self.c_pad), jnp.float32)
+        adapttemp = jnp.where(start < self.switch, self.temps_pad, 1.0)
+        ksd, traces = ps.fused_rw_block_impl(
+            _to_kernel_state(st, self.p_pad, self.c_pad, cfg.adapt_step_size),
+            noise_w, noise_eta, u, start, length, self.kdata, adapttemp,
+            cfg.topology, self.scal, record_w=self.record_w,
+            interpret=self.interpret,
+        )
+        st2 = _from_kernel_state(st, ksd, cfg.adapt_step_size)
+        i_swap = start + length - 1
+        st3 = jax.lax.cond(
+            swap_flag,
+            lambda s: self.step.do_swap(s, i_swap, ks),
+            lambda s: s,
+            st2,
+        )
+        c = cfg.num_chains
+        out = {
+            "ll": traces["ll"][:, :c],
+            "rmse_train": traces["rmse_train"][:, :c],
+            "rmse_test": traces["rmse_test"][:, :c],
+            "acc_train": jnp.zeros((self.k_max, c), jnp.float32),
+            "acc_test": jnp.zeros((self.k_max, c), jnp.float32),
+            "accept_count": traces["accept_count"][:, :c],
+        }
+        if self.record_w:
+            w_rows = jnp.transpose(traces["w"], (0, 2, 1))[
+                :, :c, : self.spec.w_size
+            ]
+            out["w"] = self._w_trace(w_rows)
+        if cfg.track_replicas:
+            reps = jnp.broadcast_to(
+                st.replica_id, (self.k_max, c)
+            )
+            # the swap-boundary step records the POST-swap identities
+            reps = jax.lax.dynamic_update_slice(
+                reps, st3.replica_id[None, :], (length - 1, 0)
+            )
+            out["replica"] = reps
+        return st3, out
+
+
+def _pack_xs(blocks: List[Tuple[int, int, bool]]):
+    starts = jnp.asarray([b[0] for b in blocks], jnp.int32)
+    lengths = jnp.asarray([b[1] for b in blocks], jnp.int32)
+    flags = jnp.asarray([b[2] for b in blocks], bool)
+    return (starts, lengths, flags)
+
+
+def sample_fused(
+    cfg: PTConfig,
+    train: np.ndarray,
+    test: np.ndarray,
+    seed: int = 0,
+    mesh=None,
+    init_state=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
+    model_spec=None,
+):
+    """Fused-block analogue of sampler.sample (trace-compatible)."""
+    from ptnn import sampler as sampler_mod
+
+    cfg.validate()
+    if mesh is not None:
+        raise ValueError("fused_step is single-device; pass mesh=None")
+    if checkpoint_path is not None:
+        raise ValueError(
+            "fused_step does not checkpoint (chunk boundaries are "
+            "swap-aligned, not step-aligned); run with fused_step=False "
+            "for checkpointed runs"
+        )
+    eng = _Fused(cfg, train, test, seed, model_spec, record_w=True)
+    state = init_state if init_state is not None else fast_jit(
+        eng.init_state
+    )()
+
+    # group each segment's blocks into fixed-size scan chunks (dummy blocks
+    # of length 0 pad the tail so every chunk shares one compiled scan)
+    group = max(1, int(np.ceil(cfg.chunk_steps / eng.k_max)))
+
+    def run_group(st, xs):
+        return jax.lax.scan(eng.block_body, st, xs)
+
+    run_group_j = fast_jit(run_group)
+    recompute = fast_jit(eng.step.recompute_ll)
+
+    host_chunks: List[Dict[str, np.ndarray]] = []
+    pending = None  # (device traces, lengths) fetched lazily
+    t0 = time.perf_counter()
+    for si, seg in enumerate(eng.plan):
+        if si > 0:
+            state = recompute(state)
+        for gi in range(0, len(seg), group):
+            blocks = seg[gi : gi + group]
+            lengths = [b[1] for b in blocks]
+            while len(blocks) < group:
+                blocks = blocks + [(0, 0, False)]
+            state, traces = run_group_j(state, _pack_xs(blocks))
+            if pending is not None:
+                host_chunks.append(_fetch(*pending))
+            pending = (traces, lengths)
+    if pending is not None:
+        host_chunks.append(_fetch(*pending))
+    state = jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    merged: Dict[str, np.ndarray] = {}
+    for name in host_chunks[0]:
+        arr = np.concatenate([c[name] for c in host_chunks], axis=0)
+        if name == "w":
+            row0 = np.ones((1,) + arr.shape[1:], arr.dtype)
+        elif name == "ll":
+            row0 = np.full((1,) + arr.shape[1:], -100.0, arr.dtype)
+        elif name == "replica":
+            row0 = np.arange(arr.shape[1], dtype=arr.dtype)[None, :]
+        else:
+            row0 = np.zeros((1,) + arr.shape[1:], arr.dtype)
+        merged[name] = np.concatenate([row0, arr], axis=0)
+
+    samples = cfg.samples_per_chain
+    n_acc = np.asarray(state.n_accept)
+    n_sw_prop = int(state.n_swap_proposed)
+    pair_sum = np.asarray(state.pair_accept_sum)[:-1]
+    pair_cnt = np.asarray(state.pair_prop_count)[:-1]
+    return sampler_mod.SampleResult(
+        traces=merged,
+        final_state=jax.device_get(state),
+        temperatures=np.asarray(eng.temps_host),
+        accept_ratio_per_chain=n_acc * 100.0 / samples,
+        swap_percent=(
+            100.0 * int(state.n_swap_accepted) / n_sw_prop if n_sw_prop else 0.0
+        ),
+        langevin_ratio_per_chain=np.zeros((cfg.num_chains,)),
+        elapsed_s=elapsed,
+        chain_steps_per_sec=cfg.n_steps * cfg.num_chains / elapsed,
+        config=cfg,
+        pair_swap_accept=pair_sum / np.maximum(pair_cnt, 1),
+    )
+
+
+def _fetch(traces, lengths) -> Dict[str, np.ndarray]:
+    """Device (B, K_max, ...) traces -> host rows, dummy/masked rows cut."""
+    host = jax.device_get(traces)
+    out = {}
+    for name, arr in host.items():
+        rows = [arr[b, :ln] for b, ln in enumerate(lengths) if ln > 0]
+        out[name] = np.concatenate(rows, axis=0)
+    return out
+
+
+def throughput_build_fused(
+    cfg: PTConfig, train, test, seed: int = 0, mesh=None, model_spec=None
+):
+    """Fused-block analogue of sampler._throughput_build (bench protocol:
+    compile+warmup once, every call is one timed rep)."""
+    import dataclasses as _dc
+
+    if mesh is not None:
+        raise ValueError("fused_step is single-device; pass mesh=None")
+    cfg2 = _dc.replace(cfg, record_w=False).validate()
+    eng = _Fused(cfg2, train, test, seed, model_spec, record_w=False)
+
+    seg_xs = [_pack_xs(seg) for seg in eng.plan]
+
+    def run(st):
+        summaries = []
+        for si, xs in enumerate(seg_xs):
+            if si > 0:
+                st = eng.step.recompute_ll(st)
+            st, traces = jax.lax.scan(eng.block_body, st, xs)
+            # keep recording live (bench measures the real sampler)
+            summaries.append({k: jnp.mean(v) for k, v in traces.items()})
+        return st, summaries
+
+    run_j = fast_jit(run)
+    state0 = fast_jit(eng.init_state)()
+    st, _ = run_j(state0)
+    jax.block_until_ready(st)
+
+    def one_rep() -> Dict[str, float]:
+        t0 = time.perf_counter()
+        st, summaries = run_j(state0)
+        jax.block_until_ready(st)
+        dt = time.perf_counter() - t0
+        n = cfg2.n_steps
+        return {
+            "trace_means": jax.device_get(summaries),
+            "elapsed_s": dt,
+            "steps": float(n),
+            "chains": float(cfg2.num_chains),
+            "chain_steps_per_sec": n * cfg2.num_chains / dt,
+            "accept_pct": float(
+                jnp.mean(st.n_accept) * 100.0 / cfg2.samples_per_chain
+            ),
+            "swap_pct": float(
+                jnp.where(
+                    st.n_swap_proposed > 0,
+                    100.0
+                    * st.n_swap_accepted
+                    / jnp.maximum(st.n_swap_proposed, 1),
+                    0.0,
+                )
+            ),
+            "final_rmse_test_cold": float(jax.device_get(st.rmse_test)[0]),
+        }
+
+    return one_rep

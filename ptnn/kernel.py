@@ -2173,4 +2173,6 @@ def make_step_fn(
     chosen.recompute_ll = recompute_ll  # applied by the sampler at the 60% switch
     chosen.refit_surrogate = refit_surrogate
     chosen.close_segment = _close_segment  # (state, idx, key) boundary closure
+    chosen.do_swap = do_swap  # (state, i, key) — shared by the fused-block
+    # driver (ptnn/fused.py) so swap semantics exist exactly once
     return chosen

@@ -1,0 +1,315 @@
+"""Pallas TPU kernel: a fused BLOCK of random-walk MCMC steps for all chains.
+
+Why this exists: the sampler's per-step `lax.scan` pays a fixed ~20-40 us of
+per-iteration kernel sequencing on TPU (fnn_roofline.md — the step's many
+small fused kernels dispatch one iteration at a time; unrolling duplicates
+them instead of amortizing, and at w_size ~61 the MXU/VPU are idle by
+construction). This kernel runs an ENTIRE inter-swap block of K steps inside
+one Pallas program: chain state stays resident in VMEM across all K steps,
+proposal noise / MH uniforms stream in as pregenerated arrays, per-step trace
+rows stream out, and the only XLA-level work left per block is the replica-
+exchange sweep at the boundary (amortized 1/swap_interval). The per-step
+dispatch floor drops from ~20 us to ~20/K us.
+
+Semantics are the reference random-walk regression step, bit-for-bit the math
+of kernel.step() with proposal="reference", use_langevin_gradients=False
+(multicore-pt-regression/pt_timeseries_regression.py:313-439):
+
+* joint (w, eta) proposal: w' = w + step_w * N(0,1), eta' = eta + step_eta *
+  N(0,1) (pt_timeseries_regression.py:355-356), one tempered MH decision;
+* Gaussian likelihood -N/2 (log 2pi + eta') - SSE/(2 tau')
+  (:200-205, ops/likelihood.py:regression_eval_from_fx);
+* regression prior with the reference's (i*h+h+2)/2 dimension term and the
+  inverse-gamma tau terms (:215-221, ops/likelihood.py:regression_log_prior_dim);
+* write-on-accept trace carries for rmse_train/rmse_test, trace["ll"] records
+  the TEMPERED proposal likelihood (:391), accept_count records the counter
+  BEFORE the step's decision (pt_classification.py:391 convention);
+* optional per-chain Robbins-Monro step-size adaptation during burn-in
+  (PTConfig.adapt_step_size), frozen at burn_end = samples*burn_in - 1.
+
+Layout: chains on the 128-wide lane axis (grid over 128-chain blocks), the
+flat weight codec on sublanes — w rows are indexed STATICALLY inside the
+unrolled forward pass (W1[i,h] = row i*H+h, W2[h] = row IH+h, B1[h] = row
+IH+HO+h, B2 = row IH+HO+H), so the whole FNN forward is I*H broadcast
+FMAs on (N, C) planes (the pallas_eval.py formulation, held in registers/VMEM
+across the block). Padded weight rows carry zero noise (the wrapper masks the
+pregenerated noise), so the prior's sum(w^2) over all padded rows is exact.
+
+The kernel runs a fixed K_MAX-iteration fori_loop with a dynamic `length`
+(steps k >= length are no-ops that re-write the current carries into the
+trace rows — the host driver slices them away), so every block in a run
+shares ONE compiled kernel regardless of the swap-cadence remainders.
+
+Noise is PREGENERATED with jax.random outside the kernel (not pltpu PRNG):
+the kernel is then a deterministic function of its inputs, which is what lets
+tests/test_pallas_step.py pin it bitwise-level against a pure-JAX oracle
+consuming the same noise on the CPU interpreter.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def vmem_bytes(k_max: int, w_pad: int, n_tr_pad: int, n_te_pad: int,
+               record_w: bool) -> int:
+    """Rough VMEM footprint of one chain block (gates applicability)."""
+    planes = 4 * (n_tr_pad + n_te_pad) * LANES  # live eval planes
+    noise = k_max * w_pad * LANES + 2 * k_max * LANES
+    traces = 4 * k_max * LANES + (k_max * w_pad * LANES if record_w else 0)
+    state = 4 * w_pad * LANES
+    return 4 * (planes + noise + traces + state)
+
+
+def _fwd_sse(w, x_ref, y_ref, m_ref, topo):
+    """Fused FNN forward + masked SSE for one weight matrix ``w`` (P, C).
+
+    Reference forward (biases SUBTRACTED — pt_timeseries_regression.py:44-52):
+    sigmoid both layers, scalar output. Returns (1, C) sum of squared
+    residuals over the mask's rows.
+    """
+    i_dim, h_dim, _o = topo
+    s1 = i_dim * h_dim  # W2 rows start (O == 1)
+    s2 = s1 + h_dim  # B1 rows start
+    n_pad = x_ref.shape[1]
+    c = w.shape[-1]
+    out = jnp.zeros((n_pad, c), jnp.float32)
+    for h in range(h_dim):
+        z = jnp.zeros((n_pad, c), jnp.float32) - w[s2 + h : s2 + h + 1, :]
+        for i in range(i_dim):
+            z = z + x_ref[i] * w[i * h_dim + h : i * h_dim + h + 1, :]
+        out = out + jax.nn.sigmoid(z) * w[s1 + h : s1 + h + 1, :]
+    fx = jax.nn.sigmoid(out - w[s2 + h_dim : s2 + h_dim + 1, :])
+    resid = (y_ref[:] - fx) * m_ref[:]
+    return jnp.sum(resid * resid, axis=0, keepdims=True)
+
+
+def _rw_block_kernel(
+    topo, n_tr, n_te, k_max, step_w, step_eta, sigma_sq, nu_1, nu_2,
+    adapt, adapt_rate, adapt_target, burn_end, record_w,
+    # refs: SMEM scalars, shared data, per-block state, per-block noise
+    sl_ref,  # (2,) SMEM int32: [start, length]
+    xtr_ref, ytr_ref, mtr_ref,  # (I, Ntr, 1), (Ntr, 1), (Ntr, 1)
+    xte_ref, yte_ref, mte_ref,
+    at_ref,  # (1, C) adapttemp
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, na_ref,
+    lsw_ref,  # (1, C) log step (adapt mode; zeros otherwise)
+    nw_ref,  # (K, P, C) w noise (pre-masked rows)
+    ne_ref,  # (K, C) eta noise
+    u_ref,  # (K, C) MH uniforms
+    # outputs
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_na, o_lsw,
+    t_ll, t_rtr, t_rte, t_na, *maybe_t_w,
+):
+    t_w = maybe_t_w[0] if record_w else None
+    i_dim, h_dim, _o = topo
+    start = sl_ref[0]
+    length = sl_ref[1]
+    at = at_ref[:]  # (1, C)
+    prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(sigma_sq)
+
+    def body(k, carry):
+        w, wl, eta, ll, pr, rtr, rte, na, lsw = carry
+        live = k < length
+        if adapt:
+            step = jnp.exp(lsw)  # (1, C)
+        else:
+            step = step_w
+        w_prop = w + step * nw_ref[k]
+        eta_prop = eta + step_eta * ne_ref[pl.ds(k, 1), :]
+        tau_prop = jnp.exp(eta_prop)
+        ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
+        pr_prop = (
+            prior_const
+            - ssq / (2.0 * sigma_sq)
+            - (1.0 + nu_1) * eta_prop
+            - nu_2 / tau_prop
+        )
+        sse_tr = _fwd_sse(w_prop, xtr_ref, ytr_ref, mtr_ref, topo)
+        sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
+        ll_prop = (
+            -0.5 * n_tr * (_LOG_2PI + eta_prop) - 0.5 * sse_tr / tau_prop
+        )
+        rtr_prop = jnp.sqrt(sse_tr / n_tr)
+        rte_prop = jnp.sqrt(sse_te / n_te)
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr)
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        u = u_ref[pl.ds(k, 1), :]
+        accept = jnp.logical_and(u < a, live)
+
+        # trace rows (masked steps re-write the carries; host slices them)
+        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop / at, ll / at)
+        rtr = jnp.where(accept, rtr_prop, rtr)
+        rte = jnp.where(accept, rte_prop, rte)
+        t_rtr[pl.ds(k, 1), :] = rtr
+        t_rte[pl.ds(k, 1), :] = rte
+        t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
+
+        w = jnp.where(accept, w_prop, w)
+        wl = jnp.where(accept, w_prop, wl)
+        if record_w:
+            t_w[pl.ds(k, 1), :, :] = wl.reshape((1,) + wl.shape)
+        eta = jnp.where(accept, eta_prop, eta)
+        ll = jnp.where(accept, ll_prop, ll)
+        pr = jnp.where(accept, pr_prop, pr)
+        na = na + accept.astype(jnp.int32)
+        if adapt:
+            upd = jnp.logical_and(live, start + k < burn_end)
+            lsw = jnp.clip(
+                lsw + jnp.where(upd, adapt_rate * (a - adapt_target), 0.0),
+                math.log(1e-5),
+                math.log(10.0),
+            )
+        return (w, wl, eta, ll, pr, rtr, rte, na, lsw)
+
+    init = (
+        w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
+        rtr_ref[:], rte_ref[:], na_ref[:], lsw_ref[:],
+    )
+    w, wl, eta, ll, pr, rtr, rte, na, lsw = jax.lax.fori_loop(
+        0, k_max, body, init
+    )
+    o_w[:] = w
+    o_wl[:] = wl
+    o_eta[:] = eta
+    o_ll[:] = ll
+    o_pr[:] = pr
+    o_rtr[:] = rtr
+    o_rte[:] = rte
+    o_na[:] = na
+    o_lsw[:] = lsw
+
+
+def _plane(n_pad: int, x: jax.Array) -> jax.Array:
+    """(N, I) -> (I, N_pad, 1) input planes (pallas_eval.py layout)."""
+    n, i = x.shape
+    return jnp.pad(x, ((0, n_pad - n), (0, 0))).T.reshape(i, n_pad, 1)
+
+
+def prep_data(x_tr, y_tr, x_te, y_te):
+    """Device-ready padded data planes + masks for the block kernel."""
+    ntr, nte = x_tr.shape[0], x_te.shape[0]
+    ntr_p, nte_p = _pad8(ntr), _pad8(nte)
+    one = lambda n, np_: jnp.pad(
+        jnp.ones((n, 1), jnp.float32), ((0, np_ - n), (0, 0))
+    )
+    col = lambda y, np_: jnp.pad(y, (0, np_ - y.shape[0])).reshape(np_, 1)
+    return dict(
+        x_tr=_plane(ntr_p, x_tr), y_tr=col(y_tr, ntr_p), m_tr=one(ntr, ntr_p),
+        x_te=_plane(nte_p, x_te), y_te=col(y_te, nte_p), m_te=one(nte, nte_p),
+        n_tr=ntr, n_te=nte,
+    )
+
+
+def fused_rw_block_impl(
+    state: dict,  # arrays: w (P,C), w_last (P,C), eta/ll/prior/rmse_tr/
+    #               rmse_te (1,C) f32, n_accept (1,C) i32, log_step_w (1,C)
+    noise_w: jax.Array,  # (K, P, C) pre-masked
+    noise_eta: jax.Array,  # (K, C)
+    u_mh: jax.Array,  # (K, C)
+    start,  # int32 scalar — absolute step index of local step 0
+    length,  # int32 scalar — live steps in this block (<= K)
+    data: dict,  # prep_data output
+    adapttemp: jax.Array,  # (1, C)
+    topo: Tuple[int, int, int],
+    cfg_scalars: dict,  # step_w, step_eta, sigma_sq, nu_1, nu_2,
+    #                     adapt (bool), adapt_rate, adapt_target, burn_end
+    record_w: bool = True,
+    interpret: bool = False,
+):
+    """One fused K-step RW block for all chains.
+
+    Shapes must be pre-padded: C a multiple of 128 (lanes), P a multiple
+    of 8 (sublanes, padded weight rows zero everywhere). Returns
+    (new_state, traces) where traces hold (K, C) rows ("ll", "rmse_train",
+    "rmse_test", "accept_count") plus "w" (K, P, C) when ``record_w``.
+    """
+    k_max, p_pad, c_pad = noise_w.shape
+    assert c_pad % LANES == 0 and p_pad % 8 == 0
+    n_blocks = c_pad // LANES
+
+    kern = functools.partial(
+        _rw_block_kernel, topo, float(data["n_tr"]), float(data["n_te"]),
+        k_max,
+        float(cfg_scalars["step_w"]), float(cfg_scalars["step_eta"]),
+        float(cfg_scalars["sigma_sq"]), float(cfg_scalars["nu_1"]),
+        float(cfg_scalars["nu_2"]), bool(cfg_scalars["adapt"]),
+        float(cfg_scalars["adapt_rate"]), float(cfg_scalars["adapt_target"]),
+        int(cfg_scalars["burn_end"]), record_w,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape + (LANES,),
+        lambda b: (0,) * len(shape) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    st_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 7
+    out_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 7 + [
+        blk(k_max), blk(k_max), blk(k_max), blk(k_max),
+    ]
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((p_pad, c_pad), f32),  # w
+        jax.ShapeDtypeStruct((p_pad, c_pad), f32),  # w_last
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # eta
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # ll
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # prior
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # rmse_tr
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # rmse_te
+        jax.ShapeDtypeStruct((1, c_pad), jnp.int32),  # n_accept
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # log_step_w
+        jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr ll
+        jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr rmse_tr
+        jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr rmse_te
+        jax.ShapeDtypeStruct((k_max, c_pad), jnp.int32),  # tr accept_count
+    ]
+    if record_w:
+        out_specs.append(blk(k_max, p_pad))
+        out_shape.append(jax.ShapeDtypeStruct((k_max, p_pad, c_pad), f32))
+    sl = jnp.stack(
+        [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem] + [full()] * 6 + [blk(1)] + st_specs
+        + [blk(k_max, p_pad), blk(k_max), blk(k_max)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sl,
+        data["x_tr"], data["y_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["m_te"],
+        adapttemp,
+        state["w"], state["w_last"], state["eta"], state["ll"],
+        state["prior"], state["rmse_train"], state["rmse_test"],
+        state["n_accept"], state["log_step_w"],
+        noise_w, noise_eta, u_mh,
+    )
+    new_state = dict(
+        w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
+        rmse_train=res[5], rmse_test=res[6], n_accept=res[7],
+        log_step_w=res[8],
+    )
+    traces = dict(
+        ll=res[9], rmse_train=res[10], rmse_test=res[11], accept_count=res[12]
+    )
+    if record_w:
+        traces["w"] = res[13]
+    return new_state, traces

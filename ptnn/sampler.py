@@ -131,6 +131,14 @@ def sample(
     RNG keys derive from absolute step indices.
     """
     cfg.validate()
+    if cfg.fused_step:
+        from ptnn import fused
+
+        return fused.sample_fused(
+            cfg, train, test, seed=seed, mesh=mesh, init_state=init_state,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, model_spec=model_spec,
+        )
     data = make_dataset(cfg, train, test)
     temps_host = build_temperatures(cfg)
     temps = jnp.asarray(temps_host, jnp.float32)
@@ -403,6 +411,12 @@ def _throughput_build(
     model_spec=None,
 ):
     cfg = cfg.validate()
+    if cfg.fused_step:
+        from ptnn import fused
+
+        return fused.throughput_build_fused(
+            cfg, train, test, seed=seed, mesh=mesh, model_spec=model_spec
+        )
     if cfg.use_surrogate:
         raise ValueError(
             "throughput_run never refits the surrogate (no chunk boundaries);"

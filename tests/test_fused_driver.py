@@ -1,0 +1,130 @@
+"""Fused-block driver (ptnn/fused.py) vs the per-step sampler.
+
+RNG streams differ (noise is drawn per block), so equivalence is
+distributional: same trace shapes/artifact semantics, matching accept/swap
+statistics and pooled posterior metrics within tolerances on a small Sunspot
+config. Runs the real Pallas kernel through the interpreter on the CPU test
+backend (slow -> tiny budgets).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import ptnn
+from ptnn import fused
+from ptnn.data import load_regression
+
+
+def _cfg(**kw):
+    base = dict(
+        task="regression",
+        topology=(4, 10, 1),
+        num_samples=8 * 400,
+        num_chains=8,
+        maxtemp=5.0,
+        swap_interval=25,
+        swap_offset=0,
+        swap_payload="tempered_times_T",
+        use_langevin_gradients=False,
+        record_w=True,
+        chunk_steps=120,
+    )
+    base.update(kw)
+    return ptnn.PTConfig(**base).validate()
+
+
+def test_block_plan_covers_run_exactly():
+    cfg = _cfg(num_samples=8 * 500, swap_interval=100)
+    plan = fused.block_plan(cfg, k_cap=128)
+    steps = []
+    for seg in plan:
+        for s, ln, _f in seg:
+            steps.extend(range(s, s + ln))
+    assert steps == list(range(cfg.n_steps))
+    # swap flags fire exactly at the per-step cadence
+    flagged = sorted(
+        s + ln - 1 for seg in plan for (s, ln, f) in seg if f
+    )
+    expected = [
+        i for i in range(cfg.n_steps) if fused._swap_due_host(cfg, i)
+    ]
+    assert flagged == expected
+    # segments split at the temper switch
+    sw = cfg.temper_switch_step
+    if 0 < sw < cfg.n_steps:
+        assert plan[0][-1][0] + plan[0][-1][1] == sw
+        assert plan[1][0][0] == sw
+
+
+@pytest.mark.slow
+def test_fused_sample_matches_perstep_statistically():
+    prob = load_regression("Sunspot")
+    cfg = _cfg()
+    res_f = ptnn.sample(
+        dataclasses.replace(cfg, fused_step=True).validate(),
+        prob.train, prob.test, seed=3,
+    )
+    res_s = ptnn.sample(cfg, prob.train, prob.test, seed=3)
+
+    # identical artifact surface
+    assert set(res_f.traces) == set(res_s.traces)
+    for k in res_f.traces:
+        assert res_f.traces[k].shape == res_s.traces[k].shape, k
+    # same init rows
+    assert np.all(res_f.traces["w"][0] == 1.0)
+    assert np.all(res_f.traces["ll"][0] == -100.0)
+    # accept trace is cumulative counts
+    assert np.all(np.diff(res_f.traces["accept_count"], axis=0) >= 0)
+
+    b = cfg.samples_per_chain // 2
+    rmse_f = float(np.mean(res_f.traces["rmse_test"][b:, :]))
+    rmse_s = float(np.mean(res_s.traces["rmse_test"][b:, :]))
+    assert abs(rmse_f - rmse_s) < 0.05, (rmse_f, rmse_s)
+    acc_f = float(np.mean(res_f.accept_ratio_per_chain))
+    acc_s = float(np.mean(res_s.accept_ratio_per_chain))
+    assert abs(acc_f - acc_s) < 12.0, (acc_f, acc_s)
+    assert abs(res_f.swap_percent - res_s.swap_percent) < 25.0
+    # pair statistics populated (ladder tuner input)
+    assert res_f.pair_swap_accept.shape == (cfg.num_chains - 1,)
+    assert np.all(res_f.pair_swap_accept >= 0.0)
+
+
+@pytest.mark.slow
+def test_fused_sample_replica_tracking_and_ensembles():
+    prob = load_regression("Sunspot")
+    cfg = dataclasses.replace(
+        _cfg(num_samples=8 * 200, swap_interval=10),
+        fused_step=True,
+        track_replicas=True,
+        n_ladders=2,
+        swap_style="even_odd",
+        swap_payload="untempered",
+        swap_rule="metropolis",
+    ).validate()
+    res = ptnn.sample(cfg, prob.train, prob.test, seed=1)
+    reps = res.traces["replica"]
+    assert reps.shape == (cfg.samples_per_chain, cfg.num_chains)
+    # every step holds a permutation of chain ids
+    for row in reps[:: 37]:
+        assert sorted(row.tolist()) == list(range(cfg.num_chains))
+    # ladder boundary (pair index rungs_per_ladder-1) never swaps:
+    # replicas born in ladder 0 stay in ladder 0
+    k = cfg.rungs_per_ladder
+    assert np.all((reps < k) == (np.arange(cfg.num_chains)[None, :] < k))
+
+
+def test_fused_rejects_unsupported_configs():
+    with pytest.raises(ValueError, match="regression"):
+        ptnn.PTConfig(
+            task="classification", topology=(4, 5, 2), fused_step=True
+        ).validate()
+    with pytest.raises(ValueError, match="reference RW"):
+        _cfg(fused_step=True, use_langevin_gradients=True)
+    prob = load_regression("Sunspot")
+    with pytest.raises(ValueError, match="checkpoint"):
+        ptnn.sample(
+            _cfg(fused_step=True), prob.train, prob.test,
+            checkpoint_path="/tmp/nope.ckpt",
+        )

@@ -1,0 +1,236 @@
+"""Fused RW block kernel (ops/pallas_step.py) vs an independent oracle.
+
+The kernel consumes PREGENERATED noise/uniform arrays, so its output is a
+deterministic function of its inputs: the oracle below replays the exact
+step semantics with plain vmapped jnp ops on the (C, W) layout — a different
+decomposition (fnn.forward per chain vs in-kernel plane FMAs), same math.
+Agreement is checked on the CPU interpreter to float tolerance, with the
+integer accept counters required to match EXACTLY (no knife-edge uniforms at
+the chosen seed).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptnn.models import fnn
+from ptnn.ops import pallas_step as ps
+
+TOPO = (4, 10, 1)
+W = 4 * 10 + 10 + 10 + 1  # 61
+LANES = ps.LANES
+
+
+def _mk_data(rng, ntr=37, nte=23):
+    x_tr = rng.normal(size=(ntr, 4)).astype(np.float32)
+    y_tr = rng.normal(size=(ntr,)).astype(np.float32)
+    x_te = rng.normal(size=(nte, 4)).astype(np.float32)
+    y_te = rng.normal(size=(nte,)).astype(np.float32)
+    return x_tr, y_tr, x_te, y_te
+
+
+def _mk_state(rng, c_pad, p_pad, chains, raw, scal):
+    """Initial state whose carried (ll, prior) are the REAL values at the
+    initial (w, eta) — so the MH chain has a healthy accept/reject mix
+    (a mis-anchored carry makes every proposal reject, which would leave the
+    write-on-accept trace semantics untested)."""
+    w = np.zeros((p_pad, c_pad), np.float32)
+    w[:W, :chains] = rng.normal(size=(W, chains)).astype(np.float32)
+    eta = np.zeros((1, c_pad), np.float32)
+    eta[0, :chains] = rng.normal(size=(chains,)).astype(np.float32) * 0.3
+
+    x_tr, y_tr, _xte, _yte = [jnp.asarray(a) for a in raw]
+    ntr = x_tr.shape[0]
+    i_dim, h_dim, _ = TOPO
+    wc = jnp.asarray(w)[:W, :chains].T  # (C, W)
+    fx = jax.vmap(lambda wi: fnn.forward(wi, x_tr, TOPO)[:, 0])(wc)
+    sse = jnp.sum(jnp.square(y_tr[None] - fx), axis=-1)
+    ec = jnp.asarray(eta)[0, :chains]
+    tau = jnp.exp(ec)
+    ll = -0.5 * ntr * (ps._LOG_2PI + ec) - 0.5 * sse / tau
+    prior = (
+        -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(scal["sigma_sq"])
+        - jnp.sum(jnp.square(wc), axis=-1) / (2.0 * scal["sigma_sq"])
+        - (1.0 + scal["nu_1"]) * ec
+        - scal["nu_2"] / tau
+    )
+    pad1 = lambda v, fill: jnp.concatenate(
+        [v, jnp.full((c_pad - chains,), fill, jnp.float32)]
+    ).reshape(1, c_pad)
+    return dict(
+        w=jnp.asarray(w),
+        w_last=jnp.asarray(np.ones_like(w)),
+        eta=jnp.asarray(eta),
+        ll=pad1(ll, -50.0),
+        prior=pad1(prior, -3.0),
+        rmse_train=jnp.zeros((1, c_pad), jnp.float32),
+        rmse_test=jnp.zeros((1, c_pad), jnp.float32),
+        n_accept=jnp.zeros((1, c_pad), jnp.int32),
+        log_step_w=jnp.full((1, c_pad), math.log(0.025), jnp.float32),
+    )
+
+
+def _oracle(state, noise_w, noise_eta, u_mh, start, length, raw, adapttemp,
+            scal, chains):
+    """Plain-JAX replay on (C, W) weights via the model-zoo forward."""
+    x_tr, y_tr, x_te, y_te = [jnp.asarray(a) for a in raw]
+    ntr, nte = x_tr.shape[0], x_te.shape[0]
+    i_dim, h_dim, _ = TOPO
+    prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(
+        scal["sigma_sq"]
+    )
+    fwd = jax.vmap(lambda wi, x: fnn.forward(wi, x, TOPO)[:, 0], (0, None))
+
+    w = jnp.asarray(state["w"])[:W, :chains].T  # (C, W)
+    wl = jnp.asarray(state["w_last"])[:W, :chains].T
+    eta = jnp.asarray(state["eta"])[0, :chains]
+    ll = jnp.asarray(state["ll"])[0, :chains]
+    pr = jnp.asarray(state["prior"])[0, :chains]
+    rtr = jnp.asarray(state["rmse_train"])[0, :chains]
+    rte = jnp.asarray(state["rmse_test"])[0, :chains]
+    na = jnp.asarray(state["n_accept"])[0, :chains]
+    lsw = jnp.asarray(state["log_step_w"])[0, :chains]
+    at = jnp.asarray(adapttemp)[0, :chains]
+
+    tr = {k: [] for k in ("ll", "rmse_train", "rmse_test", "accept_count")}
+    for k in range(int(length)):
+        step = jnp.exp(lsw) if scal["adapt"] else scal["step_w"]
+        nw = jnp.asarray(noise_w)[k, :W, :chains].T  # (C, W)
+        w_prop = w + (step[:, None] if scal["adapt"] else step) * nw
+        eta_prop = eta + scal["step_eta"] * jnp.asarray(noise_eta)[k, :chains]
+        tau = jnp.exp(eta_prop)
+        pr_prop = (
+            prior_const
+            - jnp.sum(jnp.square(w_prop), axis=-1) / (2.0 * scal["sigma_sq"])
+            - (1.0 + scal["nu_1"]) * eta_prop
+            - scal["nu_2"] / tau
+        )
+        fx_tr = fwd(w_prop, x_tr)
+        sse_tr = jnp.sum(jnp.square(y_tr[None] - fx_tr), axis=-1)
+        fx_te = fwd(w_prop, x_te)
+        sse_te = jnp.sum(jnp.square(y_te[None] - fx_te), axis=-1)
+        ll_prop = -0.5 * ntr * (ps._LOG_2PI + eta_prop) - 0.5 * sse_tr / tau
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr)
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        acc = jnp.asarray(u_mh)[k, :chains] < a
+        tr["ll"].append(ll_prop / at)
+        rtr = jnp.where(acc, jnp.sqrt(sse_tr / ntr), rtr)
+        rte = jnp.where(acc, jnp.sqrt(sse_te / nte), rte)
+        tr["rmse_train"].append(rtr)
+        tr["rmse_test"].append(rte)
+        tr["accept_count"].append(na)
+        w = jnp.where(acc[:, None], w_prop, w)
+        wl = jnp.where(acc[:, None], w_prop, wl)
+        eta = jnp.where(acc, eta_prop, eta)
+        ll = jnp.where(acc, ll_prop, ll)
+        pr = jnp.where(acc, pr_prop, pr)
+        na = na + acc.astype(jnp.int32)
+        if scal["adapt"]:
+            upd = (start + k) < scal["burn_end"]
+            lsw = jnp.clip(
+                lsw
+                + jnp.where(
+                    upd,
+                    scal["adapt_rate"] * (a - scal["adapt_target"]),
+                    0.0,
+                ),
+                math.log(1e-5),
+                math.log(10.0),
+            )
+    out = dict(w=w, w_last=wl, eta=eta, ll=ll, prior=pr, rmse_train=rtr,
+               rmse_test=rte, n_accept=na, log_step_w=lsw)
+    return out, {k: jnp.stack(v) for k, v in tr.items()}
+
+
+def _scal(adapt=False):
+    return dict(
+        step_w=0.025, step_eta=0.2, sigma_sq=25.0, nu_1=0.0, nu_2=0.0,
+        adapt=adapt, adapt_rate=0.1, adapt_target=0.234, burn_end=37,
+    )
+
+
+@pytest.mark.parametrize("adapt", [False, True])
+def test_fused_rw_block_matches_oracle(rng, adapt):
+    chains, k_max, length, start = 6, 12, 9, 30
+    p_pad, c_pad = 64, LANES
+    raw = _mk_data(rng)
+    data = ps.prep_data(*[jnp.asarray(a) for a in raw])
+    scal = _scal(adapt)
+    state = _mk_state(rng, c_pad, p_pad, chains, raw, scal)
+    noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
+    noise_w[:, :W, :chains] = rng.normal(size=(k_max, W, chains))
+    noise_eta = np.zeros((k_max, c_pad), np.float32)
+    noise_eta[:, :chains] = rng.normal(size=(k_max, chains))
+    u = np.ones((k_max, c_pad), np.float32)
+    u[:, :chains] = rng.uniform(size=(k_max, chains))
+    adapttemp = np.ones((1, c_pad), np.float32)
+    adapttemp[0, :chains] = np.geomspace(1.0, 4.0, chains)
+
+    new_state, traces = ps.fused_rw_block_impl(
+        state, jnp.asarray(noise_w), jnp.asarray(noise_eta), jnp.asarray(u),
+        start, length, data, jnp.asarray(adapttemp), TOPO, scal,
+        record_w=True, interpret=True,
+    )
+    ora_state, ora_tr = _oracle(
+        state, noise_w, noise_eta, u, start, length, raw, adapttemp, scal,
+        chains,
+    )
+
+    # the run must exercise both branches of the write-on-accept carries
+    na = np.asarray(new_state["n_accept"])[0, :chains]
+    assert na.sum() > 0 and na.sum() < length * chains, na
+
+    # integer decisions must agree exactly
+    np.testing.assert_array_equal(
+        np.asarray(new_state["n_accept"])[0, :chains],
+        np.asarray(ora_state["n_accept"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traces["accept_count"])[:length, :chains],
+        np.asarray(ora_tr["accept_count"]),
+    )
+    for k in ("eta", "ll", "prior", "rmse_train", "rmse_test", "log_step_w"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[0, :chains],
+            np.asarray(ora_state[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_state["w"])[:W, :chains].T,
+        np.asarray(ora_state["w"]), rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["w_last"])[:W, :chains].T,
+        np.asarray(ora_state["w_last"]), rtol=2e-4, atol=2e-5,
+    )
+    for k in ("ll", "rmse_train", "rmse_test"):
+        np.testing.assert_allclose(
+            np.asarray(traces[k])[:length, :chains],
+            np.asarray(ora_tr[k]), rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    # w trace rows are write-on-accept carries of w_last
+    np.testing.assert_allclose(
+        np.asarray(traces["w"])[length - 1, :W, :chains].T,
+        np.asarray(ora_state["w_last"]), rtol=2e-4, atol=2e-5,
+    )
+    # padded weight rows never move (noise masked, init zero)
+    assert np.all(np.asarray(new_state["w"])[W:, :] == 0.0)
+
+
+def test_fused_rw_block_zero_length_is_noop(rng):
+    chains, k_max = 4, 8
+    p_pad, c_pad = 64, LANES
+    raw = _mk_data(rng)
+    data = ps.prep_data(*[jnp.asarray(a) for a in raw])
+    state = _mk_state(rng, c_pad, p_pad, chains, raw, _scal())
+    z = jnp.zeros((k_max, p_pad, c_pad), jnp.float32)
+    ze = jnp.zeros((k_max, c_pad), jnp.float32)
+    new_state, _tr = ps.fused_rw_block_impl(
+        state, z, ze, ze, 0, 0, data, jnp.ones((1, c_pad), jnp.float32),
+        TOPO, _scal(), record_w=False, interpret=True,
+    )
+    for k, v in state.items():
+        np.testing.assert_array_equal(np.asarray(new_state[k]), np.asarray(v))
