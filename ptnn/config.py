@@ -394,7 +394,10 @@ class PTConfig:
     # scan dispatch floor (~20-40 us, fnn_roofline.md) amortizes over the
     # whole interval. Identical sampling semantics (pinned vs an oracle and
     # vs the per-step path); different RNG stream, so cross-path parity is
-    # distributional. Scope: reference RW regression, single device, f32.
+    # distributional. Scope: reference RW proposal, BOTH tasks, single
+    # device, f32, working set within the VMEM budget (fused.runtime_reason;
+    # outside it, sample()/throughput fall back to the per-step sampler
+    # with a warning — those configs are compute-bound anyway).
     fused_step: bool = False
     # Unroll factor for the main step lax.scan (identical sampling
     # semantics at any value; results are bit-equal). Measured NEUTRAL on
@@ -724,11 +727,6 @@ class PTConfig:
                 "sample IID)"
             )
         if self.fused_step:
-            if self.task != "regression":
-                raise ValueError(
-                    "fused_step covers the regression task (the headline "
-                    "bench path); classification keeps the per-step sampler"
-                )
             if self.proposal != "reference" or self.use_langevin_gradients:
                 raise ValueError(
                     "fused_step covers the reference RW proposal; gradient "

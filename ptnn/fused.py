@@ -11,10 +11,16 @@ it reuses the exact same `do_swap` / `recompute_ll` closures as the per-step
 path (kernel.make_step_fn) — so swap semantics, counters, pair statistics,
 replica tracking and ensemble pair masks are shared, not re-implemented.
 
-Scope (validated by PTConfig.validate + `fused_reason`): the reference
-random-walk regression path — the headline bench mode — single device,
-float32, no surrogate/VR/fx machinery. Everything else keeps the per-step
-sampler; `ptnn.sample` / throughput dispatch transparently on cfg.fused_step.
+Scope (validated by PTConfig.validate + `fused_reason` / `runtime_reason`):
+the reference random-walk path for BOTH tasks (regression and
+classification) — single device, float32, no surrogate/VR/fx machinery —
+and models/datasets whose block working set fits the ~12 MiB VMEM budget
+(`_k_cap`): pregenerated proposal noise is (K, P, 128) per chain block, so
+large w_size shrinks the block length K until amortization stops paying,
+at which point dispatch falls back to the per-step sampler with a warning
+(compute-bound configs don't need the dispatch-floor amortization anyway).
+Everything else keeps the per-step sampler; `ptnn.sample` / throughput
+dispatch transparently on cfg.fused_step.
 
 Statistical equivalence with the per-step path is tested
 (tests/test_fused_driver.py); bit-level step semantics are pinned against an
@@ -44,8 +50,6 @@ LANES = ps.LANES
 
 def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
     """Why the fused path CANNOT run this config (None = supported)."""
-    if cfg.task != "regression":
-        return "fused_step supports the regression task (phase 1)"
     if cfg.proposal != "reference" or cfg.use_langevin_gradients:
         return "fused_step supports the reference RW proposal"
     if cfg.use_surrogate or cfg.variational_reference:
@@ -58,6 +62,52 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
         return "fused_step is single-device (chain axis on lanes)"
     if model_spec is not None and model_spec.name != "fnn":
         return "fused_step supports the reference FNN spec"
+    return None
+
+
+_VMEM_BUDGET = 12 * 2**20  # conservative per-core VMEM working-set cap
+_K_MIN = 8  # below this the dispatch-floor amortization stops paying
+
+
+def _k_cap(
+    record_w: bool, p_pad: int, ntr_p: int, nte_p: int, n_classes: int
+) -> int:
+    """Largest block length K whose working set fits the VMEM budget
+    (pallas_step.vmem_bytes model); 0 = doesn't fit even at K=_K_MIN."""
+    per_k = 4 * LANES * (p_pad + 8 + (p_pad if record_w else 0))
+    live = max(4, n_classes + 4)
+    fixed = 4 * LANES * (live * (ntr_p + nte_p) + 4 * p_pad)
+    if fixed + _K_MIN * per_k > _VMEM_BUDGET:
+        return 0
+    return min(128, int((_VMEM_BUDGET - fixed) // per_k))
+
+
+def runtime_reason(
+    cfg: PTConfig,
+    train,
+    test,
+    mesh=None,
+    model_spec=None,
+    record_w: Optional[bool] = None,
+) -> Optional[str]:
+    """Static + shape-dependent applicability check, for dispatch-time
+    fallback (the per-step sampler runs the same chain)."""
+    from ptnn.models import fnn
+
+    reason = fused_reason(cfg, mesh=mesh, model_spec=model_spec)
+    if reason is not None:
+        return reason
+    pad8 = lambda n: ((n + 7) // 8) * 8
+    p_pad = pad8(fnn.w_size(cfg.topology))
+    rec = cfg.record_w if record_w is None else record_w
+    n_cls = cfg.topology[2] if cfg.task == "classification" else 0
+    cap = _k_cap(rec, p_pad, pad8(train.shape[0]), pad8(test.shape[0]), n_cls)
+    if cap < _K_MIN:
+        return (
+            f"block working set exceeds the VMEM budget (w_size "
+            f"{fnn.w_size(cfg.topology)}, {train.shape[0]}+{test.shape[0]} "
+            f"rows) — compute-bound; the per-step sampler is the right tool"
+        )
     return None
 
 
@@ -130,6 +180,8 @@ def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt):
         prior=pad_1c(st.prior),
         rmse_train=pad_1c(st.rmse_train),
         rmse_test=pad_1c(st.rmse_test),
+        acc_train=pad_1c(st.acc_train),
+        acc_test=pad_1c(st.acc_test),
         n_accept=pad_1c(st.n_accept, jnp.int32),
         log_step_w=pad_1c(lsw),
     )
@@ -147,6 +199,8 @@ def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt):
         prior=take_1c(ks["prior"]),
         rmse_train=take_1c(ks["rmse_train"]),
         rmse_test=take_1c(ks["rmse_test"]),
+        acc_train=take_1c(ks["acc_train"]),
+        acc_test=take_1c(ks["acc_test"]),
         n_accept=take_1c(ks["n_accept"]),
     )
     if adapt:
@@ -166,10 +220,13 @@ class _Fused:
             interpret = jax.default_backend() != "tpu"
         from ptnn import sampler as sampler_mod
 
-        reason = fused_reason(cfg, model_spec=model_spec)
+        reason = runtime_reason(
+            cfg, train, test, model_spec=model_spec, record_w=record_w
+        )
         if reason is not None:
             raise ValueError(f"fused_step unsupported here: {reason}")
         self.cfg = cfg
+        self.task_cls = cfg.task == "classification"
         self.data = sampler_mod.make_dataset(cfg, train, test)
         if self.data.mask_train is not None or self.data.w_mask is not None:
             raise ValueError("fused_step does not support padded datasets")
@@ -188,19 +245,28 @@ class _Fused:
         c = cfg.num_chains
         self.c_pad = ((c + LANES - 1) // LANES) * LANES
         self.p_pad = ((self.spec.w_size + 7) // 8) * 8
-        self.plan = block_plan(cfg)
+        pad8 = lambda n: ((n + 7) // 8) * 8
+        n_cls = cfg.topology[2] if self.task_cls else 0
+        k_cap = _k_cap(
+            self.record_w, self.p_pad,
+            pad8(self.data.x_train.shape[0]), pad8(self.data.x_test.shape[0]),
+            n_cls,
+        )
+        self.plan = block_plan(cfg, k_cap=k_cap)
         self.k_max = max(
             ln for seg in self.plan for (_s, ln, _f) in seg
         )
         self.kdata = ps.prep_data(
             self.data.x_train, self.data.y_train,
             self.data.x_test, self.data.y_test,
+            n_classes=n_cls,
         )
         self.scal = dict(
             step_w=cfg.step_w, step_eta=cfg.step_eta, sigma_sq=cfg.sigma_sq,
             nu_1=cfg.nu_1, nu_2=cfg.nu_2, adapt=cfg.adapt_step_size,
             adapt_rate=cfg.adapt_rate, adapt_target=cfg.adapt_target_accept,
             burn_end=int(cfg.samples_per_chain * cfg.burn_in) - 1,
+            task_cls=self.task_cls,
         )
         # (P, 1) mask zeroing proposal noise on padded weight rows
         self.row_mask = (
@@ -260,8 +326,8 @@ class _Fused:
             "ll": traces["ll"][:, :c],
             "rmse_train": traces["rmse_train"][:, :c],
             "rmse_test": traces["rmse_test"][:, :c],
-            "acc_train": jnp.zeros((self.k_max, c), jnp.float32),
-            "acc_test": jnp.zeros((self.k_max, c), jnp.float32),
+            "acc_train": traces["acc_train"][:, :c],
+            "acc_test": traces["acc_test"][:, :c],
             "accept_count": traces["accept_count"][:, :c],
         }
         if self.record_w:

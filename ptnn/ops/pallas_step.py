@@ -11,19 +11,26 @@ rows stream out, and the only XLA-level work left per block is the replica-
 exchange sweep at the boundary (amortized 1/swap_interval). The per-step
 dispatch floor drops from ~20 us to ~20/K us.
 
-Semantics are the reference random-walk regression step, bit-for-bit the math
-of kernel.step() with proposal="reference", use_langevin_gradients=False
-(multicore-pt-regression/pt_timeseries_regression.py:313-439):
+Semantics are the reference random-walk step, bit-for-bit the math of
+kernel.step() with proposal="reference", use_langevin_gradients=False, for
+BOTH tasks (multicore-pt-regression/pt_timeseries_regression.py:313-439,
+multicore-pt-classification/pt_classification.py:313-448):
 
-* joint (w, eta) proposal: w' = w + step_w * N(0,1), eta' = eta + step_eta *
-  N(0,1) (pt_timeseries_regression.py:355-356), one tempered MH decision;
-* Gaussian likelihood -N/2 (log 2pi + eta') - SSE/(2 tau')
-  (:200-205, ops/likelihood.py:regression_eval_from_fx);
-* regression prior with the reference's (i*h+h+2)/2 dimension term and the
-  inverse-gamma tau terms (:215-221, ops/likelihood.py:regression_log_prior_dim);
-* write-on-accept trace carries for rmse_train/rmse_test, trace["ll"] records
-  the TEMPERED proposal likelihood (:391), accept_count records the counter
-  BEFORE the step's decision (pt_classification.py:391 convention);
+* regression: joint (w, eta) proposal w' = w + step_w * N(0,1), eta' = eta +
+  step_eta * N(0,1) (pt_timeseries_regression.py:355-356), one tempered MH
+  decision; Gaussian likelihood -N/2 (log 2pi + eta') - SSE/(2 tau')
+  (:200-205, ops/likelihood.py:regression_eval_from_fx); prior with the
+  reference's (i*h+h+2)/2 dimension term and the inverse-gamma tau terms
+  (:215-221, ops/likelihood.py:regression_log_prior_dim); trace["ll"] records
+  the TEMPERED proposal likelihood (:391);
+* classification: w-only proposal (pt_classification.py:328), multinomial
+  log-likelihood sum_i log softmax(out)[i, y_i] over the SIGMOID outputs
+  (:108-110,213-219), Gaussian weight prior with dim = w_size (:224-230),
+  accuracy/argmax-RMSE metrics (:196-207), trace["ll"] records the UNTEMPERED
+  proposal likelihood (:404); eta is carried untouched (junk, matching
+  kernel.ChainState's convention);
+* write-on-accept trace carries for rmse/acc, accept_count records the
+  counter BEFORE the step's decision (pt_classification.py:391 convention);
 * optional per-chain Robbins-Monro step-size adaptation during burn-in
   (PTConfig.adapt_step_size), frozen at burn_end = samples*burn_in - 1.
 
@@ -66,13 +73,75 @@ def _pad8(n: int) -> int:
 
 
 def vmem_bytes(k_max: int, w_pad: int, n_tr_pad: int, n_te_pad: int,
-               record_w: bool) -> int:
-    """Rough VMEM footprint of one chain block (gates applicability)."""
-    planes = 4 * (n_tr_pad + n_te_pad) * LANES  # live eval planes
+               record_w: bool, n_classes: int = 0) -> int:
+    """Rough VMEM footprint of one chain block (gates applicability).
+
+    Classification holds O output-accumulator planes live through the
+    forward (plus z/sigmoid/softmax temporaries); regression ~4 planes."""
+    live = max(4, n_classes + 4)
+    planes = live * (n_tr_pad + n_te_pad) * LANES  # live eval planes
     noise = k_max * w_pad * LANES + 2 * k_max * LANES
-    traces = 4 * k_max * LANES + (k_max * w_pad * LANES if record_w else 0)
+    traces = 6 * k_max * LANES + (k_max * w_pad * LANES if record_w else 0)
     state = 4 * w_pad * LANES
     return 4 * (planes + noise + traces + state)
+
+
+def _fwd_cls(w, x_ref, yh_ref, y_ref, m_ref, topo, n):
+    """Fused FNN forward + multinomial eval for one weight matrix ``w`` (P, C).
+
+    Classification forward (pt_classification.py:49-55): sigmoid both layers,
+    O output planes; class probabilities are a softmax over the sigmoid
+    outputs (:108-110), prediction is their argmax (:55). ``yh_ref`` holds O
+    one-hot label planes (O, N_pad, 1), ``y_ref`` the float class indices.
+    Returns ``(loglik, rmse, acc)`` (1, C) rows — likelihood is the masked
+    sum of gathered log-probs (:213-219), rmse is over the predicted class
+    index (:196-198), acc the match percentage (:200-207).
+    """
+    i_dim, h_dim, o_dim = topo
+    s1 = i_dim * h_dim  # W2 rows start (h-major: row s1 + h*O + o)
+    s2 = s1 + h_dim * o_dim  # B1 rows start
+    b2 = s2 + h_dim  # B2 rows start
+    n_pad = y_ref.shape[0]
+    c = w.shape[-1]
+    outs = [
+        jnp.zeros((n_pad, c), jnp.float32) - w[b2 + o : b2 + o + 1, :]
+        for o in range(o_dim)
+    ]
+    for h in range(h_dim):
+        z = jnp.zeros((n_pad, c), jnp.float32) - w[s2 + h : s2 + h + 1, :]
+        for i in range(i_dim):
+            z = z + x_ref[i] * w[i * h_dim + h : i * h_dim + h + 1, :]
+        s = jax.nn.sigmoid(z)
+        for o in range(o_dim):
+            outs[o] = outs[o] + s * w[s1 + h * o_dim + o : s1 + h * o_dim + o + 1, :]
+    outs = [jax.nn.sigmoid(v) for v in outs]
+    # log-softmax over the O planes + one-hot gather + first-argmax
+    mx = outs[0]
+    for o in range(1, o_dim):
+        mx = jnp.maximum(mx, outs[o])
+    se = jnp.zeros((n_pad, c), jnp.float32)
+    gath = jnp.zeros((n_pad, c), jnp.float32)
+    pred = jnp.zeros((n_pad, c), jnp.float32)
+    best = outs[0]
+    for o in range(o_dim):
+        se = se + jnp.exp(outs[o] - mx)
+        gath = gath + yh_ref[o] * outs[o]
+        if o > 0:
+            better = outs[o] > best  # strict: ties keep the FIRST argmax
+            pred = jnp.where(better, float(o), pred)
+            best = jnp.maximum(best, outs[o])
+    lse = mx + jnp.log(se)
+    loglik = jnp.sum((gath - lse) * m_ref[:], axis=0, keepdims=True)
+    err = pred - y_ref[:]
+    rmse = jnp.sqrt(jnp.sum(err * err * m_ref[:], axis=0, keepdims=True) / n)
+    acc = (
+        100.0
+        * jnp.sum(
+            jnp.where(pred == y_ref[:], m_ref[:], 0.0), axis=0, keepdims=True
+        )
+        / n
+    )
+    return loglik, rmse, acc
 
 
 def _fwd_sse(w, x_ref, y_ref, m_ref, topo):
@@ -99,64 +168,93 @@ def _fwd_sse(w, x_ref, y_ref, m_ref, topo):
 
 
 def _rw_block_kernel(
-    topo, n_tr, n_te, k_max, step_w, step_eta, sigma_sq, nu_1, nu_2,
-    adapt, adapt_rate, adapt_target, burn_end, record_w,
+    topo, task_cls, n_tr, n_te, k_max, step_w, step_eta, sigma_sq, nu_1,
+    nu_2, adapt, adapt_rate, adapt_target, burn_end, record_w,
     # refs: SMEM scalars, shared data, per-block state, per-block noise
     sl_ref,  # (2,) SMEM int32: [start, length]
-    xtr_ref, ytr_ref, mtr_ref,  # (I, Ntr, 1), (Ntr, 1), (Ntr, 1)
-    xte_ref, yte_ref, mte_ref,
+    xtr_ref, ytr_ref, yhtr_ref, mtr_ref,  # (I,Ntr,1),(Ntr,1),(O,Ntr,1),(Ntr,1)
+    xte_ref, yte_ref, yhte_ref, mte_ref,
     at_ref,  # (1, C) adapttemp
-    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, na_ref,
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, atr_ref,
+    ate_ref, na_ref,
     lsw_ref,  # (1, C) log step (adapt mode; zeros otherwise)
     nw_ref,  # (K, P, C) w noise (pre-masked rows)
     ne_ref,  # (K, C) eta noise
     u_ref,  # (K, C) MH uniforms
     # outputs
-    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_na, o_lsw,
-    t_ll, t_rtr, t_rte, t_na, *maybe_t_w,
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_atr, o_ate, o_na, o_lsw,
+    t_ll, t_rtr, t_rte, t_atr, t_ate, t_na, *maybe_t_w,
 ):
     t_w = maybe_t_w[0] if record_w else None
-    i_dim, h_dim, _o = topo
+    i_dim, h_dim, o_dim = topo
     start = sl_ref[0]
     length = sl_ref[1]
     at = at_ref[:]  # (1, C)
-    prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(sigma_sq)
+    if task_cls:
+        w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
+        prior_const = -0.5 * w_size * math.log(sigma_sq)
+    else:
+        prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(sigma_sq)
 
     def body(k, carry):
-        w, wl, eta, ll, pr, rtr, rte, na, lsw = carry
+        w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw = carry
         live = k < length
         if adapt:
             step = jnp.exp(lsw)  # (1, C)
         else:
             step = step_w
         w_prop = w + step * nw_ref[k]
-        eta_prop = eta + step_eta * ne_ref[pl.ds(k, 1), :]
-        tau_prop = jnp.exp(eta_prop)
         ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
-        pr_prop = (
-            prior_const
-            - ssq / (2.0 * sigma_sq)
-            - (1.0 + nu_1) * eta_prop
-            - nu_2 / tau_prop
-        )
-        sse_tr = _fwd_sse(w_prop, xtr_ref, ytr_ref, mtr_ref, topo)
-        sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
-        ll_prop = (
-            -0.5 * n_tr * (_LOG_2PI + eta_prop) - 0.5 * sse_tr / tau_prop
-        )
-        rtr_prop = jnp.sqrt(sse_tr / n_tr)
-        rte_prop = jnp.sqrt(sse_te / n_te)
+        if task_cls:
+            # w-only proposal; Gaussian weight prior (pt_classification.py
+            # :224-230,328); eta carried untouched
+            eta_prop = eta
+            pr_prop = prior_const - ssq / (2.0 * sigma_sq)
+            ll_prop, rtr_prop, atr_prop = _fwd_cls(
+                w_prop, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr
+            )
+            _ll_te, rte_prop, ate_prop = _fwd_cls(
+                w_prop, xte_ref, yhte_ref, yte_ref, mte_ref, topo, n_te
+            )
+        else:
+            eta_prop = eta + step_eta * ne_ref[pl.ds(k, 1), :]
+            tau_prop = jnp.exp(eta_prop)
+            pr_prop = (
+                prior_const
+                - ssq / (2.0 * sigma_sq)
+                - (1.0 + nu_1) * eta_prop
+                - nu_2 / tau_prop
+            )
+            sse_tr = _fwd_sse(w_prop, xtr_ref, ytr_ref, mtr_ref, topo)
+            sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
+            ll_prop = (
+                -0.5 * n_tr * (_LOG_2PI + eta_prop) - 0.5 * sse_tr / tau_prop
+            )
+            rtr_prop = jnp.sqrt(sse_tr / n_tr)
+            rte_prop = jnp.sqrt(sse_te / n_te)
+            atr_prop = atr
+            ate_prop = ate
         log_mh = (ll_prop - ll) / at + (pr_prop - pr)
         a = jnp.exp(jnp.minimum(log_mh, 0.0))
         u = u_ref[pl.ds(k, 1), :]
         accept = jnp.logical_and(u < a, live)
 
-        # trace rows (masked steps re-write the carries; host slices them)
-        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop / at, ll / at)
+        # trace rows (masked steps re-write the carries; host slices them).
+        # Regression records the TEMPERED proposal likelihood
+        # (pt_timeseries_regression.py:391); classification the UNTEMPERED
+        # one (pt_classification.py:404).
+        if task_cls:
+            t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop, ll)
+        else:
+            t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop / at, ll / at)
         rtr = jnp.where(accept, rtr_prop, rtr)
         rte = jnp.where(accept, rte_prop, rte)
+        atr = jnp.where(accept, atr_prop, atr)
+        ate = jnp.where(accept, ate_prop, ate)
         t_rtr[pl.ds(k, 1), :] = rtr
         t_rte[pl.ds(k, 1), :] = rte
+        t_atr[pl.ds(k, 1), :] = atr
+        t_ate[pl.ds(k, 1), :] = ate
         t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
 
         w = jnp.where(accept, w_prop, w)
@@ -174,13 +272,13 @@ def _rw_block_kernel(
                 math.log(1e-5),
                 math.log(10.0),
             )
-        return (w, wl, eta, ll, pr, rtr, rte, na, lsw)
+        return (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw)
 
     init = (
         w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
-        rtr_ref[:], rte_ref[:], na_ref[:], lsw_ref[:],
+        rtr_ref[:], rte_ref[:], atr_ref[:], ate_ref[:], na_ref[:], lsw_ref[:],
     )
-    w, wl, eta, ll, pr, rtr, rte, na, lsw = jax.lax.fori_loop(
+    w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw = jax.lax.fori_loop(
         0, k_max, body, init
     )
     o_w[:] = w
@@ -190,6 +288,8 @@ def _rw_block_kernel(
     o_pr[:] = pr
     o_rtr[:] = rtr
     o_rte[:] = rte
+    o_atr[:] = atr
+    o_ate[:] = ate
     o_na[:] = na
     o_lsw[:] = lsw
 
@@ -200,17 +300,32 @@ def _plane(n_pad: int, x: jax.Array) -> jax.Array:
     return jnp.pad(x, ((0, n_pad - n), (0, 0))).T.reshape(i, n_pad, 1)
 
 
-def prep_data(x_tr, y_tr, x_te, y_te):
-    """Device-ready padded data planes + masks for the block kernel."""
+def prep_data(x_tr, y_tr, x_te, y_te, n_classes: int = 0):
+    """Device-ready padded data planes + masks for the block kernel.
+
+    ``n_classes > 0`` (classification) adds one-hot label planes ``yh_*``
+    of shape (O, N_pad, 1); regression carries (1, N_pad, 1) zeros so the
+    kernel signature is task-independent."""
     ntr, nte = x_tr.shape[0], x_te.shape[0]
     ntr_p, nte_p = _pad8(ntr), _pad8(nte)
     one = lambda n, np_: jnp.pad(
         jnp.ones((n, 1), jnp.float32), ((0, np_ - n), (0, 0))
     )
     col = lambda y, np_: jnp.pad(y, (0, np_ - y.shape[0])).reshape(np_, 1)
+
+    def onehot(y, np_):
+        if n_classes <= 0:
+            return jnp.zeros((1, np_, 1), jnp.float32)
+        oh = jax.nn.one_hot(y.astype(jnp.int32), n_classes, dtype=jnp.float32)
+        return jnp.pad(oh, ((0, np_ - y.shape[0]), (0, 0))).T.reshape(
+            n_classes, np_, 1
+        )
+
     return dict(
-        x_tr=_plane(ntr_p, x_tr), y_tr=col(y_tr, ntr_p), m_tr=one(ntr, ntr_p),
-        x_te=_plane(nte_p, x_te), y_te=col(y_te, nte_p), m_te=one(nte, nte_p),
+        x_tr=_plane(ntr_p, x_tr), y_tr=col(y_tr, ntr_p),
+        yh_tr=onehot(y_tr, ntr_p), m_tr=one(ntr, ntr_p),
+        x_te=_plane(nte_p, x_te), y_te=col(y_te, nte_p),
+        yh_te=onehot(y_te, nte_p), m_te=one(nte, nte_p),
         n_tr=ntr, n_te=nte,
     )
 
@@ -227,7 +342,8 @@ def fused_rw_block_impl(
     adapttemp: jax.Array,  # (1, C)
     topo: Tuple[int, int, int],
     cfg_scalars: dict,  # step_w, step_eta, sigma_sq, nu_1, nu_2,
-    #                     adapt (bool), adapt_rate, adapt_target, burn_end
+    #                     adapt (bool), adapt_rate, adapt_target, burn_end,
+    #                     task_cls (bool)
     record_w: bool = True,
     interpret: bool = False,
 ):
@@ -236,15 +352,16 @@ def fused_rw_block_impl(
     Shapes must be pre-padded: C a multiple of 128 (lanes), P a multiple
     of 8 (sublanes, padded weight rows zero everywhere). Returns
     (new_state, traces) where traces hold (K, C) rows ("ll", "rmse_train",
-    "rmse_test", "accept_count") plus "w" (K, P, C) when ``record_w``.
+    "rmse_test", "acc_train", "acc_test", "accept_count") plus "w"
+    (K, P, C) when ``record_w``.
     """
     k_max, p_pad, c_pad = noise_w.shape
     assert c_pad % LANES == 0 and p_pad % 8 == 0
     n_blocks = c_pad // LANES
 
     kern = functools.partial(
-        _rw_block_kernel, topo, float(data["n_tr"]), float(data["n_te"]),
-        k_max,
+        _rw_block_kernel, topo, bool(cfg_scalars.get("task_cls", False)),
+        float(data["n_tr"]), float(data["n_te"]), k_max,
         float(cfg_scalars["step_w"]), float(cfg_scalars["step_eta"]),
         float(cfg_scalars["sigma_sq"]), float(cfg_scalars["nu_1"]),
         float(cfg_scalars["nu_2"]), bool(cfg_scalars["adapt"]),
@@ -258,9 +375,10 @@ def fused_rw_block_impl(
         lambda b: (0,) * len(shape) + (b,),
         memory_space=pltpu.VMEM,
     )
-    st_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 7
-    out_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 7 + [
-        blk(k_max), blk(k_max), blk(k_max), blk(k_max),
+    st_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 9
+    out_specs = [blk(p_pad), blk(p_pad)] + [blk(1)] * 9 + [
+        blk(k_max), blk(k_max), blk(k_max), blk(k_max), blk(k_max),
+        blk(k_max),
     ]
     f32 = jnp.float32
     out_shape = [
@@ -271,11 +389,15 @@ def fused_rw_block_impl(
         jax.ShapeDtypeStruct((1, c_pad), f32),  # prior
         jax.ShapeDtypeStruct((1, c_pad), f32),  # rmse_tr
         jax.ShapeDtypeStruct((1, c_pad), f32),  # rmse_te
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # acc_tr
+        jax.ShapeDtypeStruct((1, c_pad), f32),  # acc_te
         jax.ShapeDtypeStruct((1, c_pad), jnp.int32),  # n_accept
         jax.ShapeDtypeStruct((1, c_pad), f32),  # log_step_w
         jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr ll
         jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr rmse_tr
         jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr rmse_te
+        jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr acc_tr
+        jax.ShapeDtypeStruct((k_max, c_pad), f32),  # tr acc_te
         jax.ShapeDtypeStruct((k_max, c_pad), jnp.int32),  # tr accept_count
     ]
     if record_w:
@@ -287,29 +409,31 @@ def fused_rw_block_impl(
     res = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[smem] + [full()] * 6 + [blk(1)] + st_specs
+        in_specs=[smem] + [full()] * 8 + [blk(1)] + st_specs
         + [blk(k_max, p_pad), blk(k_max), blk(k_max)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(
         sl,
-        data["x_tr"], data["y_tr"], data["m_tr"],
-        data["x_te"], data["y_te"], data["m_te"],
+        data["x_tr"], data["y_tr"], data["yh_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["yh_te"], data["m_te"],
         adapttemp,
         state["w"], state["w_last"], state["eta"], state["ll"],
         state["prior"], state["rmse_train"], state["rmse_test"],
+        state["acc_train"], state["acc_test"],
         state["n_accept"], state["log_step_w"],
         noise_w, noise_eta, u_mh,
     )
     new_state = dict(
         w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
-        rmse_train=res[5], rmse_test=res[6], n_accept=res[7],
-        log_step_w=res[8],
+        rmse_train=res[5], rmse_test=res[6], acc_train=res[7],
+        acc_test=res[8], n_accept=res[9], log_step_w=res[10],
     )
     traces = dict(
-        ll=res[9], rmse_train=res[10], rmse_test=res[11], accept_count=res[12]
+        ll=res[11], rmse_train=res[12], rmse_test=res[13], acc_train=res[14],
+        acc_test=res[15], accept_count=res[16],
     )
     if record_w:
-        traces["w"] = res[13]
+        traces["w"] = res[17]
     return new_state, traces

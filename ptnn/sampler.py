@@ -14,6 +14,7 @@ streaming — and making every chunk boundary a natural checkpoint/resume point
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, Optional
@@ -134,10 +135,20 @@ def sample(
     if cfg.fused_step:
         from ptnn import fused
 
-        return fused.sample_fused(
-            cfg, train, test, seed=seed, mesh=mesh, init_state=init_state,
-            checkpoint_path=checkpoint_path,
-            checkpoint_every=checkpoint_every, model_spec=model_spec,
+        reason = (
+            "fused_step does not checkpoint (chunk boundaries are "
+            "swap-aligned, not step-aligned)"
+            if checkpoint_path is not None
+            else fused.runtime_reason(cfg, train, test, mesh=mesh,
+                                      model_spec=model_spec)
+        )
+        if reason is None:
+            return fused.sample_fused(
+                cfg, train, test, seed=seed, mesh=mesh,
+                init_state=init_state, model_spec=model_spec,
+            )
+        warnings.warn(
+            f"fused_step: falling back to the per-step sampler ({reason})"
         )
     data = make_dataset(cfg, train, test)
     temps_host = build_temperatures(cfg)
@@ -414,8 +425,16 @@ def _throughput_build(
     if cfg.fused_step:
         from ptnn import fused
 
-        return fused.throughput_build_fused(
-            cfg, train, test, seed=seed, mesh=mesh, model_spec=model_spec
+        reason = fused.runtime_reason(
+            cfg, train, test, mesh=mesh, model_spec=model_spec,
+            record_w=False,
+        )
+        if reason is None:
+            return fused.throughput_build_fused(
+                cfg, train, test, seed=seed, mesh=mesh, model_spec=model_spec
+            )
+        warnings.warn(
+            f"fused_step: falling back to the per-step sampler ({reason})"
         )
     if cfg.use_surrogate:
         raise ValueError(

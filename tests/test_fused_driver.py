@@ -92,6 +92,46 @@ def test_fused_sample_matches_perstep_statistically():
 
 
 @pytest.mark.slow
+def test_fused_cls_sample_matches_perstep_statistically():
+    from ptnn.data import load_classification
+
+    prob = load_classification("iris")
+    cfg = ptnn.PTConfig(
+        task="classification",
+        topology=(4, 12, 3),
+        num_samples=8 * 400,
+        num_chains=8,
+        maxtemp=5.0,
+        swap_interval=25,
+        swap_offset=0,
+        use_langevin_gradients=False,
+        record_w=True,
+        chunk_steps=120,
+    ).validate()
+    res_f = ptnn.sample(
+        dataclasses.replace(cfg, fused_step=True).validate(),
+        prob.train, prob.test, seed=3,
+    )
+    res_s = ptnn.sample(cfg, prob.train, prob.test, seed=3)
+
+    assert set(res_f.traces) == set(res_s.traces)
+    for k in res_f.traces:
+        assert res_f.traces[k].shape == res_s.traces[k].shape, k
+    # classification traces carry real accuracies (write-on-accept)
+    b = cfg.samples_per_chain // 2
+    acc_te_f = float(np.mean(res_f.traces["acc_test"][b:, :]))
+    acc_te_s = float(np.mean(res_s.traces["acc_test"][b:, :]))
+    # whole-ladder pool learns past chance (33% on iris) even at this tiny
+    # 400-step budget with hot chains diluting (measured ~39 both paths)
+    assert acc_te_f > 36.0, acc_te_f
+    assert abs(acc_te_f - acc_te_s) < 10.0, (acc_te_f, acc_te_s)
+    acc_f = float(np.mean(res_f.accept_ratio_per_chain))
+    acc_s = float(np.mean(res_s.accept_ratio_per_chain))
+    assert abs(acc_f - acc_s) < 10.0, (acc_f, acc_s)
+    assert abs(res_f.swap_percent - res_s.swap_percent) < 20.0
+
+
+@pytest.mark.slow
 def test_fused_sample_replica_tracking_and_ensembles():
     prob = load_regression("Sunspot")
     cfg = dataclasses.replace(
@@ -116,15 +156,30 @@ def test_fused_sample_replica_tracking_and_ensembles():
 
 
 def test_fused_rejects_unsupported_configs():
-    with pytest.raises(ValueError, match="regression"):
-        ptnn.PTConfig(
-            task="classification", topology=(4, 5, 2), fused_step=True
-        ).validate()
     with pytest.raises(ValueError, match="reference RW"):
         _cfg(fused_step=True, use_langevin_gradients=True)
+    # classification IS supported (both tasks are fused scope)
+    ptnn.PTConfig(
+        task="classification", topology=(4, 5, 2), fused_step=True
+    ).validate()
+
+
+def test_fused_runtime_fallbacks(tmp_path):
     prob = load_regression("Sunspot")
-    with pytest.raises(ValueError, match="checkpoint"):
-        ptnn.sample(
-            _cfg(fused_step=True), prob.train, prob.test,
-            checkpoint_path="/tmp/nope.ckpt",
+    # checkpointing falls back to the (checkpointable) per-step sampler
+    cfg = _cfg(fused_step=True, num_samples=8 * 60, swap_interval=20)
+    with pytest.warns(UserWarning, match="falling back.*checkpoint"):
+        res = ptnn.sample(
+            cfg, prob.train, prob.test,
+            checkpoint_path=str(tmp_path / "ck.bin"),
         )
+    assert res.traces["ll"].shape == (cfg.samples_per_chain, cfg.num_chains)
+    # a working set beyond the VMEM budget falls back too: w_size and row
+    # counts both huge
+    big = ptnn.PTConfig(
+        task="classification", topology=(34, 50, 2), fused_step=True,
+        num_samples=8 * 10, num_chains=8, swap_interval=5,
+    ).validate()
+    x = np.random.default_rng(0).normal(size=(6000, 35)).astype(np.float32)
+    x[:, -1] = np.random.default_rng(1).integers(0, 2, size=6000)
+    assert fused.runtime_reason(big, x, x) is not None

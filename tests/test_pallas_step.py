@@ -68,6 +68,8 @@ def _mk_state(rng, c_pad, p_pad, chains, raw, scal):
         prior=pad1(prior, -3.0),
         rmse_train=jnp.zeros((1, c_pad), jnp.float32),
         rmse_test=jnp.zeros((1, c_pad), jnp.float32),
+        acc_train=jnp.zeros((1, c_pad), jnp.float32),
+        acc_test=jnp.zeros((1, c_pad), jnp.float32),
         n_accept=jnp.zeros((1, c_pad), jnp.int32),
         log_step_w=jnp.full((1, c_pad), math.log(0.025), jnp.float32),
     )
@@ -145,6 +147,125 @@ def _oracle(state, noise_w, noise_eta, u_mh, start, length, raw, adapttemp,
     return out, {k: jnp.stack(v) for k, v in tr.items()}
 
 
+TOPO_C = (4, 6, 3)
+WC = 4 * 6 + 6 * 3 + 6 + 3  # 51
+
+
+def _mk_data_cls(rng, ntr=29, nte=19):
+    x_tr = rng.normal(size=(ntr, 4)).astype(np.float32)
+    y_tr = rng.integers(0, 3, size=(ntr,)).astype(np.float32)
+    x_te = rng.normal(size=(nte, 4)).astype(np.float32)
+    y_te = rng.integers(0, 3, size=(nte,)).astype(np.float32)
+    return x_tr, y_tr, x_te, y_te
+
+
+def _cls_eval(wc, x, y):
+    """(C, W) weights -> per-chain (ll, rmse, acc) via the model zoo."""
+    out = jax.vmap(lambda wi: fnn.forward(wi, x, TOPO_C), (0,))(wc)  # (C,N,O)
+    logp = jax.nn.log_softmax(out, axis=-1)
+    yi = y.astype(jnp.int32)
+    ll = jnp.sum(
+        jnp.take_along_axis(logp, yi[None, :, None], axis=-1)[..., 0], axis=-1
+    )
+    pred = jnp.argmax(out, axis=-1).astype(jnp.float32)
+    rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y[None]), axis=-1))
+    acc = 100.0 * jnp.mean((pred == y[None]).astype(jnp.float32), axis=-1)
+    return ll, rmse, acc
+
+
+def _mk_state_cls(rng, c_pad, p_pad, chains, raw, scal):
+    w = np.zeros((p_pad, c_pad), np.float32)
+    w[:WC, :chains] = rng.normal(size=(WC, chains)).astype(np.float32)
+    x_tr, y_tr = jnp.asarray(raw[0]), jnp.asarray(raw[1])
+    wc = jnp.asarray(w)[:WC, :chains].T
+    ll, _r, _a = _cls_eval(wc, x_tr, y_tr)
+    prior = (
+        -0.5 * WC * math.log(scal["sigma_sq"])
+        - jnp.sum(jnp.square(wc), axis=-1) / (2.0 * scal["sigma_sq"])
+    )
+    pad1 = lambda v, fill: jnp.concatenate(
+        [v, jnp.full((c_pad - chains,), fill, jnp.float32)]
+    ).reshape(1, c_pad)
+    return dict(
+        w=jnp.asarray(w),
+        w_last=jnp.asarray(np.ones_like(w)),
+        eta=jnp.zeros((1, c_pad), jnp.float32),
+        ll=pad1(ll, -50.0),
+        prior=pad1(prior, -3.0),
+        rmse_train=jnp.zeros((1, c_pad), jnp.float32),
+        rmse_test=jnp.zeros((1, c_pad), jnp.float32),
+        acc_train=jnp.zeros((1, c_pad), jnp.float32),
+        acc_test=jnp.zeros((1, c_pad), jnp.float32),
+        n_accept=jnp.zeros((1, c_pad), jnp.int32),
+        log_step_w=jnp.full((1, c_pad), math.log(0.05), jnp.float32),
+    )
+
+
+def _oracle_cls(state, noise_w, u_mh, start, length, raw, adapttemp, scal,
+                chains):
+    """Plain-JAX replay of the classification RW step
+    (pt_classification.py:313-448 semantics; w-only proposal, untempered
+    trace ll, argmax metrics)."""
+    x_tr, y_tr, x_te, y_te = [jnp.asarray(a) for a in raw]
+    w = jnp.asarray(state["w"])[:WC, :chains].T
+    wl = jnp.asarray(state["w_last"])[:WC, :chains].T
+    ll = jnp.asarray(state["ll"])[0, :chains]
+    pr = jnp.asarray(state["prior"])[0, :chains]
+    rtr = jnp.asarray(state["rmse_train"])[0, :chains]
+    rte = jnp.asarray(state["rmse_test"])[0, :chains]
+    atr = jnp.asarray(state["acc_train"])[0, :chains]
+    ate = jnp.asarray(state["acc_test"])[0, :chains]
+    na = jnp.asarray(state["n_accept"])[0, :chains]
+    lsw = jnp.asarray(state["log_step_w"])[0, :chains]
+    at = jnp.asarray(adapttemp)[0, :chains]
+
+    keys = ("ll", "rmse_train", "rmse_test", "acc_train", "acc_test",
+            "accept_count")
+    tr = {k: [] for k in keys}
+    for k in range(int(length)):
+        step = jnp.exp(lsw) if scal["adapt"] else scal["step_w"]
+        nw = jnp.asarray(noise_w)[k, :WC, :chains].T
+        w_prop = w + (step[:, None] if scal["adapt"] else step) * nw
+        pr_prop = (
+            -0.5 * WC * math.log(scal["sigma_sq"])
+            - jnp.sum(jnp.square(w_prop), axis=-1) / (2.0 * scal["sigma_sq"])
+        )
+        ll_prop, rtr_p, atr_p = _cls_eval(w_prop, x_tr, y_tr)
+        _llte, rte_p, ate_p = _cls_eval(w_prop, x_te, y_te)
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr)
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        acc = jnp.asarray(u_mh)[k, :chains] < a
+        tr["ll"].append(ll_prop)  # UNTEMPERED (pt_classification.py:404)
+        rtr = jnp.where(acc, rtr_p, rtr)
+        rte = jnp.where(acc, rte_p, rte)
+        atr = jnp.where(acc, atr_p, atr)
+        ate = jnp.where(acc, ate_p, ate)
+        tr["rmse_train"].append(rtr)
+        tr["rmse_test"].append(rte)
+        tr["acc_train"].append(atr)
+        tr["acc_test"].append(ate)
+        tr["accept_count"].append(na)
+        w = jnp.where(acc[:, None], w_prop, w)
+        wl = jnp.where(acc[:, None], w_prop, wl)
+        ll = jnp.where(acc, ll_prop, ll)
+        pr = jnp.where(acc, pr_prop, pr)
+        na = na + acc.astype(jnp.int32)
+        if scal["adapt"]:
+            upd = (start + k) < scal["burn_end"]
+            lsw = jnp.clip(
+                lsw
+                + jnp.where(
+                    upd, scal["adapt_rate"] * (a - scal["adapt_target"]), 0.0
+                ),
+                math.log(1e-5),
+                math.log(10.0),
+            )
+    out = dict(w=w, w_last=wl, ll=ll, prior=pr, rmse_train=rtr,
+               rmse_test=rte, acc_train=atr, acc_test=ate, n_accept=na,
+               log_step_w=lsw)
+    return out, {k: jnp.stack(v) for k, v in tr.items()}
+
+
 def _scal(adapt=False):
     return dict(
         step_w=0.025, step_eta=0.2, sigma_sq=25.0, nu_1=0.0, nu_2=0.0,
@@ -218,6 +339,62 @@ def test_fused_rw_block_matches_oracle(rng, adapt):
     )
     # padded weight rows never move (noise masked, init zero)
     assert np.all(np.asarray(new_state["w"])[W:, :] == 0.0)
+
+
+@pytest.mark.parametrize("adapt", [False, True])
+def test_fused_cls_block_matches_oracle(rng, adapt):
+    chains, k_max, length, start = 5, 10, 8, 20
+    p_pad, c_pad = 56, LANES  # pad8(WC=51)
+    raw = _mk_data_cls(rng)
+    data = ps.prep_data(*[jnp.asarray(a) for a in raw], n_classes=3)
+    scal = dict(_scal(adapt), step_w=0.05, task_cls=True)
+    state = _mk_state_cls(rng, c_pad, p_pad, chains, raw, scal)
+    noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
+    noise_w[:, :WC, :chains] = rng.normal(size=(k_max, WC, chains))
+    noise_eta = np.zeros((k_max, c_pad), np.float32)  # unused (w-only)
+    u = np.ones((k_max, c_pad), np.float32)
+    u[:, :chains] = rng.uniform(size=(k_max, chains))
+    adapttemp = np.ones((1, c_pad), np.float32)
+    adapttemp[0, :chains] = np.geomspace(1.0, 4.0, chains)
+
+    new_state, traces = ps.fused_rw_block_impl(
+        state, jnp.asarray(noise_w), jnp.asarray(noise_eta), jnp.asarray(u),
+        start, length, data, jnp.asarray(adapttemp), TOPO_C, scal,
+        record_w=True, interpret=True,
+    )
+    ora_state, ora_tr = _oracle_cls(
+        state, noise_w, u, start, length, raw, adapttemp, scal, chains
+    )
+
+    na = np.asarray(new_state["n_accept"])[0, :chains]
+    assert na.sum() > 0 and na.sum() < length * chains, na
+
+    np.testing.assert_array_equal(na, np.asarray(ora_state["n_accept"]))
+    np.testing.assert_array_equal(
+        np.asarray(traces["accept_count"])[:length, :chains],
+        np.asarray(ora_tr["accept_count"]),
+    )
+    # eta is untouched junk for classification (w-only proposal)
+    np.testing.assert_array_equal(
+        np.asarray(new_state["eta"]), np.asarray(state["eta"])
+    )
+    for k in ("ll", "prior", "rmse_train", "rmse_test", "acc_train",
+              "acc_test", "log_step_w"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[0, :chains],
+            np.asarray(ora_state[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_state["w"])[:WC, :chains].T,
+        np.asarray(ora_state["w"]), rtol=2e-4, atol=2e-5,
+    )
+    for k in ("ll", "rmse_train", "rmse_test", "acc_train", "acc_test"):
+        np.testing.assert_allclose(
+            np.asarray(traces[k])[:length, :chains],
+            np.asarray(ora_tr[k]), rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    assert np.all(np.asarray(new_state["w"])[WC:, :] == 0.0)
 
 
 def test_fused_rw_block_zero_length_is_noop(rng):
