@@ -54,6 +54,13 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   are latency-free on a chip, so this is pure quality-per-
                   second gain (results/ladder_ensembles.md: 19x the 1x64
                   ladder at equal RMSE and equal steps/s)
+  * mala_fused_16x4 — mala_16x4 executed as fused Pallas blocks (the MALA
+                  block kernel of ops/pallas_step.py: hand-written plane
+                  backprop, exact q-ratio, Welford + RM adaptation all
+                  in-kernel; one invocation per 10-step DEO interval).
+                  Same sampler as mala_16x4 (oracle-pinned), ~1.5x its
+                  steps/s -> the ESS/s flagship when it wins. Heavy
+                  one-time Mosaic compile (~minutes on the tunnel).
   * chees16_16x4 — the QUALITY flagship: ChEES-adapted HMC
                   (hmc_adapt_traj, trajectory bound 16, realized mean
                   L~7 chosen by the cross-replica criterion — no hand
@@ -138,6 +145,17 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             swap_interval=10,
             warmstart_frac=0.1,
             precond_start_frac=0.3,
+        ).validate(),
+        "mala_fused_16x4": dataclasses.replace(
+            cfg,
+            proposal="precond_mala",
+            n_ladders=16,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            fused_step=True,
         ).validate(),
         "chees16_16x4": dataclasses.replace(
             cfg,
@@ -289,7 +307,12 @@ def main() -> None:
                 "rhat_cold_max": rhat_cold,
                 "roundtrips_per_kstep": roundtrips,
                 "ref_rmse_test": 0.0239,
-                "flagship": "mala_16x4",
+                # ESS/s flagship: the faster execution of the 16x4 MALA
+                # ensemble (fused blocks vs per-step scan — same sampler)
+                "flagship": max(
+                    ("mala_16x4", "mala_fused_16x4"),
+                    key=lambda t: ess_per_sec[t]["value"],
+                ),
                 "flagship_quality": "chees16_16x4",
             }
         )

@@ -727,10 +727,17 @@ class PTConfig:
                 "sample IID)"
             )
         if self.fused_step:
-            if self.proposal != "reference" or self.use_langevin_gradients:
+            if self.use_langevin_gradients or self.proposal not in (
+                "reference",
+                "precond_mala",
+            ):
                 raise ValueError(
-                    "fused_step covers the reference RW proposal; gradient "
-                    "modes keep the per-step sampler"
+                    "fused_step covers the reference RW and precond-MALA "
+                    "proposals; other modes keep the per-step sampler"
+                )
+            if self.proposal == "precond_mala" and self.task != "regression":
+                raise ValueError(
+                    "fused precond-MALA covers the regression task"
                 )
             if self.use_surrogate or self.variational_reference:
                 raise ValueError(

@@ -13,14 +13,18 @@ replica tracking and ensemble pair masks are shared, not re-implemented.
 
 Scope (validated by PTConfig.validate + `fused_reason` / `runtime_reason`):
 the reference random-walk path for BOTH tasks (regression and
-classification) — single device, float32, no surrogate/VR/fx machinery —
-and models/datasets whose block working set fits the ~12 MiB VMEM budget
-(`_k_cap`): pregenerated proposal noise is (K, P, 128) per chain block, so
-large w_size shrinks the block length K until amortization stops paying,
-at which point dispatch falls back to the per-step sampler with a warning
-(compute-bound configs don't need the dispatch-floor amortization anyway).
-Everything else keeps the per-step sampler; `ptnn.sample` / throughput
-dispatch transparently on cfg.fused_step.
+classification) plus the preconditioned-MALA flagship (regression; the
+kernel carries the Welford preconditioner, cached likelihood gradient and
+both Robbins-Monro scales across steps and hand-writes the FNN backprop on
+planes — ops/pallas_step.py `_mala_block_kernel`) — single device, float32,
+no surrogate/VR/fx machinery — and models/datasets whose block working set
+fits the ~12 MiB VMEM budget (`_k_cap`): pregenerated proposal noise is
+(K, P, 128) per chain block, so large w_size shrinks the block length K
+until amortization stops paying, at which point dispatch falls back to the
+per-step sampler with a warning (compute-bound configs don't need the
+dispatch-floor amortization anyway). Everything else keeps the per-step
+sampler; `ptnn.sample` / throughput dispatch transparently on
+cfg.fused_step.
 
 Statistical equivalence with the per-step path is tested
 (tests/test_fused_driver.py); bit-level step semantics are pinned against an
@@ -50,8 +54,13 @@ LANES = ps.LANES
 
 def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
     """Why the fused path CANNOT run this config (None = supported)."""
-    if cfg.proposal != "reference" or cfg.use_langevin_gradients:
-        return "fused_step supports the reference RW proposal"
+    if cfg.use_langevin_gradients:
+        return "fused_step supports the reference RW / precond-MALA proposals"
+    if cfg.proposal == "precond_mala":
+        if cfg.task != "regression":
+            return "fused precond-MALA covers the regression task"
+    elif cfg.proposal != "reference":
+        return "fused_step supports the reference RW / precond-MALA proposals"
     if cfg.use_surrogate or cfg.variational_reference:
         return "fused_step excludes surrogate/variational-reference modes"
     if cfg.record_fx or cfg.record_ll_state:
@@ -70,13 +79,17 @@ _K_MIN = 8  # below this the dispatch-floor amortization stops paying
 
 
 def _k_cap(
-    record_w: bool, p_pad: int, ntr_p: int, nte_p: int, n_classes: int
+    record_w: bool, p_pad: int, ntr_p: int, nte_p: int, n_classes: int,
+    mala: bool = False,
 ) -> int:
     """Largest block length K whose working set fits the VMEM budget
     (pallas_step.vmem_bytes model); 0 = doesn't fit even at K=_K_MIN."""
     per_k = 4 * LANES * (p_pad + 8 + (p_pad if record_w else 0))
     live = max(4, n_classes + 4)
-    fixed = 4 * LANES * (live * (ntr_p + nte_p) + 4 * p_pad)
+    # MALA carries 3 extra (P, C) state planes (g_like, Welford mean/M2) in
+    # and out, plus ~4 live (P, C) proposal/gradient planes
+    state_planes = 18 if mala else 4
+    fixed = 4 * LANES * (live * (ntr_p + nte_p) + state_planes * p_pad)
     if fixed + _K_MIN * per_k > _VMEM_BUDGET:
         return 0
     return min(128, int((_VMEM_BUDGET - fixed) // per_k))
@@ -101,7 +114,10 @@ def runtime_reason(
     p_pad = pad8(fnn.w_size(cfg.topology))
     rec = cfg.record_w if record_w is None else record_w
     n_cls = cfg.topology[2] if cfg.task == "classification" else 0
-    cap = _k_cap(rec, p_pad, pad8(train.shape[0]), pad8(test.shape[0]), n_cls)
+    cap = _k_cap(
+        rec, p_pad, pad8(train.shape[0]), pad8(test.shape[0]), n_cls,
+        mala=cfg.proposal == "precond_mala",
+    )
     if cap < _K_MIN:
         return (
             f"block working set exceeds the VMEM budget (w_size "
@@ -158,7 +174,8 @@ def block_plan(
 # ChainState <-> kernel-layout conversion.
 
 
-def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt):
+def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt,
+                     mala: bool = False):
     c, w = st.w.shape
 
     def pad_pc(a):  # (C, W) -> (P, C)
@@ -169,10 +186,10 @@ def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt):
 
     lsw = (
         st.log_step_w
-        if adapt
+        if (adapt or mala)
         else jnp.zeros((c,), jnp.float32)
     )
-    return dict(
+    out = dict(
         w=pad_pc(st.w),
         w_last=pad_pc(st.w_last),
         eta=pad_1c(st.eta),
@@ -185,9 +202,20 @@ def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt):
         n_accept=pad_1c(st.n_accept, jnp.int32),
         log_step_w=pad_1c(lsw),
     )
+    if mala:
+        out.update(
+            log_step_eta=pad_1c(st.log_step_eta),
+            g_like=pad_pc(st.g_like),
+            pc_mean=pad_pc(st.pc_mean),
+            pc_m2=pad_pc(st.pc_m2),
+        )
+        # the MALA kernel has no accuracy carries (regression scope)
+        del out["acc_train"], out["acc_test"]
+    return out
 
 
-def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt):
+def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt,
+                       mala: bool = False):
     c, w = st.w.shape
     take_pc = lambda a: a[:w, :c].T
     take_1c = lambda a: a[0, :c]
@@ -199,12 +227,22 @@ def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt):
         prior=take_1c(ks["prior"]),
         rmse_train=take_1c(ks["rmse_train"]),
         rmse_test=take_1c(ks["rmse_test"]),
-        acc_train=take_1c(ks["acc_train"]),
-        acc_test=take_1c(ks["acc_test"]),
         n_accept=take_1c(ks["n_accept"]),
     )
-    if adapt:
+    if not mala:
+        out = out._replace(
+            acc_train=take_1c(ks["acc_train"]),
+            acc_test=take_1c(ks["acc_test"]),
+        )
+    if adapt or mala:
         out = out._replace(log_step_w=take_1c(ks["log_step_w"]))
+    if mala:
+        out = out._replace(
+            log_step_eta=take_1c(ks["log_step_eta"]),
+            g_like=take_pc(ks["g_like"]),
+            pc_mean=take_pc(ks["pc_mean"]),
+            pc_m2=take_pc(ks["pc_m2"]),
+        )
     return out
 
 
@@ -227,6 +265,7 @@ class _Fused:
             raise ValueError(f"fused_step unsupported here: {reason}")
         self.cfg = cfg
         self.task_cls = cfg.task == "classification"
+        self.mala = cfg.proposal == "precond_mala"
         self.data = sampler_mod.make_dataset(cfg, train, test)
         if self.data.mask_train is not None or self.data.w_mask is not None:
             raise ValueError("fused_step does not support padded datasets")
@@ -250,7 +289,7 @@ class _Fused:
         k_cap = _k_cap(
             self.record_w, self.p_pad,
             pad8(self.data.x_train.shape[0]), pad8(self.data.x_test.shape[0]),
-            n_cls,
+            n_cls, mala=self.mala,
         )
         self.plan = block_plan(cfg, k_cap=k_cap)
         self.k_max = max(
@@ -261,13 +300,28 @@ class _Fused:
             self.data.x_test, self.data.y_test,
             n_classes=n_cls,
         )
-        self.scal = dict(
-            step_w=cfg.step_w, step_eta=cfg.step_eta, sigma_sq=cfg.sigma_sq,
-            nu_1=cfg.nu_1, nu_2=cfg.nu_2, adapt=cfg.adapt_step_size,
-            adapt_rate=cfg.adapt_rate, adapt_target=cfg.adapt_target_accept,
-            burn_end=int(cfg.samples_per_chain * cfg.burn_in) - 1,
-            task_cls=self.task_cls,
-        )
+        samples = cfg.samples_per_chain
+        if self.mala:
+            self.scal = dict(
+                sigma_sq=cfg.sigma_sq, nu_1=cfg.nu_1, nu_2=cfg.nu_2,
+                adapt_rate=cfg.adapt_rate,
+                mala_target=cfg.mala_target_accept,
+                warmstart_step=cfg.warmstart_step,
+                precond_power=cfg.precond_power,
+                pc_start=int(samples * cfg.precond_start_frac),
+                warm_end=int(samples * cfg.warmstart_frac),
+                burn_end=int(samples * cfg.burn_in) - 1,
+            )
+        else:
+            self.scal = dict(
+                step_w=cfg.step_w, step_eta=cfg.step_eta,
+                sigma_sq=cfg.sigma_sq,
+                nu_1=cfg.nu_1, nu_2=cfg.nu_2, adapt=cfg.adapt_step_size,
+                adapt_rate=cfg.adapt_rate,
+                adapt_target=cfg.adapt_target_accept,
+                burn_end=int(samples * cfg.burn_in) - 1,
+                task_cls=self.task_cls,
+            )
         # (P, 1) mask zeroing proposal noise on padded weight rows
         self.row_mask = (
             jnp.arange(self.p_pad) < self.spec.w_size
@@ -295,7 +349,7 @@ class _Fused:
         start, length, swap_flag = xs
         cfg = self.cfg
         kb = jax.random.fold_in(self.k_run, start)
-        kp, ke, ku, ks = jax.random.split(kb, 4)
+        kp, ke, ku, kue, ks = jax.random.split(kb, 5)
         noise_w = (
             jax.random.normal(
                 kp, (self.k_max, self.p_pad, self.c_pad), jnp.float32
@@ -307,13 +361,29 @@ class _Fused:
         )
         u = jax.random.uniform(ku, (self.k_max, self.c_pad), jnp.float32)
         adapttemp = jnp.where(start < self.switch, self.temps_pad, 1.0)
-        ksd, traces = ps.fused_rw_block_impl(
-            _to_kernel_state(st, self.p_pad, self.c_pad, cfg.adapt_step_size),
-            noise_w, noise_eta, u, start, length, self.kdata, adapttemp,
-            cfg.topology, self.scal, record_w=self.record_w,
-            interpret=self.interpret,
+        kstate = _to_kernel_state(
+            st, self.p_pad, self.c_pad, cfg.adapt_step_size, mala=self.mala
         )
-        st2 = _from_kernel_state(st, ksd, cfg.adapt_step_size)
+        if self.mala:
+            u_eta = jax.random.uniform(
+                kue, (self.k_max, self.c_pad), jnp.float32
+            )
+            ksd, traces = ps.fused_mala_block_impl(
+                kstate, noise_w, noise_eta, u, u_eta, start, length,
+                self.kdata, adapttemp, cfg.topology, self.scal,
+                record_w=self.record_w, interpret=self.interpret,
+            )
+            traces["acc_train"] = jnp.zeros_like(traces["ll"])
+            traces["acc_test"] = jnp.zeros_like(traces["ll"])
+        else:
+            ksd, traces = ps.fused_rw_block_impl(
+                kstate, noise_w, noise_eta, u, start, length, self.kdata,
+                adapttemp, cfg.topology, self.scal, record_w=self.record_w,
+                interpret=self.interpret,
+            )
+        st2 = _from_kernel_state(
+            st, ksd, cfg.adapt_step_size, mala=self.mala
+        )
         i_swap = start + length - 1
         st3 = jax.lax.cond(
             swap_flag,

@@ -144,6 +144,54 @@ def _fwd_cls(w, x_ref, yh_ref, y_ref, m_ref, topo, n):
     return loglik, rmse, acc
 
 
+def _fwd_grad_reg(w, x_ref, y_ref, m_ref, topo, p_pad):
+    """Fused FNN forward + masked SSE + hand-written backprop for one weight
+    matrix ``w`` (P, C), regression (O = 1).
+
+    The gradient is d(-SSE/2)/dw — the tau- and temperature-independent
+    likelihood term kernel._like_value_and_grad computes with autodiff;
+    here the two-layer chain rule is written out on (N, C) planes:
+    delta = (y - fx) * mask * fx(1-fx), then per hidden unit
+    dW2_h = sum delta s_h, dB2 = -sum delta, delta_h = delta W2_h s_h(1-s_h),
+    dW1_ih = sum delta_h x_i, dB1_h = -sum delta_h (flat-codec row order).
+    Bitwise-validated against jax.value_and_grad in tests/test_pallas_step.py.
+    Returns (sse (1,C), grad rows (P,C) — padded rows exactly zero).
+    """
+    i_dim, h_dim, _o = topo
+    s1 = i_dim * h_dim
+    s2 = s1 + h_dim
+    n_pad = y_ref.shape[0]
+    c = w.shape[-1]
+    ss = []
+    out = jnp.zeros((n_pad, c), jnp.float32)
+    for h in range(h_dim):
+        z = jnp.zeros((n_pad, c), jnp.float32) - w[s2 + h : s2 + h + 1, :]
+        for i in range(i_dim):
+            z = z + x_ref[i] * w[i * h_dim + h : i * h_dim + h + 1, :]
+        s = jax.nn.sigmoid(z)
+        ss.append(s)
+        out = out + s * w[s1 + h : s1 + h + 1, :]
+    fx = jax.nn.sigmoid(out - w[s2 + h_dim : s2 + h_dim + 1, :])
+    resid = (y_ref[:] - fx) * m_ref[:]
+    sse = jnp.sum(resid * resid, axis=0, keepdims=True)
+    delta = resid * fx * (1.0 - fx)
+    rows = [None] * (s2 + h_dim + 1)
+    rows[s2 + h_dim] = -jnp.sum(delta, axis=0, keepdims=True)
+    for h in range(h_dim):
+        s = ss[h]
+        rows[s1 + h] = jnp.sum(delta * s, axis=0, keepdims=True)
+        dh = delta * w[s1 + h : s1 + h + 1, :] * s * (1.0 - s)
+        rows[s2 + h] = -jnp.sum(dh, axis=0, keepdims=True)
+        for i in range(i_dim):
+            rows[i * h_dim + h] = jnp.sum(
+                dh * x_ref[i], axis=0, keepdims=True
+            )
+    g = jnp.concatenate(
+        rows + [jnp.zeros((p_pad - len(rows), c), jnp.float32)], axis=0
+    )
+    return sse, g
+
+
 def _fwd_sse(w, x_ref, y_ref, m_ref, topo):
     """Fused FNN forward + masked SSE for one weight matrix ``w`` (P, C).
 
@@ -433,6 +481,298 @@ def fused_rw_block_impl(
     traces = dict(
         ll=res[11], rmse_train=res[12], rmse_test=res[13], acc_train=res[14],
         acc_test=res[15], accept_count=res[16],
+    )
+    if record_w:
+        traces["w"] = res[17]
+    return new_state, traces
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned-MALA fused block (the ESS/s flagship mode, regression).
+#
+# Per-step semantics are bit-for-bit kernel.step_precond with
+# proposal="precond_mala" (TPU-first flagship, not reference behavior):
+# two Metropolis-within-Gibbs blocks per step — (1) the preconditioned MALA
+# w-block with exact Gaussian reverse-kernel q-ratio, Welford diagonal
+# preconditioner (identity until pc_start, frozen at burn-in), deterministic
+# normalized-gradient warm start with forced accept, per-chain Robbins-Monro
+# scale adaptation; (2) the dataset-free eta RW block recovering -SSE/2
+# algebraically from the carried log-likelihood. The likelihood gradient is
+# the hand-written plane backprop above (validated vs autodiff); the cached
+# g_like carry crosses blocks/swaps exactly like ChainState.g_like.
+
+ETA_TARGET_ACCEPT = 0.44  # 1-D RW-MH optimum (kernel.py convention)
+
+
+def _mala_block_kernel(
+    topo, n_tr, n_te, k_max, w_size, p_pad, sigma_sq, nu_1, nu_2,
+    adapt_rate, mala_target, warmstart_step, precond_power,
+    pc_start, warm_end, burn_end_p, record_w,
+    sl_ref,  # (2,) SMEM int32: [start, length]
+    xtr_ref, ytr_ref, mtr_ref,
+    xte_ref, yte_ref, mte_ref,
+    at_ref,  # (1, C) adapttemp
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, na_ref,
+    lsw_ref, lse_ref,  # (1, C) log w-scale / log eta-scale
+    gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
+    nw_ref,  # (K, P, C) w noise (pre-masked rows)
+    ne_ref,  # (K, C) eta noise
+    u_ref,  # (K, C) w-block MH uniforms
+    ue_ref,  # (K, C) eta-block MH uniforms
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_na, o_lsw, o_lse,
+    o_gl, o_pm, o_p2,
+    t_ll, t_rtr, t_rte, t_na, *maybe_t_w,
+):
+    t_w = maybe_t_w[0] if record_w else None
+    i_dim, h_dim, _o = topo
+    start = sl_ref[0]
+    length = sl_ref[1]
+    at = at_ref[:]  # (1, C)
+    prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(sigma_sq)
+    f32 = jnp.float32
+
+    def body(k, carry):
+        (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2) = carry
+        i = start + k
+        live = k < length
+        sig = jnp.exp(lsw)  # (1, C)
+        # --- diagonal preconditioner from the Welford buffers -------------
+        cnt = jnp.maximum(jnp.minimum(i, burn_end_p) - warm_end, 1).astype(
+            f32
+        )
+        var = p2 / cnt  # (P, C); padded rows stay 0
+        mean_var = jnp.sum(var, axis=0, keepdims=True) / float(w_size)
+        m = jnp.clip(var / jnp.maximum(mean_var, 1e-30), 1e-4, 1e4)
+        if precond_power != 1.0:
+            m = jnp.power(m, precond_power)
+        m = jnp.where(i >= pc_start, m, jnp.ones_like(m))
+        tau = jnp.exp(eta)
+        # --- MALA w-block ---------------------------------------------------
+        g_cur = gl / (tau * at) - w / sigma_sq
+        sig2m = (sig * sig) * m
+        mean_fwd = w + 0.5 * sig2m * g_cur
+        w_prop = mean_fwd + sig * jnp.sqrt(m) * nw_ref[k]
+        # deterministic warm start (forced accept below)
+        g_rms = jnp.sqrt(
+            jnp.sum(g_cur * g_cur, axis=0, keepdims=True) / float(w_size)
+        )
+        w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
+        w_prop = jnp.where(i < warm_end, w_warm, w_prop)
+        ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
+        pr_prop = (
+            prior_const
+            - ssq / (2.0 * sigma_sq)
+            - (1.0 + nu_1) * eta
+            - nu_2 / tau
+        )
+        sse_tr, g_rows = _fwd_grad_reg(
+            w_prop, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
+        )
+        sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
+        ll_prop = -0.5 * n_tr * (_LOG_2PI + eta) - 0.5 * sse_tr / tau
+        rtr_prop = jnp.sqrt(sse_tr / n_tr)
+        rte_prop = jnp.sqrt(sse_te / n_te)
+        g_prop = g_rows / (tau * at) - w_prop / sigma_sq
+        mean_rev = w_prop + 0.5 * sig2m * g_prop
+        d_fwd = w_prop - mean_fwd
+        d_rev = w - mean_rev
+        diff = (
+            jnp.sum(d_fwd * d_fwd / m, axis=0, keepdims=True)
+            - jnp.sum(d_rev * d_rev / m, axis=0, keepdims=True)
+        ) / (2.0 * sig * sig)
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        accept = jnp.logical_or(u_ref[pl.ds(k, 1), :] < a, i < warm_end)
+        accept = jnp.logical_and(accept, live)
+
+        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop / at, ll / at)
+        rtr = jnp.where(accept, rtr_prop, rtr)
+        rte = jnp.where(accept, rte_prop, rte)
+        t_rtr[pl.ds(k, 1), :] = rtr
+        t_rte[pl.ds(k, 1), :] = rte
+        t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
+
+        w = jnp.where(accept, w_prop, w)
+        wl = jnp.where(accept, w_prop, wl)
+        if record_w:
+            t_w[pl.ds(k, 1), :, :] = wl.reshape((1,) + wl.shape)
+        ll = jnp.where(accept, ll_prop, ll)
+        pr = jnp.where(accept, pr_prop, pr)
+        gl = jnp.where(accept, g_rows, gl)
+        na = na + accept.astype(jnp.int32)
+
+        # --- eta block (dataset-free; kernel.py step_precond) -------------
+        sig_e = jnp.exp(lse)
+        eta_prop = eta + sig_e * ne_ref[pl.ds(k, 1), :]
+        val_cur = (ll + 0.5 * n_tr * (_LOG_2PI + eta)) * jnp.exp(eta)
+        ll_eta = -0.5 * n_tr * (_LOG_2PI + eta_prop) + val_cur * jnp.exp(
+            -eta_prop
+        )
+        dprior = -(1.0 + nu_1) * (eta_prop - eta) - nu_2 * (
+            jnp.exp(-eta_prop) - jnp.exp(-eta)
+        )
+        log_mh_e = (ll_eta - ll) / at + dprior
+        mh_e = jnp.exp(jnp.minimum(log_mh_e, 0.0))
+        acc_e = jnp.logical_and(ue_ref[pl.ds(k, 1), :] < mh_e, live)
+        eta = jnp.where(acc_e, eta_prop, eta)
+        ll = jnp.where(acc_e, ll_eta, ll)
+        pr = pr + jnp.where(acc_e, dprior, 0.0)
+        lse = jnp.clip(
+            lse
+            + jnp.where(
+                jnp.logical_and(live, i < burn_end_p),
+                adapt_rate * (mh_e - ETA_TARGET_ACCEPT),
+                0.0,
+            ),
+            math.log(1e-4),
+            math.log(10.0),
+        )
+
+        # --- Welford accumulation + Robbins-Monro w-scale ------------------
+        updf = jnp.where(
+            jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            ),
+            1.0,
+            0.0,
+        )
+        cnt_new = jnp.maximum(
+            jnp.minimum(i + 1, burn_end_p) - warm_end, 1
+        ).astype(f32)
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        mh_p = jnp.exp(jnp.minimum(log_mh, 0.0))
+        lsw = jnp.clip(
+            lsw
+            + jnp.where(
+                updf > 0.0, adapt_rate * (mh_p - mala_target), 0.0
+            ),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+        return (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2)
+
+    init = (
+        w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
+        rtr_ref[:], rte_ref[:], na_ref[:], lsw_ref[:], lse_ref[:],
+        gl_ref[:], pm_ref[:], p2_ref[:],
+    )
+    (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2) = (
+        jax.lax.fori_loop(0, k_max, body, init)
+    )
+    o_w[:] = w
+    o_wl[:] = wl
+    o_eta[:] = eta
+    o_ll[:] = ll
+    o_pr[:] = pr
+    o_rtr[:] = rtr
+    o_rte[:] = rte
+    o_na[:] = na
+    o_lsw[:] = lsw
+    o_lse[:] = lse
+    o_gl[:] = gl
+    o_pm[:] = pm
+    o_p2[:] = p2
+
+
+def fused_mala_block_impl(
+    state: dict,  # w/w_last/g_like/pc_mean/pc_m2 (P,C); eta/ll/prior/
+    #               rmse_tr/rmse_te/log_step_w/log_step_eta (1,C) f32;
+    #               n_accept (1,C) i32
+    noise_w: jax.Array,  # (K, P, C) pre-masked
+    noise_eta: jax.Array,  # (K, C)
+    u_mh: jax.Array,  # (K, C) w-block uniforms
+    u_eta: jax.Array,  # (K, C) eta-block uniforms
+    start,
+    length,
+    data: dict,  # prep_data output (regression: yh planes unused)
+    adapttemp: jax.Array,  # (1, C)
+    topo: Tuple[int, int, int],
+    cfg_scalars: dict,  # sigma_sq, nu_1, nu_2, adapt_rate, mala_target,
+    #                     warmstart_step, precond_power, pc_start, warm_end,
+    #                     burn_end
+    record_w: bool = True,
+    interpret: bool = False,
+):
+    """One fused K-step preconditioned-MALA block for all chains."""
+    k_max, p_pad, c_pad = noise_w.shape
+    assert c_pad % LANES == 0 and p_pad % 8 == 0
+    n_blocks = c_pad // LANES
+    i_dim, h_dim, o_dim = topo
+    w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
+
+    kern = functools.partial(
+        _mala_block_kernel, topo, float(data["n_tr"]), float(data["n_te"]),
+        k_max, w_size, p_pad,
+        float(cfg_scalars["sigma_sq"]), float(cfg_scalars["nu_1"]),
+        float(cfg_scalars["nu_2"]), float(cfg_scalars["adapt_rate"]),
+        float(cfg_scalars["mala_target"]),
+        float(cfg_scalars["warmstart_step"]),
+        float(cfg_scalars["precond_power"]), int(cfg_scalars["pc_start"]),
+        int(cfg_scalars["warm_end"]), int(cfg_scalars["burn_end"]), record_w,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape + (LANES,),
+        lambda b: (0,) * len(shape) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    st_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 8
+        + [blk(p_pad), blk(p_pad), blk(p_pad)]
+    )
+    out_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 8
+        + [blk(p_pad), blk(p_pad), blk(p_pad)]
+        + [blk(k_max)] * 4
+    )
+    f32 = jnp.float32
+    pc = lambda: jax.ShapeDtypeStruct((p_pad, c_pad), f32)
+    c1 = lambda dt=f32: jax.ShapeDtypeStruct((1, c_pad), dt)
+    kc = lambda dt=f32: jax.ShapeDtypeStruct((k_max, c_pad), dt)
+    out_shape = [
+        pc(), pc(),  # w, w_last
+        c1(), c1(), c1(), c1(), c1(),  # eta, ll, prior, rmse_tr, rmse_te
+        c1(jnp.int32), c1(), c1(),  # n_accept, log_step_w, log_step_eta
+        pc(), pc(), pc(),  # g_like, pc_mean, pc_m2
+        kc(), kc(), kc(), kc(jnp.int32),  # tr ll/rmse_tr/rmse_te/acc_count
+    ]
+    if record_w:
+        out_specs.append(blk(k_max, p_pad))
+        out_shape.append(jax.ShapeDtypeStruct((k_max, p_pad, c_pad), f32))
+    sl = jnp.stack(
+        [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem] + [full()] * 6 + [blk(1)] + st_specs
+        + [blk(k_max, p_pad), blk(k_max), blk(k_max), blk(k_max)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sl,
+        data["x_tr"], data["y_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["m_te"],
+        adapttemp,
+        state["w"], state["w_last"], state["eta"], state["ll"],
+        state["prior"], state["rmse_train"], state["rmse_test"],
+        state["n_accept"], state["log_step_w"], state["log_step_eta"],
+        state["g_like"], state["pc_mean"], state["pc_m2"],
+        noise_w, noise_eta, u_mh, u_eta,
+    )
+    new_state = dict(
+        w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
+        rmse_train=res[5], rmse_test=res[6], n_accept=res[7],
+        log_step_w=res[8], log_step_eta=res[9], g_like=res[10],
+        pc_mean=res[11], pc_m2=res[12],
+    )
+    traces = dict(
+        ll=res[13], rmse_train=res[14], rmse_test=res[15],
+        accept_count=res[16],
     )
     if record_w:
         traces["w"] = res[17]

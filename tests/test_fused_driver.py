@@ -132,6 +132,41 @@ def test_fused_cls_sample_matches_perstep_statistically():
 
 
 @pytest.mark.slow
+def test_fused_mala_sample_matches_perstep_statistically():
+    prob = load_regression("Sunspot")
+    cfg = _cfg(
+        proposal="precond_mala",
+        adapt_rate=0.1,
+        swap_style="even_odd",
+        swap_interval=10,
+        warmstart_frac=0.1,
+        precond_start_frac=0.3,
+        num_samples=8 * 600,
+        chunk_steps=150,
+    )
+    res_f = ptnn.sample(
+        dataclasses.replace(cfg, fused_step=True).validate(),
+        prob.train, prob.test, seed=5,
+    )
+    res_s = ptnn.sample(cfg, prob.train, prob.test, seed=5)
+
+    assert set(res_f.traces) == set(res_s.traces)
+    for k in res_f.traces:
+        assert res_f.traces[k].shape == res_s.traces[k].shape, k
+    b = cfg.samples_per_chain // 2
+    rmse_f = float(np.mean(res_f.traces["rmse_test"][b:, :]))
+    rmse_s = float(np.mean(res_s.traces["rmse_test"][b:, :]))
+    assert abs(rmse_f - rmse_s) < 0.05, (rmse_f, rmse_s)
+    acc_f = float(np.mean(res_f.accept_ratio_per_chain))
+    acc_s = float(np.mean(res_s.accept_ratio_per_chain))
+    assert abs(acc_f - acc_s) < 12.0, (acc_f, acc_s)
+    assert abs(res_f.swap_percent - res_s.swap_percent) < 25.0
+    # the adapted scales actually moved and froze plausibly
+    lsw = np.asarray(res_f.final_state.log_step_w)
+    assert np.all(np.isfinite(lsw)) and np.std(lsw) > 0.0
+
+
+@pytest.mark.slow
 def test_fused_sample_replica_tracking_and_ensembles():
     prob = load_regression("Sunspot")
     cfg = dataclasses.replace(

@@ -397,6 +397,238 @@ def test_fused_cls_block_matches_oracle(rng, adapt):
     assert np.all(np.asarray(new_state["w"])[WC:, :] == 0.0)
 
 
+def _mala_scal():
+    return dict(
+        sigma_sq=25.0, nu_1=0.0, nu_2=0.0, adapt_rate=0.1,
+        mala_target=0.574, warmstart_step=0.05, precond_power=1.0,
+        pc_start=10, warm_end=6, burn_end=20,
+    )
+
+
+def _vg_reg():
+    def f(wi, x, y):
+        fx = fnn.forward(wi, x, TOPO)[:, 0]
+        return -0.5 * jnp.sum(jnp.square(y - fx)), fx
+
+    return jax.vmap(jax.value_and_grad(f, has_aux=True), (0, None, None))
+
+
+def _mk_state_mala(rng, c_pad, p_pad, chains, raw, scal):
+    base = _mk_state(rng, c_pad, p_pad, chains, raw, dict(scal, step_eta=0.2))
+    x_tr, y_tr = jnp.asarray(raw[0]), jnp.asarray(raw[1])
+    wc = jnp.asarray(base["w"])[:W, :chains].T
+    (_v, _fx), g = _vg_reg()(wc, x_tr, y_tr)
+    gl = np.zeros((p_pad, c_pad), np.float32)
+    gl[:W, :chains] = np.asarray(g).T
+    base.update(
+        log_step_w=jnp.full((1, c_pad), math.log(0.05), jnp.float32),
+        log_step_eta=jnp.full((1, c_pad), math.log(0.2), jnp.float32),
+        g_like=jnp.asarray(gl),
+        pc_mean=jnp.zeros((p_pad, c_pad), jnp.float32),
+        pc_m2=jnp.zeros((p_pad, c_pad), jnp.float32),
+    )
+    del base["acc_train"], base["acc_test"]
+    return base
+
+
+def _oracle_mala(state, noise_w, noise_eta, u_mh, u_eta, start, length, raw,
+                 adapttemp, scal, chains):
+    """Plain-JAX replay of kernel.step_precond (precond_mala, regression):
+    MALA w-block with autodiff gradients + exact reverse q-ratio, forced-
+    accept warm start, dataset-free eta block, Welford + Robbins-Monro."""
+    x_tr, y_tr, x_te, y_te = [jnp.asarray(a) for a in raw]
+    ntr, nte = x_tr.shape[0], x_te.shape[0]
+    i_dim, h_dim, _ = TOPO
+    ssq_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(
+        scal["sigma_sq"]
+    )
+    vg = _vg_reg()
+    fwd = jax.vmap(lambda wi, x: fnn.forward(wi, x, TOPO)[:, 0], (0, None))
+
+    w = jnp.asarray(state["w"])[:W, :chains].T
+    wl = jnp.asarray(state["w_last"])[:W, :chains].T
+    eta = jnp.asarray(state["eta"])[0, :chains]
+    ll = jnp.asarray(state["ll"])[0, :chains]
+    pr = jnp.asarray(state["prior"])[0, :chains]
+    rtr = jnp.asarray(state["rmse_train"])[0, :chains]
+    rte = jnp.asarray(state["rmse_test"])[0, :chains]
+    na = jnp.asarray(state["n_accept"])[0, :chains]
+    lsw = jnp.asarray(state["log_step_w"])[0, :chains]
+    lse = jnp.asarray(state["log_step_eta"])[0, :chains]
+    gl = jnp.asarray(state["g_like"])[:W, :chains].T
+    pm = jnp.asarray(state["pc_mean"])[:W, :chains].T
+    p2 = jnp.asarray(state["pc_m2"])[:W, :chains].T
+    at = jnp.asarray(adapttemp)[0, :chains]
+
+    sq = scal["sigma_sq"]
+    tr = {k: [] for k in ("ll", "rmse_train", "rmse_test", "accept_count")}
+    for k in range(int(length)):
+        i = start + k
+        sig = jnp.exp(lsw)
+        cnt = float(max(min(i, scal["burn_end"]) - scal["warm_end"], 1))
+        var = p2 / cnt
+        m = jnp.clip(
+            var / jnp.maximum(jnp.mean(var, axis=1, keepdims=True), 1e-30),
+            1e-4, 1e4,
+        )
+        m = jnp.where(i >= scal["pc_start"], m, jnp.ones_like(m))
+        tau = jnp.exp(eta)
+        g_cur = gl / (tau * at)[:, None] - w / sq
+        sig2m = (sig * sig)[:, None] * m
+        mean_fwd = w + 0.5 * sig2m * g_cur
+        nw = jnp.asarray(noise_w)[k, :W, :chains].T
+        w_prop = mean_fwd + sig[:, None] * jnp.sqrt(m) * nw
+        g_rms = jnp.sqrt(jnp.mean(jnp.square(g_cur), axis=-1, keepdims=True))
+        w_warm = w + scal["warmstart_step"] * g_cur / jnp.maximum(
+            g_rms, 1e-12
+        )
+        w_prop = jnp.where(i < scal["warm_end"], w_warm, w_prop)
+        pr_prop = (
+            ssq_const
+            - jnp.sum(jnp.square(w_prop), axis=-1) / (2.0 * sq)
+            - (1.0 + scal["nu_1"]) * eta
+            - scal["nu_2"] / tau
+        )
+        (val, _fx), gl_prop = vg(w_prop, x_tr, y_tr)
+        ll_prop = -0.5 * ntr * (ps._LOG_2PI + eta) + val / tau
+        rtr_p = jnp.sqrt(-2.0 * val / ntr)
+        fx_te = fwd(w_prop, x_te)
+        rte_p = jnp.sqrt(jnp.mean(jnp.square(y_te[None] - fx_te), axis=-1))
+        g_prop = gl_prop / (tau * at)[:, None] - w_prop / sq
+        mean_rev = w_prop + 0.5 * sig2m * g_prop
+        diff = (
+            jnp.sum(jnp.square(w_prop - mean_fwd) / m, axis=-1)
+            - jnp.sum(jnp.square(w - mean_rev) / m, axis=-1)
+        ) / (2.0 * sig * sig)
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        acc = jnp.logical_or(
+            jnp.asarray(u_mh)[k, :chains] < jnp.exp(jnp.minimum(log_mh, 0.0)),
+            i < scal["warm_end"],
+        )
+        tr["ll"].append(ll_prop / at)
+        rtr = jnp.where(acc, rtr_p, rtr)
+        rte = jnp.where(acc, rte_p, rte)
+        tr["rmse_train"].append(rtr)
+        tr["rmse_test"].append(rte)
+        tr["accept_count"].append(na)
+        w = jnp.where(acc[:, None], w_prop, w)
+        wl = jnp.where(acc[:, None], w_prop, wl)
+        ll = jnp.where(acc, ll_prop, ll)
+        pr = jnp.where(acc, pr_prop, pr)
+        gl = jnp.where(acc[:, None], gl_prop, gl)
+        na = na + acc.astype(jnp.int32)
+        # eta block
+        sig_e = jnp.exp(lse)
+        eta_prop = eta + sig_e * jnp.asarray(noise_eta)[k, :chains]
+        val_cur = (ll + 0.5 * ntr * (ps._LOG_2PI + eta)) * jnp.exp(eta)
+        ll_eta = -0.5 * ntr * (ps._LOG_2PI + eta_prop) + val_cur * jnp.exp(
+            -eta_prop
+        )
+        dprior = -(1.0 + scal["nu_1"]) * (eta_prop - eta) - scal["nu_2"] * (
+            jnp.exp(-eta_prop) - jnp.exp(-eta)
+        )
+        log_mh_e = (ll_eta - ll) / at + dprior
+        mh_e = jnp.exp(jnp.minimum(log_mh_e, 0.0))
+        acc_e = jnp.asarray(u_eta)[k, :chains] < mh_e
+        eta = jnp.where(acc_e, eta_prop, eta)
+        ll = jnp.where(acc_e, ll_eta, ll)
+        pr = pr + jnp.where(acc_e, dprior, 0.0)
+        lse = jnp.clip(
+            lse
+            + jnp.where(
+                i < scal["burn_end"],
+                scal["adapt_rate"] * (mh_e - ps.ETA_TARGET_ACCEPT),
+                0.0,
+            ),
+            math.log(1e-4),
+            math.log(10.0),
+        )
+        # Welford + RM
+        updf = 1.0 if scal["warm_end"] <= i < scal["burn_end"] else 0.0
+        cnt_new = float(
+            max(min(i + 1, scal["burn_end"]) - scal["warm_end"], 1)
+        )
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        mh_p = jnp.exp(jnp.minimum(log_mh, 0.0))
+        lsw = jnp.clip(
+            lsw
+            + (
+                scal["adapt_rate"] * (mh_p - scal["mala_target"])
+                if updf > 0.0
+                else jnp.zeros_like(lsw)
+            ),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+    out = dict(w=w, w_last=wl, eta=eta, ll=ll, prior=pr, rmse_train=rtr,
+               rmse_test=rte, n_accept=na, log_step_w=lsw, log_step_eta=lse,
+               g_like=gl, pc_mean=pm, pc_m2=p2)
+    return out, {k: jnp.stack(v) for k, v in tr.items()}
+
+
+def test_fused_mala_block_matches_oracle(rng):
+    chains, k_max, length, start = 6, 24, 24, 0
+    p_pad, c_pad = 64, LANES
+    raw = _mk_data(rng)
+    data = ps.prep_data(*[jnp.asarray(a) for a in raw])
+    scal = _mala_scal()  # warm 0-5, precond from 10, adapt until 20: the
+    # single block crosses every phase boundary
+    state = _mk_state_mala(rng, c_pad, p_pad, chains, raw, scal)
+    noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
+    noise_w[:, :W, :chains] = rng.normal(size=(k_max, W, chains))
+    noise_eta = np.zeros((k_max, c_pad), np.float32)
+    noise_eta[:, :chains] = rng.normal(size=(k_max, chains))
+    u = np.ones((k_max, c_pad), np.float32)
+    u[:, :chains] = rng.uniform(size=(k_max, chains))
+    ue = np.ones((k_max, c_pad), np.float32)
+    ue[:, :chains] = rng.uniform(size=(k_max, chains))
+    adapttemp = np.ones((1, c_pad), np.float32)
+    adapttemp[0, :chains] = np.geomspace(1.0, 4.0, chains)
+
+    new_state, traces = ps.fused_mala_block_impl(
+        state, jnp.asarray(noise_w), jnp.asarray(noise_eta), jnp.asarray(u),
+        jnp.asarray(ue), start, length, data, jnp.asarray(adapttemp), TOPO,
+        scal, record_w=True, interpret=True,
+    )
+    ora_state, ora_tr = _oracle_mala(
+        state, noise_w, noise_eta, u, ue, start, length, raw, adapttemp,
+        scal, chains,
+    )
+
+    na = np.asarray(new_state["n_accept"])[0, :chains]
+    # forced warm accepts happened; post-warm steps rejected at least once
+    assert na.sum() >= scal["warm_end"] * chains
+    assert na.sum() < length * chains, na
+
+    np.testing.assert_array_equal(na, np.asarray(ora_state["n_accept"]))
+    np.testing.assert_array_equal(
+        np.asarray(traces["accept_count"])[:length, :chains],
+        np.asarray(ora_tr["accept_count"]),
+    )
+    for k in ("eta", "ll", "prior", "rmse_train", "rmse_test", "log_step_w",
+              "log_step_eta"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[0, :chains],
+            np.asarray(ora_state[k]),
+            rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    for k in ("w", "w_last", "g_like", "pc_mean", "pc_m2"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[:W, :chains].T,
+            np.asarray(ora_state[k]), rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    for k in ("ll", "rmse_train", "rmse_test"):
+        np.testing.assert_allclose(
+            np.asarray(traces[k])[:length, :chains],
+            np.asarray(ora_tr[k]), rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    # padded rows never move
+    assert np.all(np.asarray(new_state["w"])[W:, :] == 0.0)
+    assert np.all(np.asarray(new_state["g_like"])[W:, :] == 0.0)
+
+
 def test_fused_rw_block_zero_length_is_noop(rng):
     chains, k_max = 4, 8
     p_pad, c_pad = 64, LANES
