@@ -68,6 +68,12 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   fixed-L variant measured on BOTH axes at once
                   (results/chees_study.md: RMSE 0.0103 at 6,230 pooled
                   cold ESS/s)
+  * chees16_fused_16x4 — chees16_16x4 executed as fused Pallas blocks
+                  (the HMC block kernel of ops/pallas_step.py: leapfrog
+                  trajectories, kinetic-energy MH, in-kernel ChEES rung-sum
+                  adaptation; one invocation per 10-step DEO interval).
+                  Same sampler (oracle-pinned); the quality-flagship field
+                  picks the faster execution. Heavy one-time Mosaic compile.
 
 Reference quality bar: committed Sunspot RW test RMSE 0.0239
 (multicore-pt-regression/Res_RW/master_result_file.txt:2).
@@ -169,6 +175,20 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             warmstart_frac=0.1,
             precond_start_frac=0.3,
             step_w=0.01,
+        ).validate(),
+        "chees16_fused_16x4": dataclasses.replace(
+            cfg,
+            proposal="hmc",
+            hmc_leapfrog=16,
+            hmc_adapt_traj=True,
+            n_ladders=16,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            step_w=0.01,
+            fused_step=True,
         ).validate(),
     }
     if full:
@@ -313,7 +333,11 @@ def main() -> None:
                     ("mala_16x4", "mala_fused_16x4"),
                     key=lambda t: ess_per_sec[t]["value"],
                 ),
-                "flagship_quality": "chees16_16x4",
+                # quality flagship: best RMSE sampler, faster execution wins
+                "flagship_quality": max(
+                    ("chees16_16x4", "chees16_fused_16x4"),
+                    key=lambda t: ess_per_sec[t]["value"],
+                ),
             }
         )
     )

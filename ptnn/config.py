@@ -730,15 +730,14 @@ class PTConfig:
             if self.use_langevin_gradients or self.proposal not in (
                 "reference",
                 "precond_mala",
+                "hmc",
             ):
                 raise ValueError(
-                    "fused_step covers the reference RW and precond-MALA "
-                    "proposals; other modes keep the per-step sampler"
+                    "fused_step covers the reference RW, precond-MALA and "
+                    "HMC proposals; other modes keep the per-step sampler"
                 )
-            if self.proposal == "precond_mala" and self.task != "regression":
-                raise ValueError(
-                    "fused precond-MALA covers the regression task"
-                )
+            if self.proposal == "hmc" and self.task != "regression":
+                raise ValueError("fused HMC covers the regression task")
             if self.use_surrogate or self.variational_reference:
                 raise ValueError(
                     "fused_step excludes surrogate/variational-reference "

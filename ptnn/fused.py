@@ -12,11 +12,14 @@ path (kernel.make_step_fn) — so swap semantics, counters, pair statistics,
 replica tracking and ensemble pair masks are shared, not re-implemented.
 
 Scope (validated by PTConfig.validate + `fused_reason` / `runtime_reason`):
-the reference random-walk path for BOTH tasks (regression and
-classification) plus the preconditioned-MALA flagship (regression; the
-kernel carries the Welford preconditioner, cached likelihood gradient and
-both Robbins-Monro scales across steps and hand-writes the FNN backprop on
-planes — ops/pallas_step.py `_mala_block_kernel`) — single device, float32,
+the reference random-walk path and the preconditioned-MALA flagship for
+BOTH tasks (regression and classification) plus preconditioned HMC incl.
+ChEES trajectory adaptation (regression). The kernels carry the Welford
+preconditioner, cached likelihood gradient and every adapted scale across
+steps and hand-write the FNN backprop on planes — ops/pallas_step.py
+`_mala_block_kernel` / `_mala_cls_block_kernel` / `_hmc_block_kernel`; the
+ChEES rung sums are an in-kernel matmul, which restricts fused ChEES to
+chain counts within one 128-lane block. Single device, float32,
 no surrogate/VR/fx machinery — and models/datasets whose block working set
 fits the ~12 MiB VMEM budget (`_k_cap`): pregenerated proposal noise is
 (K, P, 128) per chain block, so large w_size shrinks the block length K
@@ -55,12 +58,24 @@ LANES = ps.LANES
 def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
     """Why the fused path CANNOT run this config (None = supported)."""
     if cfg.use_langevin_gradients:
-        return "fused_step supports the reference RW / precond-MALA proposals"
-    if cfg.proposal == "precond_mala":
-        if cfg.task != "regression":
-            return "fused precond-MALA covers the regression task"
+        return (
+            "fused_step supports the reference RW / precond-MALA / HMC "
+            "proposals"
+        )
+    if cfg.proposal in ("precond_mala", "hmc"):
+        if cfg.proposal == "hmc" and cfg.task != "regression":
+            return "fused HMC covers the regression task"
+        if cfg.proposal == "hmc" and cfg.hmc_adapt_traj:
+            if ((cfg.num_chains + LANES - 1) // LANES) * LANES != LANES:
+                return (
+                    "fused ChEES needs the chain axis in one 128-lane "
+                    "block (its rung sums couple lanes)"
+                )
     elif cfg.proposal != "reference":
-        return "fused_step supports the reference RW / precond-MALA proposals"
+        return (
+            "fused_step supports the reference RW / precond-MALA / HMC "
+            "proposals"
+        )
     if cfg.use_surrogate or cfg.variational_reference:
         return "fused_step excludes surrogate/variational-reference modes"
     if cfg.record_fx or cfg.record_ll_state:
@@ -80,15 +95,20 @@ _K_MIN = 8  # below this the dispatch-floor amortization stops paying
 
 def _k_cap(
     record_w: bool, p_pad: int, ntr_p: int, nte_p: int, n_classes: int,
-    mala: bool = False,
+    mala: bool = False, hmc: bool = False, hidden: int = 0,
 ) -> int:
     """Largest block length K whose working set fits the VMEM budget
     (pallas_step.vmem_bytes model); 0 = doesn't fit even at K=_K_MIN."""
     per_k = 4 * LANES * (p_pad + 8 + (p_pad if record_w else 0))
     live = max(4, n_classes + 4)
+    if mala and n_classes > 0:
+        # the classification backprop keeps the hidden sigmoid planes and
+        # per-class delta planes live through the gradient
+        live = live + hidden + n_classes
     # MALA carries 3 extra (P, C) state planes (g_like, Welford mean/M2) in
-    # and out, plus ~4 live (P, C) proposal/gradient planes
-    state_planes = 18 if mala else 4
+    # and out, plus ~4 live (P, C) proposal/gradient planes; HMC adds the
+    # momentum carry and leapfrog temporaries on top
+    state_planes = 26 if hmc else (18 if mala else 4)
     fixed = 4 * LANES * (live * (ntr_p + nte_p) + state_planes * p_pad)
     if fixed + _K_MIN * per_k > _VMEM_BUDGET:
         return 0
@@ -116,7 +136,8 @@ def runtime_reason(
     n_cls = cfg.topology[2] if cfg.task == "classification" else 0
     cap = _k_cap(
         rec, p_pad, pad8(train.shape[0]), pad8(test.shape[0]), n_cls,
-        mala=cfg.proposal == "precond_mala",
+        mala=cfg.proposal == "precond_mala", hmc=cfg.proposal == "hmc",
+        hidden=cfg.topology[1],
     )
     if cap < _K_MIN:
         return (
@@ -175,7 +196,8 @@ def block_plan(
 
 
 def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt,
-                     mala: bool = False):
+                     mala: bool = False, hmc: bool = False,
+                     task_cls: bool = False):
     c, w = st.w.shape
 
     def pad_pc(a):  # (C, W) -> (P, C)
@@ -184,9 +206,10 @@ def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt,
     def pad_1c(a, dtype=jnp.float32):  # (C,) -> (1, C)
         return jnp.pad(a.astype(dtype), (0, c_pad - c)).reshape(1, c_pad)
 
+    grad = mala or hmc
     lsw = (
         st.log_step_w
-        if (adapt or mala)
+        if (adapt or grad)
         else jnp.zeros((c,), jnp.float32)
     )
     out = dict(
@@ -202,21 +225,32 @@ def _to_kernel_state(st: kernel.ChainState, p_pad, c_pad, adapt,
         n_accept=pad_1c(st.n_accept, jnp.int32),
         log_step_w=pad_1c(lsw),
     )
-    if mala:
+    if grad:
         out.update(
-            log_step_eta=pad_1c(st.log_step_eta),
             g_like=pad_pc(st.g_like),
             pc_mean=pad_pc(st.pc_mean),
             pc_m2=pad_pc(st.pc_m2),
         )
-        # the MALA kernel has no accuracy carries (regression scope)
-        del out["acc_train"], out["acc_test"]
+        if not task_cls:
+            # the regression MALA/HMC kernels carry the eta block's scale
+            # and have no accuracy carries
+            out["log_step_eta"] = pad_1c(st.log_step_eta)
+            del out["acc_train"], out["acc_test"]
+    if hmc:
+        zc = jnp.zeros((c,), jnp.float32)
+        out.update(
+            log_traj=pad_1c(st.log_traj if st.log_traj is not None else zc),
+            chees_m1=pad_1c(st.chees_m1 if st.chees_m1 is not None else zc),
+            chees_v2=pad_1c(st.chees_v2 if st.chees_v2 is not None else zc),
+        )
     return out
 
 
 def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt,
-                       mala: bool = False):
+                       mala: bool = False, hmc: bool = False,
+                       task_cls: bool = False):
     c, w = st.w.shape
+    grad = mala or hmc
     take_pc = lambda a: a[:w, :c].T
     take_1c = lambda a: a[0, :c]
     out = st._replace(
@@ -229,19 +263,26 @@ def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt,
         rmse_test=take_1c(ks["rmse_test"]),
         n_accept=take_1c(ks["n_accept"]),
     )
-    if not mala:
+    if not grad or task_cls:
         out = out._replace(
             acc_train=take_1c(ks["acc_train"]),
             acc_test=take_1c(ks["acc_test"]),
         )
-    if adapt or mala:
+    if adapt or grad:
         out = out._replace(log_step_w=take_1c(ks["log_step_w"]))
-    if mala:
+    if grad:
         out = out._replace(
-            log_step_eta=take_1c(ks["log_step_eta"]),
             g_like=take_pc(ks["g_like"]),
             pc_mean=take_pc(ks["pc_mean"]),
             pc_m2=take_pc(ks["pc_m2"]),
+        )
+        if not task_cls:
+            out = out._replace(log_step_eta=take_1c(ks["log_step_eta"]))
+    if hmc and st.log_traj is not None:
+        out = out._replace(
+            log_traj=take_1c(ks["log_traj"]),
+            chees_m1=take_1c(ks["chees_m1"]),
+            chees_v2=take_1c(ks["chees_v2"]),
         )
     return out
 
@@ -266,6 +307,8 @@ class _Fused:
         self.cfg = cfg
         self.task_cls = cfg.task == "classification"
         self.mala = cfg.proposal == "precond_mala"
+        self.hmc = cfg.proposal == "hmc"
+        self.chees = False  # set by the hmc scal block below
         self.data = sampler_mod.make_dataset(cfg, train, test)
         if self.data.mask_train is not None or self.data.w_mask is not None:
             raise ValueError("fused_step does not support padded datasets")
@@ -289,7 +332,7 @@ class _Fused:
         k_cap = _k_cap(
             self.record_w, self.p_pad,
             pad8(self.data.x_train.shape[0]), pad8(self.data.x_test.shape[0]),
-            n_cls, mala=self.mala,
+            n_cls, mala=self.mala, hmc=self.hmc,
         )
         self.plan = block_plan(cfg, k_cap=k_cap)
         self.k_max = max(
@@ -311,6 +354,30 @@ class _Fused:
                 pc_start=int(samples * cfg.precond_start_frac),
                 warm_end=int(samples * cfg.warmstart_frac),
                 burn_end=int(samples * cfg.burn_in) - 1,
+            )
+        elif self.hmc:
+            self.chees = cfg.hmc_adapt_traj
+            self.scal = dict(
+                sigma_sq=cfg.sigma_sq, nu_1=cfg.nu_1, nu_2=cfg.nu_2,
+                adapt_rate=cfg.adapt_rate,
+                hmc_target=cfg.hmc_target_accept,
+                warmstart_step=cfg.warmstart_step,
+                precond_power=cfg.precond_power,
+                pc_start=int(samples * cfg.precond_start_frac),
+                warm_end=int(samples * cfg.warmstart_frac),
+                burn_end=int(samples * cfg.burn_in) - 1,
+                leapfrog=cfg.hmc_leapfrog,
+                eps_jitter=cfg.hmc_eps_jitter,
+                chees=self.chees,
+                chees_rate=cfg.chees_rate,
+                n_ladders=cfg.n_ladders,
+            )
+            self.rung_sum = (
+                ps.rung_sum_matrix(
+                    c, cfg.rungs_per_ladder, self.c_pad
+                )
+                if self.chees
+                else jnp.zeros((self.c_pad, self.c_pad), jnp.float32)
             )
         else:
             self.scal = dict(
@@ -362,9 +429,16 @@ class _Fused:
         u = jax.random.uniform(ku, (self.k_max, self.c_pad), jnp.float32)
         adapttemp = jnp.where(start < self.switch, self.temps_pad, 1.0)
         kstate = _to_kernel_state(
-            st, self.p_pad, self.c_pad, cfg.adapt_step_size, mala=self.mala
+            st, self.p_pad, self.c_pad, cfg.adapt_step_size, mala=self.mala,
+            hmc=self.hmc, task_cls=self.task_cls,
         )
-        if self.mala:
+        if self.mala and self.task_cls:
+            ksd, traces = ps.fused_mala_cls_block_impl(
+                kstate, noise_w, u, start, length, self.kdata, adapttemp,
+                cfg.topology, self.scal, record_w=self.record_w,
+                interpret=self.interpret,
+            )
+        elif self.mala:
             u_eta = jax.random.uniform(
                 kue, (self.k_max, self.c_pad), jnp.float32
             )
@@ -375,6 +449,30 @@ class _Fused:
             )
             traces["acc_train"] = jnp.zeros_like(traces["ll"])
             traces["acc_test"] = jnp.zeros_like(traces["ll"])
+        elif self.hmc:
+            u_eta = jax.random.uniform(
+                kue, (self.k_max, self.c_pad), jnp.float32
+            )
+            kj = jax.random.fold_in(kb, 101)
+            u_jit = jax.random.uniform(
+                kj, (self.k_max, self.c_pad), jnp.float32
+            )
+            # state-independent van-der-Corput trajectory jitter, one
+            # scalar per absolute step index, replicated over lanes
+            u_traj = jnp.broadcast_to(
+                kernel.vdc_u(start + jnp.arange(self.k_max, dtype=jnp.int32))[
+                    :, None
+                ],
+                (self.k_max, self.c_pad),
+            )
+            ksd, traces = ps.fused_hmc_block_impl(
+                kstate, noise_w, noise_eta, u, u_eta, u_jit, u_traj,
+                self.rung_sum, start, length, self.kdata, adapttemp,
+                cfg.topology, self.scal, record_w=self.record_w,
+                interpret=self.interpret,
+            )
+            traces["acc_train"] = jnp.zeros_like(traces["ll"])
+            traces["acc_test"] = jnp.zeros_like(traces["ll"])
         else:
             ksd, traces = ps.fused_rw_block_impl(
                 kstate, noise_w, noise_eta, u, start, length, self.kdata,
@@ -382,7 +480,8 @@ class _Fused:
                 interpret=self.interpret,
             )
         st2 = _from_kernel_state(
-            st, ksd, cfg.adapt_step_size, mala=self.mala
+            st, ksd, cfg.adapt_step_size, mala=self.mala, hmc=self.hmc,
+            task_cls=self.task_cls,
         )
         i_swap = start + length - 1
         st3 = jax.lax.cond(
@@ -400,6 +499,8 @@ class _Fused:
             "acc_test": traces["acc_test"][:, :c],
             "accept_count": traces["accept_count"][:, :c],
         }
+        if self.hmc and self.chees:
+            out["traj_len"] = traces["traj_len"][:, :c]
         if self.record_w:
             w_rows = jnp.transpose(traces["w"], (0, 2, 1))[
                 :, :c, : self.spec.w_size

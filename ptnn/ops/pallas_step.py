@@ -144,6 +144,95 @@ def _fwd_cls(w, x_ref, yh_ref, y_ref, m_ref, topo, n):
     return loglik, rmse, acc
 
 
+def _fwd_grad_cls(w, x_ref, yh_ref, y_ref, m_ref, topo, n, p_pad):
+    """Fused FNN forward + multinomial eval + hand-written backprop for one
+    weight matrix ``w`` (P, C), classification.
+
+    Same forward and metrics as _fwd_cls; the gradient is d loglik / dw of
+    the masked multinomial log-likelihood over the softmax of the sigmoid
+    outputs, the value _like_value_and_grad (kernel.py) differentiates with
+    autodiff. Chain rule on (N, C) planes: delta2_o = (yh_o - p_o) * mask *
+    out_o (1 - out_o); dW2_{h,o} = sum delta2_o s_h, dB2_o = -sum delta2_o,
+    delta1_h = (sum_o delta2_o W2_{h,o}) s_h (1 - s_h), dW1_{i,h} =
+    sum delta1_h x_i, dB1_h = -sum delta1_h (flat-codec row order
+    [W1.ravel, W2.ravel(h-major), B1, B2]). Bitwise-validated against
+    jax.value_and_grad in tests/test_pallas_step.py. Returns
+    (loglik, rmse, acc, grad rows (P, C) — padded rows exactly zero).
+    """
+    i_dim, h_dim, o_dim = topo
+    s1 = i_dim * h_dim
+    s2 = s1 + h_dim * o_dim
+    b2 = s2 + h_dim
+    n_pad = y_ref.shape[0]
+    c = w.shape[-1]
+    ss = []
+    outs = [
+        jnp.zeros((n_pad, c), jnp.float32) - w[b2 + o : b2 + o + 1, :]
+        for o in range(o_dim)
+    ]
+    for h in range(h_dim):
+        z = jnp.zeros((n_pad, c), jnp.float32) - w[s2 + h : s2 + h + 1, :]
+        for i in range(i_dim):
+            z = z + x_ref[i] * w[i * h_dim + h : i * h_dim + h + 1, :]
+        s = jax.nn.sigmoid(z)
+        ss.append(s)
+        for o in range(o_dim):
+            outs[o] = outs[o] + s * w[s1 + h * o_dim + o : s1 + h * o_dim + o + 1, :]
+    outs = [jax.nn.sigmoid(v) for v in outs]
+    # log-softmax + gather + first-argmax (same as _fwd_cls)
+    mx = outs[0]
+    for o in range(1, o_dim):
+        mx = jnp.maximum(mx, outs[o])
+    se = jnp.zeros((n_pad, c), jnp.float32)
+    gath = jnp.zeros((n_pad, c), jnp.float32)
+    pred = jnp.zeros((n_pad, c), jnp.float32)
+    best = outs[0]
+    for o in range(o_dim):
+        se = se + jnp.exp(outs[o] - mx)
+        gath = gath + yh_ref[o] * outs[o]
+        if o > 0:
+            better = outs[o] > best  # strict: ties keep the FIRST argmax
+            pred = jnp.where(better, float(o), pred)
+            best = jnp.maximum(best, outs[o])
+    lse = mx + jnp.log(se)
+    loglik = jnp.sum((gath - lse) * m_ref[:], axis=0, keepdims=True)
+    err = pred - y_ref[:]
+    rmse = jnp.sqrt(jnp.sum(err * err * m_ref[:], axis=0, keepdims=True) / n)
+    acc = (
+        100.0
+        * jnp.sum(
+            jnp.where(pred == y_ref[:], m_ref[:], 0.0), axis=0, keepdims=True
+        )
+        / n
+    )
+    # backprop
+    rows = [None] * (b2 + o_dim)
+    d2s = []
+    for o in range(o_dim):
+        p_o = jnp.exp(outs[o] - lse)
+        d2 = (yh_ref[o] - p_o) * m_ref[:] * outs[o] * (1.0 - outs[o])
+        d2s.append(d2)
+        rows[b2 + o] = -jnp.sum(d2, axis=0, keepdims=True)
+    for h in range(h_dim):
+        s = ss[h]
+        dh = jnp.zeros((n_pad, c), jnp.float32)
+        for o in range(o_dim):
+            rows[s1 + h * o_dim + o] = jnp.sum(
+                d2s[o] * s, axis=0, keepdims=True
+            )
+            dh = dh + d2s[o] * w[s1 + h * o_dim + o : s1 + h * o_dim + o + 1, :]
+        dh = dh * s * (1.0 - s)
+        rows[s2 + h] = -jnp.sum(dh, axis=0, keepdims=True)
+        for i in range(i_dim):
+            rows[i * h_dim + h] = jnp.sum(
+                dh * x_ref[i], axis=0, keepdims=True
+            )
+    g = jnp.concatenate(
+        rows + [jnp.zeros((p_pad - len(rows), c), jnp.float32)], axis=0
+    )
+    return loglik, rmse, acc, g
+
+
 def _fwd_grad_reg(w, x_ref, y_ref, m_ref, topo, p_pad):
     """Fused FNN forward + masked SSE + hand-written backprop for one weight
     matrix ``w`` (P, C), regression (O = 1).
@@ -776,4 +865,661 @@ def fused_mala_block_impl(
     )
     if record_w:
         traces["w"] = res[17]
+    return new_state, traces
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned-HMC fused block (the quality-flagship mode, regression),
+# with optional in-kernel ChEES cross-replica trajectory adaptation.
+#
+# Per-step semantics mirror kernel.step_precond with proposal="hmc"
+# (TPU-first flagship, not reference behavior): a leapfrog trajectory on the
+# tempered Hamiltonian with diagonal mass matrix M = diag(1/m) (m the Welford
+# position preconditioner), kinetic-energy MH correction, deterministic
+# warm-start phase with forced accept, the dataset-free eta RW block, and
+# Robbins-Monro scale adaptation toward hmc_target_accept — all state
+# resident in VMEM across the block, gradients from the hand-written plane
+# backprop (_fwd_grad_reg). One deliberate deviation from the per-step path:
+# the proposal's (SSE, gradient) are recomputed once at the selected endpoint
+# instead of reusing the trajectory carry, which makes the warm-start branch
+# maskable (one extra gradient eval per step, ~1/L overhead) — the oracle in
+# tests/test_pallas_step.py pins exactly these semantics, and equivalence
+# with the per-step sampler is distributional (same-seed noise streams differ
+# by construction).
+#
+# ChEES (cfg.hmc_adapt_traj; Hoffman et al. 2021 adapted to tempering as in
+# kernel.step_precond): trajectory length tau = u_i * exp(log_traj) with the
+# van-der-Corput jitter streamed in, realized leapfrog counts masked inside
+# the static hmc_leapfrog bound, and the criterion's per-RUNG expectations
+# over the n_ladders replicas computed IN-KERNEL as one matmul with a
+# constant rung-sum matrix A (A[j,j'] = 1 iff j,j' are live replicas of the
+# same rung) — which is why the ChEES variant requires the whole chain axis
+# to fit one 128-lane block (the ensemble flagships 16x4 / 8x8 do).
+
+
+def _hmc_block_kernel(
+    topo, n_tr, n_te, k_max, w_size, p_pad, sigma_sq, nu_1, nu_2,
+    adapt_rate, hmc_target, warmstart_step, precond_power,
+    pc_start, warm_end, burn_end_p, leapfrog, eps_jitter, chees,
+    chees_rate, n_ladders, record_w,
+    sl_ref,  # (2,) SMEM int32: [start, length]
+    xtr_ref, ytr_ref, mtr_ref,
+    xte_ref, yte_ref, mte_ref,
+    at_ref,  # (1, C) adapttemp
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, na_ref,
+    lsw_ref, lse_ref,  # (1, C) log w-scale / log eta-scale
+    gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
+    lt_ref, m1_ref, v2_ref,  # (1, C) log_traj / ChEES Adam m1 / v2
+    a_ref,  # (C, C) rung-sum matrix (zeros when not chees)
+    nw_ref,  # (K, P, C) momentum noise (pre-masked rows)
+    ne_ref,  # (K, C) eta noise
+    u_ref,  # (K, C) w-block MH uniforms
+    ue_ref,  # (K, C) eta-block MH uniforms
+    uj_ref,  # (K, C) eps-jitter uniforms
+    ut_ref,  # (K, C) van-der-Corput trajectory jitter (lane-replicated)
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_na, o_lsw, o_lse,
+    o_gl, o_pm, o_p2, o_lt, o_m1, o_v2,
+    t_ll, t_rtr, t_rte, t_na, t_tl, *maybe_t_w,
+):
+    t_w = maybe_t_w[0] if record_w else None
+    i_dim, h_dim, _o = topo
+    start = sl_ref[0]
+    length = sl_ref[1]
+    at = at_ref[:]  # (1, C)
+    prior_const = -0.5 * (i_dim * h_dim + h_dim + 2) * math.log(sigma_sq)
+    f32 = jnp.float32
+    log09 = math.log(0.9)
+    log0999 = math.log(0.999)
+
+    def body(k, carry):
+        (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2,
+         lt, m1, v2) = carry
+        i = start + k
+        live = k < length
+        sig = jnp.exp(lsw)  # (1, C)
+        # --- diagonal preconditioner from the Welford buffers -------------
+        cnt = jnp.maximum(jnp.minimum(i, burn_end_p) - warm_end, 1).astype(
+            f32
+        )
+        var = p2 / cnt  # (P, C); padded rows stay 0
+        mean_var = jnp.sum(var, axis=0, keepdims=True) / float(w_size)
+        m = jnp.clip(var / jnp.maximum(mean_var, 1e-30), 1e-4, 1e4)
+        if precond_power != 1.0:
+            m = jnp.power(m, precond_power)
+        m = jnp.where(i >= pc_start, m, jnp.ones_like(m))
+        tau = jnp.exp(eta)
+        g_cur = gl / (tau * at) - w / sigma_sq  # tempered posterior grad
+        # --- trajectory schedule -------------------------------------------
+        eps = sig
+        if eps_jitter > 0.0:
+            eps = sig * (
+                1.0 + eps_jitter * (2.0 * uj_ref[pl.ds(k, 1), :] - 1.0)
+            )
+        if chees:
+            u_t = ut_ref[pl.ds(k, 1), :]  # (1, C) lane-replicated vdc
+            tau_traj = jnp.exp(lt) * u_t
+            l_steps = jnp.clip(
+                jnp.ceil(tau_traj / eps), 1.0, float(leapfrog)
+            )  # (1, C) float
+        # --- leapfrog trajectory -------------------------------------------
+        p0 = nw_ref[k] / jnp.sqrt(m)  # (P, C); padded rows zero
+        k_init = 0.5 * jnp.sum(m * p0 * p0, axis=0, keepdims=True)
+
+        def leap(n, cr):
+            w_c, p_c, g_c = cr
+            p_half = p_c + 0.5 * eps * g_c
+            w_n = w_c + eps * m * p_half
+            _sse, gl_n = _fwd_grad_reg(
+                w_n, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
+            )
+            g_n = gl_n / (tau * at) - w_n / sigma_sq
+            p_n = p_half + 0.5 * eps * g_n
+            if chees:
+                upd = n.astype(f32) < l_steps  # (1, C)
+                w_n = jnp.where(upd, w_n, w_c)
+                p_n = jnp.where(upd, p_n, p_c)
+                g_n = jnp.where(upd, g_n, g_c)
+            return (w_n, p_n, g_n)
+
+        w_end, p_end, _g_end = jax.lax.fori_loop(
+            0, leapfrog, leap, (w, p0, g_cur)
+        )
+        k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
+        # --- warm start (forced accept below) -------------------------------
+        g_rms = jnp.sqrt(
+            jnp.sum(g_cur * g_cur, axis=0, keepdims=True) / float(w_size)
+        )
+        w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
+        w_prop = jnp.where(i < warm_end, w_warm, w_end)
+        # --- one eval at the selected endpoint ------------------------------
+        ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
+        pr_prop = (
+            prior_const
+            - ssq / (2.0 * sigma_sq)
+            - (1.0 + nu_1) * eta
+            - nu_2 / tau
+        )
+        sse_tr, g_rows = _fwd_grad_reg(
+            w_prop, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
+        )
+        sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
+        ll_prop = -0.5 * n_tr * (_LOG_2PI + eta) - 0.5 * sse_tr / tau
+        rtr_prop = jnp.sqrt(sse_tr / n_tr)
+        rte_prop = jnp.sqrt(sse_te / n_te)
+        diff = k_init - k_end  # reversible volume-preserving integrator
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        accept = jnp.logical_or(u_ref[pl.ds(k, 1), :] < a, i < warm_end)
+        accept = jnp.logical_and(accept, live)
+
+        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop / at, ll / at)
+        rtr = jnp.where(accept, rtr_prop, rtr)
+        rte = jnp.where(accept, rte_prop, rte)
+        t_rtr[pl.ds(k, 1), :] = rtr
+        t_rte[pl.ds(k, 1), :] = rte
+        t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
+        if chees:
+            t_tl[pl.ds(k, 1), :] = jnp.where(live, l_steps, 0.0)
+        else:
+            t_tl[pl.ds(k, 1), :] = jnp.where(live, float(leapfrog), 0.0)
+
+        w_old = w  # pre-decision position (ChEES uses it)
+        w = jnp.where(accept, w_prop, w)
+        wl = jnp.where(accept, w_prop, wl)
+        if record_w:
+            t_w[pl.ds(k, 1), :, :] = wl.reshape((1,) + wl.shape)
+        ll = jnp.where(accept, ll_prop, ll)
+        pr = jnp.where(accept, pr_prop, pr)
+        gl = jnp.where(accept, g_rows, gl)
+        na = na + accept.astype(jnp.int32)
+
+        # --- eta block (dataset-free; kernel.py step_precond) -------------
+        sig_e = jnp.exp(lse)
+        eta_prop = eta + sig_e * ne_ref[pl.ds(k, 1), :]
+        val_cur = (ll + 0.5 * n_tr * (_LOG_2PI + eta)) * jnp.exp(eta)
+        ll_eta = -0.5 * n_tr * (_LOG_2PI + eta_prop) + val_cur * jnp.exp(
+            -eta_prop
+        )
+        dprior = -(1.0 + nu_1) * (eta_prop - eta) - nu_2 * (
+            jnp.exp(-eta_prop) - jnp.exp(-eta)
+        )
+        log_mh_e = (ll_eta - ll) / at + dprior
+        mh_e = jnp.exp(jnp.minimum(log_mh_e, 0.0))
+        acc_e = jnp.logical_and(ue_ref[pl.ds(k, 1), :] < mh_e, live)
+        eta = jnp.where(acc_e, eta_prop, eta)
+        ll = jnp.where(acc_e, ll_eta, ll)
+        pr = pr + jnp.where(acc_e, dprior, 0.0)
+        lse = jnp.clip(
+            lse
+            + jnp.where(
+                jnp.logical_and(live, i < burn_end_p),
+                adapt_rate * (mh_e - ETA_TARGET_ACCEPT),
+                0.0,
+            ),
+            math.log(1e-4),
+            math.log(10.0),
+        )
+
+        # --- ChEES trajectory-length adaptation (in-kernel rung sums) ------
+        if chees:
+            rsum_p = lambda x: jnp.dot(
+                x, a_ref[:], preferred_element_type=f32
+            )
+            dxp = w_prop - rsum_p(w_prop) / float(n_ladders)
+            dx = w_old - rsum_p(w_old) / float(n_ladders)
+            dsq = jnp.sum(m * dxp * dxp, axis=0, keepdims=True) - jnp.sum(
+                m * dx * dx, axis=0, keepdims=True
+            )
+            inner = jnp.sum(dxp * p_end, axis=0, keepdims=True)
+            g_c = a * dsq * inner * u_t  # acceptance-weighted estimator
+            wsum = jnp.maximum(rsum_p(a), 1e-6)
+            g_rung = rsum_p(g_c) / wsum
+            g_log = g_rung * tau_traj
+            live_tr = jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            )
+            t_ad = jnp.maximum(
+                (jnp.minimum(i, burn_end_p) - warm_end).astype(f32) + 1.0,
+                1.0,
+            )
+            m1 = jnp.where(live_tr, 0.9 * m1 + 0.1 * g_log, m1)
+            v2 = jnp.where(live_tr, 0.999 * v2 + 0.001 * g_log * g_log, v2)
+            bc1 = 1.0 - jnp.exp(t_ad * log09)
+            bc2 = 1.0 - jnp.exp(t_ad * log0999)
+            step_ad = (
+                chees_rate * (m1 / bc1) / (jnp.sqrt(v2 / bc2) + 1e-8)
+            )
+            lt = jnp.clip(
+                lt + jnp.where(live_tr, step_ad, 0.0),
+                math.log(1e-4),
+                jnp.log(eps * float(leapfrog)),
+            )
+
+        # --- Welford accumulation + Robbins-Monro w-scale ------------------
+        updf = jnp.where(
+            jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            ),
+            1.0,
+            0.0,
+        )
+        cnt_new = jnp.maximum(
+            jnp.minimum(i + 1, burn_end_p) - warm_end, 1
+        ).astype(f32)
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        lsw = jnp.clip(
+            lsw
+            + jnp.where(updf > 0.0, adapt_rate * (a - hmc_target), 0.0),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+        return (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2,
+                lt, m1, v2)
+
+    init = (
+        w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
+        rtr_ref[:], rte_ref[:], na_ref[:], lsw_ref[:], lse_ref[:],
+        gl_ref[:], pm_ref[:], p2_ref[:], lt_ref[:], m1_ref[:], v2_ref[:],
+    )
+    (w, wl, eta, ll, pr, rtr, rte, na, lsw, lse, gl, pm, p2, lt, m1, v2) = (
+        jax.lax.fori_loop(0, k_max, body, init)
+    )
+    o_w[:] = w
+    o_wl[:] = wl
+    o_eta[:] = eta
+    o_ll[:] = ll
+    o_pr[:] = pr
+    o_rtr[:] = rtr
+    o_rte[:] = rte
+    o_na[:] = na
+    o_lsw[:] = lsw
+    o_lse[:] = lse
+    o_gl[:] = gl
+    o_pm[:] = pm
+    o_p2[:] = p2
+    o_lt[:] = lt
+    o_m1[:] = m1
+    o_v2[:] = v2
+
+
+def rung_sum_matrix(
+    num_chains: int, rungs_per_ladder: int, c_pad: int
+) -> jax.Array:
+    """(C_pad, C_pad) constant matrix A with A[j, j'] = 1 iff chains j, j'
+    are live replicas of the same rung (chain index = ladder * K + rung, the
+    kernel.py ensemble layout) — so ``x @ A`` is the per-rung replica SUM,
+    broadcast back to every chain. Padded lanes stay zero."""
+    idx = jnp.arange(c_pad)
+    rung = idx % max(rungs_per_ladder, 1)
+    liv = idx < num_chains
+    same = (rung[:, None] == rung[None, :]) & liv[:, None] & liv[None, :]
+    return same.astype(jnp.float32)
+
+
+def fused_hmc_block_impl(
+    state: dict,  # MALA state dict + log_traj/chees_m1/chees_v2 (1,C) f32
+    noise_w: jax.Array,  # (K, P, C) momentum noise, pre-masked rows
+    noise_eta: jax.Array,  # (K, C)
+    u_mh: jax.Array,  # (K, C) w-block uniforms
+    u_eta: jax.Array,  # (K, C) eta-block uniforms
+    u_jit: jax.Array,  # (K, C) eps-jitter uniforms
+    u_traj: jax.Array,  # (K, C) van-der-Corput jitter, lane-replicated
+    rung_sum: jax.Array,  # (C, C) rung-sum matrix (zeros when not chees)
+    start,
+    length,
+    data: dict,  # prep_data output (regression planes)
+    adapttemp: jax.Array,  # (1, C)
+    topo: Tuple[int, int, int],
+    cfg_scalars: dict,  # sigma_sq, nu_1, nu_2, adapt_rate, hmc_target,
+    #                     warmstart_step, precond_power, pc_start, warm_end,
+    #                     burn_end, leapfrog, eps_jitter, chees, chees_rate,
+    #                     n_ladders
+    record_w: bool = True,
+    interpret: bool = False,
+):
+    """One fused K-step preconditioned-HMC block for all chains."""
+    k_max, p_pad, c_pad = noise_w.shape
+    assert c_pad % LANES == 0 and p_pad % 8 == 0
+    n_blocks = c_pad // LANES
+    chees = bool(cfg_scalars["chees"])
+    if chees and n_blocks != 1:
+        raise ValueError(
+            "fused ChEES needs the chain axis in ONE 128-lane block (its "
+            "rung sums couple lanes); got c_pad=%d" % c_pad
+        )
+    i_dim, h_dim, o_dim = topo
+    w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
+
+    kern = functools.partial(
+        _hmc_block_kernel, topo, float(data["n_tr"]), float(data["n_te"]),
+        k_max, w_size, p_pad,
+        float(cfg_scalars["sigma_sq"]), float(cfg_scalars["nu_1"]),
+        float(cfg_scalars["nu_2"]), float(cfg_scalars["adapt_rate"]),
+        float(cfg_scalars["hmc_target"]),
+        float(cfg_scalars["warmstart_step"]),
+        float(cfg_scalars["precond_power"]), int(cfg_scalars["pc_start"]),
+        int(cfg_scalars["warm_end"]), int(cfg_scalars["burn_end"]),
+        int(cfg_scalars["leapfrog"]), float(cfg_scalars["eps_jitter"]),
+        chees, float(cfg_scalars["chees_rate"]),
+        int(cfg_scalars["n_ladders"]), record_w,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape + (LANES,),
+        lambda b: (0,) * len(shape) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    st_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 8
+        + [blk(p_pad), blk(p_pad), blk(p_pad)] + [blk(1)] * 3
+    )
+    out_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 8
+        + [blk(p_pad), blk(p_pad), blk(p_pad)] + [blk(1)] * 3
+        + [blk(k_max)] * 5
+    )
+    f32 = jnp.float32
+    pc = lambda: jax.ShapeDtypeStruct((p_pad, c_pad), f32)
+    c1 = lambda dt=f32: jax.ShapeDtypeStruct((1, c_pad), dt)
+    kc = lambda dt=f32: jax.ShapeDtypeStruct((k_max, c_pad), dt)
+    out_shape = [
+        pc(), pc(),  # w, w_last
+        c1(), c1(), c1(), c1(), c1(),  # eta, ll, prior, rmse_tr, rmse_te
+        c1(jnp.int32), c1(), c1(),  # n_accept, log_step_w, log_step_eta
+        pc(), pc(), pc(),  # g_like, pc_mean, pc_m2
+        c1(), c1(), c1(),  # log_traj, chees_m1, chees_v2
+        kc(), kc(), kc(), kc(jnp.int32), kc(),  # tr ll/rtr/rte/acc_count/tl
+    ]
+    if record_w:
+        out_specs.append(blk(k_max, p_pad))
+        out_shape.append(jax.ShapeDtypeStruct((k_max, p_pad, c_pad), f32))
+    sl = jnp.stack(
+        [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem] + [full()] * 6 + [blk(1)] + st_specs + [full()]
+        + [blk(k_max, p_pad)] + [blk(k_max)] * 5,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sl,
+        data["x_tr"], data["y_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["m_te"],
+        adapttemp,
+        state["w"], state["w_last"], state["eta"], state["ll"],
+        state["prior"], state["rmse_train"], state["rmse_test"],
+        state["n_accept"], state["log_step_w"], state["log_step_eta"],
+        state["g_like"], state["pc_mean"], state["pc_m2"],
+        state["log_traj"], state["chees_m1"], state["chees_v2"],
+        rung_sum,
+        noise_w, noise_eta, u_mh, u_eta, u_jit, u_traj,
+    )
+    new_state = dict(
+        w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
+        rmse_train=res[5], rmse_test=res[6], n_accept=res[7],
+        log_step_w=res[8], log_step_eta=res[9], g_like=res[10],
+        pc_mean=res[11], pc_m2=res[12], log_traj=res[13], chees_m1=res[14],
+        chees_v2=res[15],
+    )
+    traces = dict(
+        ll=res[16], rmse_train=res[17], rmse_test=res[18],
+        accept_count=res[19], traj_len=res[20],
+    )
+    if record_w:
+        traces["w"] = res[21]
+    return new_state, traces
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned-MALA fused block, classification task.
+#
+# Mirrors kernel.step_precond with proposal="precond_mala",
+# task="classification": one MH block per step (no eta machinery — the
+# multinomial likelihood has no noise parameter), untempered multinomial
+# log-likelihood as the carried value AND the recorded trace
+# (pt_classification.py:404 convention), Gaussian weight prior with
+# dim = w_size (:224-230), accuracy/argmax-RMSE metrics, warm start, Welford
+# preconditioner and Robbins-Monro scale exactly as the regression kernel.
+# Kept as its own kernel (not a flag on _mala_block_kernel) so the validated
+# regression flagship path stays untouched.
+
+
+def _mala_cls_block_kernel(
+    topo, n_tr, n_te, k_max, w_size, p_pad, sigma_sq,
+    adapt_rate, mala_target, warmstart_step, precond_power,
+    pc_start, warm_end, burn_end_p, record_w,
+    sl_ref,  # (2,) SMEM int32: [start, length]
+    xtr_ref, ytr_ref, yhtr_ref, mtr_ref,
+    xte_ref, yte_ref, yhte_ref, mte_ref,
+    at_ref,  # (1, C) adapttemp
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, atr_ref,
+    ate_ref, na_ref, lsw_ref,
+    gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
+    nw_ref,  # (K, P, C) w noise (pre-masked rows)
+    u_ref,  # (K, C) MH uniforms
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_atr, o_ate, o_na, o_lsw,
+    o_gl, o_pm, o_p2,
+    t_ll, t_rtr, t_rte, t_atr, t_ate, t_na, *maybe_t_w,
+):
+    t_w = maybe_t_w[0] if record_w else None
+    start = sl_ref[0]
+    length = sl_ref[1]
+    at = at_ref[:]  # (1, C)
+    prior_const = -0.5 * w_size * math.log(sigma_sq)
+    f32 = jnp.float32
+
+    def body(k, carry):
+        (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2) = carry
+        i = start + k
+        live = k < length
+        sig = jnp.exp(lsw)  # (1, C)
+        cnt = jnp.maximum(jnp.minimum(i, burn_end_p) - warm_end, 1).astype(
+            f32
+        )
+        var = p2 / cnt
+        mean_var = jnp.sum(var, axis=0, keepdims=True) / float(w_size)
+        m = jnp.clip(var / jnp.maximum(mean_var, 1e-30), 1e-4, 1e4)
+        if precond_power != 1.0:
+            m = jnp.power(m, precond_power)
+        m = jnp.where(i >= pc_start, m, jnp.ones_like(m))
+        # --- MALA w-block (classification: g_post = gl/at - w/sigma^2) ----
+        g_cur = gl / at - w / sigma_sq
+        sig2m = (sig * sig) * m
+        mean_fwd = w + 0.5 * sig2m * g_cur
+        w_prop = mean_fwd + sig * jnp.sqrt(m) * nw_ref[k]
+        g_rms = jnp.sqrt(
+            jnp.sum(g_cur * g_cur, axis=0, keepdims=True) / float(w_size)
+        )
+        w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
+        w_prop = jnp.where(i < warm_end, w_warm, w_prop)
+        ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
+        pr_prop = prior_const - ssq / (2.0 * sigma_sq)
+        ll_prop, rtr_prop, atr_prop, g_rows = _fwd_grad_cls(
+            w_prop, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr, p_pad
+        )
+        _ll_te, rte_prop, ate_prop = _fwd_cls(
+            w_prop, xte_ref, yhte_ref, yte_ref, mte_ref, topo, n_te
+        )
+        g_prop = g_rows / at - w_prop / sigma_sq
+        mean_rev = w_prop + 0.5 * sig2m * g_prop
+        d_fwd = w_prop - mean_fwd
+        d_rev = w - mean_rev
+        diff = (
+            jnp.sum(d_fwd * d_fwd / m, axis=0, keepdims=True)
+            - jnp.sum(d_rev * d_rev / m, axis=0, keepdims=True)
+        ) / (2.0 * sig * sig)
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        accept = jnp.logical_or(u_ref[pl.ds(k, 1), :] < a, i < warm_end)
+        accept = jnp.logical_and(accept, live)
+
+        # classification records the UNTEMPERED proposal likelihood
+        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop, ll)
+        rtr = jnp.where(accept, rtr_prop, rtr)
+        rte = jnp.where(accept, rte_prop, rte)
+        atr = jnp.where(accept, atr_prop, atr)
+        ate = jnp.where(accept, ate_prop, ate)
+        t_rtr[pl.ds(k, 1), :] = rtr
+        t_rte[pl.ds(k, 1), :] = rte
+        t_atr[pl.ds(k, 1), :] = atr
+        t_ate[pl.ds(k, 1), :] = ate
+        t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
+
+        w = jnp.where(accept, w_prop, w)
+        wl = jnp.where(accept, w_prop, wl)
+        if record_w:
+            t_w[pl.ds(k, 1), :, :] = wl.reshape((1,) + wl.shape)
+        ll = jnp.where(accept, ll_prop, ll)
+        pr = jnp.where(accept, pr_prop, pr)
+        gl = jnp.where(accept, g_rows, gl)
+        na = na + accept.astype(jnp.int32)
+
+        # --- Welford accumulation + Robbins-Monro w-scale ------------------
+        updf = jnp.where(
+            jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            ),
+            1.0,
+            0.0,
+        )
+        cnt_new = jnp.maximum(
+            jnp.minimum(i + 1, burn_end_p) - warm_end, 1
+        ).astype(f32)
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        lsw = jnp.clip(
+            lsw
+            + jnp.where(updf > 0.0, adapt_rate * (a - mala_target), 0.0),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+        return (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2)
+
+    init = (
+        w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
+        rtr_ref[:], rte_ref[:], atr_ref[:], ate_ref[:], na_ref[:],
+        lsw_ref[:], gl_ref[:], pm_ref[:], p2_ref[:],
+    )
+    (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2) = (
+        jax.lax.fori_loop(0, k_max, body, init)
+    )
+    o_w[:] = w
+    o_wl[:] = wl
+    o_eta[:] = eta
+    o_ll[:] = ll
+    o_pr[:] = pr
+    o_rtr[:] = rtr
+    o_rte[:] = rte
+    o_atr[:] = atr
+    o_ate[:] = ate
+    o_na[:] = na
+    o_lsw[:] = lsw
+    o_gl[:] = gl
+    o_pm[:] = pm
+    o_p2[:] = p2
+
+
+def fused_mala_cls_block_impl(
+    state: dict,  # RW-style state (incl. acc_train/acc_test) + g_like/
+    #               pc_mean/pc_m2 (P,C)
+    noise_w: jax.Array,  # (K, P, C) pre-masked
+    u_mh: jax.Array,  # (K, C) MH uniforms
+    start,
+    length,
+    data: dict,  # prep_data output with one-hot planes
+    adapttemp: jax.Array,  # (1, C)
+    topo: Tuple[int, int, int],
+    cfg_scalars: dict,  # sigma_sq, adapt_rate, mala_target, warmstart_step,
+    #                     precond_power, pc_start, warm_end, burn_end
+    record_w: bool = True,
+    interpret: bool = False,
+):
+    """One fused K-step preconditioned-MALA block, classification."""
+    k_max, p_pad, c_pad = noise_w.shape
+    assert c_pad % LANES == 0 and p_pad % 8 == 0
+    n_blocks = c_pad // LANES
+    i_dim, h_dim, o_dim = topo
+    w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
+
+    kern = functools.partial(
+        _mala_cls_block_kernel, topo, float(data["n_tr"]),
+        float(data["n_te"]), k_max, w_size, p_pad,
+        float(cfg_scalars["sigma_sq"]), float(cfg_scalars["adapt_rate"]),
+        float(cfg_scalars["mala_target"]),
+        float(cfg_scalars["warmstart_step"]),
+        float(cfg_scalars["precond_power"]), int(cfg_scalars["pc_start"]),
+        int(cfg_scalars["warm_end"]), int(cfg_scalars["burn_end"]), record_w,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape + (LANES,),
+        lambda b: (0,) * len(shape) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    st_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 9
+        + [blk(p_pad), blk(p_pad), blk(p_pad)]
+    )
+    out_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 9
+        + [blk(p_pad), blk(p_pad), blk(p_pad)]
+        + [blk(k_max)] * 6
+    )
+    f32 = jnp.float32
+    pc = lambda: jax.ShapeDtypeStruct((p_pad, c_pad), f32)
+    c1 = lambda dt=f32: jax.ShapeDtypeStruct((1, c_pad), dt)
+    kc = lambda dt=f32: jax.ShapeDtypeStruct((k_max, c_pad), dt)
+    out_shape = [
+        pc(), pc(),  # w, w_last
+        c1(), c1(), c1(), c1(), c1(), c1(), c1(),  # eta..acc_te
+        c1(jnp.int32), c1(),  # n_accept, log_step_w
+        pc(), pc(), pc(),  # g_like, pc_mean, pc_m2
+        kc(), kc(), kc(), kc(), kc(), kc(jnp.int32),  # traces
+    ]
+    if record_w:
+        out_specs.append(blk(k_max, p_pad))
+        out_shape.append(jax.ShapeDtypeStruct((k_max, p_pad, c_pad), f32))
+    sl = jnp.stack(
+        [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem] + [full()] * 8 + [blk(1)] + st_specs
+        + [blk(k_max, p_pad), blk(k_max)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sl,
+        data["x_tr"], data["y_tr"], data["yh_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["yh_te"], data["m_te"],
+        adapttemp,
+        state["w"], state["w_last"], state["eta"], state["ll"],
+        state["prior"], state["rmse_train"], state["rmse_test"],
+        state["acc_train"], state["acc_test"],
+        state["n_accept"], state["log_step_w"],
+        state["g_like"], state["pc_mean"], state["pc_m2"],
+        noise_w, u_mh,
+    )
+    new_state = dict(
+        w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
+        rmse_train=res[5], rmse_test=res[6], acc_train=res[7],
+        acc_test=res[8], n_accept=res[9], log_step_w=res[10],
+        g_like=res[11], pc_mean=res[12], pc_m2=res[13],
+    )
+    traces = dict(
+        ll=res[14], rmse_train=res[15], rmse_test=res[16], acc_train=res[17],
+        acc_test=res[18], accept_count=res[19],
+    )
+    if record_w:
+        traces["w"] = res[20]
     return new_state, traces
