@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
         "independent (chains/R)-rung ladders in one program; the R cold "
         "chains' ESS adds (results/ladder_ensembles.md)",
     )
+    p.add_argument(
+        "--fused",
+        action="store_true",
+        help="execute inter-swap intervals as fused Pallas blocks "
+        "(PTConfig.fused_step): ~2x chain-steps/s for RW/MALA and 1.64x "
+        "for HMC/ChEES at reference scales; unsupported configs fall "
+        "back to the per-step sampler with a warning (ptnn/fused.py)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-seed", type=int, default=0, help="train/test split seed")
     p.add_argument("--out", default="results/classification")
@@ -144,6 +152,10 @@ def main(argv=None) -> None:
                 variational_reference=True,
                 vr_hot_infinite=True,
             ).validate()
+        if args.fused:
+            # applied last: fused_step validation depends on the final
+            # proposal/task configuration
+            cfg = dataclasses.replace(cfg, fused_step=True).validate()
         run_problem(
             prob,
             cfg,

@@ -1021,7 +1021,9 @@ def _hmc_block_kernel(
         if chees:
             t_tl[pl.ds(k, 1), :] = jnp.where(live, l_steps, 0.0)
         else:
-            t_tl[pl.ds(k, 1), :] = jnp.where(live, float(leapfrog), 0.0)
+            t_tl[pl.ds(k, 1), :] = jnp.where(
+                live, jnp.full_like(at, float(leapfrog)), jnp.zeros_like(at)
+            )
 
         w_old = w  # pre-decision position (ChEES uses it)
         w = jnp.where(accept, w_prop, w)

@@ -733,9 +733,12 @@ def _oracle_hmc(state, noise_w, noise_eta, u_mh, u_eta, u_jit, u_traj,
             + scal["eps_jitter"]
             * (2.0 * jnp.asarray(u_jit)[k, :chains] - 1.0)
         )
-        u_t = jnp.asarray(u_traj)[k, :chains]
-        tau_traj = jnp.exp(lt) * u_t
-        l_steps = jnp.clip(jnp.ceil(tau_traj / eps), 1.0, float(L))
+        if scal["chees"]:
+            u_t = jnp.asarray(u_traj)[k, :chains]
+            tau_traj = jnp.exp(lt) * u_t
+            l_steps = jnp.clip(jnp.ceil(tau_traj / eps), 1.0, float(L))
+        else:
+            l_steps = jnp.full((chains,), float(L))
         epsw = eps[:, None]
         p0 = jnp.asarray(noise_w)[k, :W, :chains].T / jnp.sqrt(m)
         k_init = 0.5 * jnp.sum(m * jnp.square(p0), axis=-1)
@@ -814,34 +817,37 @@ def _oracle_hmc(state, noise_w, noise_eta, u_mh, u_eta, u_jit, u_traj,
             math.log(10.0),
         )
         # ChEES adaptation (rung sums over ladder replicas)
-        dxp = w_prop - rung_mean(w_prop)
-        dx = w_old - rung_mean(w_old)
-        dsq = jnp.sum(m * jnp.square(dxp), -1) - jnp.sum(
-            m * jnp.square(dx), -1
-        )
-        inner = jnp.sum(dxp * p_c, -1)
-        g_ch = a * dsq * inner * u_t
-        wsum = jnp.maximum(a.reshape(n_lad, k_rung).sum(0), 1e-6)
-        g_rung = jnp.broadcast_to(
-            (g_ch.reshape(n_lad, k_rung).sum(0) / wsum)[None, :],
-            (n_lad, k_rung),
-        ).reshape(chains)
-        g_log = g_rung * tau_traj
-        live_tr = scal["warm_end"] <= i < scal["burn_end"]
-        t_ad = float(max(min(i, scal["burn_end"]) - scal["warm_end"], 0) + 1)
-        if live_tr:
-            m1 = 0.9 * m1 + 0.1 * g_log
-            v2 = 0.999 * v2 + 0.001 * jnp.square(g_log)
-            step_ad = (
-                scal["chees_rate"]
-                * (m1 / (1.0 - 0.9 ** t_ad))
-                / (jnp.sqrt(v2 / (1.0 - 0.999 ** t_ad)) + 1e-8)
+        if scal["chees"]:
+            dxp = w_prop - rung_mean(w_prop)
+            dx = w_old - rung_mean(w_old)
+            dsq = jnp.sum(m * jnp.square(dxp), -1) - jnp.sum(
+                m * jnp.square(dx), -1
             )
-        else:
-            step_ad = jnp.zeros_like(lt)
-        lt = jnp.clip(
-            lt + step_ad, math.log(1e-4), jnp.log(eps * float(L))
-        )
+            inner = jnp.sum(dxp * p_c, -1)
+            g_ch = a * dsq * inner * u_t
+            wsum = jnp.maximum(a.reshape(n_lad, k_rung).sum(0), 1e-6)
+            g_rung = jnp.broadcast_to(
+                (g_ch.reshape(n_lad, k_rung).sum(0) / wsum)[None, :],
+                (n_lad, k_rung),
+            ).reshape(chains)
+            g_log = g_rung * tau_traj
+            live_tr = scal["warm_end"] <= i < scal["burn_end"]
+            t_ad = float(
+                max(min(i, scal["burn_end"]) - scal["warm_end"], 0) + 1
+            )
+            if live_tr:
+                m1 = 0.9 * m1 + 0.1 * g_log
+                v2 = 0.999 * v2 + 0.001 * jnp.square(g_log)
+                step_ad = (
+                    scal["chees_rate"]
+                    * (m1 / (1.0 - 0.9 ** t_ad))
+                    / (jnp.sqrt(v2 / (1.0 - 0.999 ** t_ad)) + 1e-8)
+                )
+            else:
+                step_ad = jnp.zeros_like(lt)
+            lt = jnp.clip(
+                lt + step_ad, math.log(1e-4), jnp.log(eps * float(L))
+            )
         # Welford + RM
         updf = 1.0 if scal["warm_end"] <= i < scal["burn_end"] else 0.0
         cnt_new = float(
@@ -867,13 +873,14 @@ def _oracle_hmc(state, noise_w, noise_eta, u_mh, u_eta, u_jit, u_traj,
     return out, {k: jnp.stack(v) for k, v in tr.items()}
 
 
-def test_fused_hmc_block_matches_oracle(rng):
+@pytest.mark.parametrize("chees", [True, False])
+def test_fused_hmc_block_matches_oracle(rng, chees):
     chains, k_max, length, start = 6, 24, 24, 0
     p_pad, c_pad = 64, LANES
     raw = _mk_data(rng)
     data = ps.prep_data(*[jnp.asarray(a) for a in raw])
-    scal = _hmc_scal()  # warm 0-5, precond from 10, adapt until 20: the
-    # single block crosses every phase boundary
+    scal = dict(_hmc_scal(), chees=chees)  # warm 0-5, precond from 10,
+    # adapt until 20: the single block crosses every phase boundary
     state = _mk_state_hmc(rng, c_pad, p_pad, chains, raw, scal)
     noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
     noise_w[:, :W, :chains] = rng.normal(size=(k_max, W, chains))
