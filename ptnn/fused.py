@@ -19,8 +19,13 @@ preconditioner, cached likelihood gradient and every adapted scale across
 steps and hand-write the FNN backprop on planes — ops/pallas_step.py
 `_mala_block_kernel` / `_mala_cls_block_kernel` / `_hmc_block_kernel`; the
 ChEES rung sums are an in-kernel matmul, which restricts fused ChEES to
-chain counts within one 128-lane block. Single device, float32,
-no surrogate/VR/fx machinery — and models/datasets whose block working set
+chain counts within one 128-lane block on one device. Float32, no
+surrogate/VR/fx machinery. Multi-device: a 1-D 'chains' mesh shards the
+chain axis via ``jax.shard_map`` (`_call_impl`) — each device dispatches
+the block kernel on its own 128-lane chain blocks (needs num_chains
+divisible by n_devices*128) while the swap sweep stays at the GSPMD level;
+sharded == unsharded bit-for-bit (tests/test_fused_driver.py). Working
+sets are additionally gated: models/datasets whose block working set
 fits the ~12 MiB VMEM budget (`_k_cap`): pregenerated proposal noise is
 (K, P, 128) per chain block, so large w_size shrinks the block length K
 until amortization stops paying, at which point dispatch falls back to the
@@ -45,12 +50,14 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ptnn import kernel
 from ptnn.compat import fast_jit
 from ptnn.config import PTConfig
 from ptnn.ops import ladder
 from ptnn.ops import pallas_step as ps
+from ptnn.parallel import mesh as mesh_mod
 
 LANES = ps.LANES
 
@@ -66,10 +73,12 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
         if cfg.proposal == "hmc" and cfg.task != "regression":
             return "fused HMC covers the regression task"
         if cfg.proposal == "hmc" and cfg.hmc_adapt_traj:
-            if ((cfg.num_chains + LANES - 1) // LANES) * LANES != LANES:
+            if mesh is not None or (
+                ((cfg.num_chains + LANES - 1) // LANES) * LANES != LANES
+            ):
                 return (
                     "fused ChEES needs the chain axis in one 128-lane "
-                    "block (its rung sums couple lanes)"
+                    "block on one device (its rung sums couple lanes)"
                 )
     elif cfg.proposal != "reference":
         return (
@@ -83,7 +92,20 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
     if cfg.eval_dtype != "float32":
         return "fused_step is float32-only"
     if mesh is not None:
-        return "fused_step is single-device (chain axis on lanes)"
+        # chain axis shards over the mesh via shard_map: each device runs
+        # the block kernel on its local 128-lane chain blocks, the swap
+        # sweep stays at the (GSPMD) XLA level between blocks
+        if (
+            mesh_mod.DATA_AXIS in mesh.axis_names
+            and mesh.shape[mesh_mod.DATA_AXIS] > 1
+        ):
+            return "fused_step shards the chain axis only (1-D mesh)"
+        n_dev = mesh.shape.get(mesh_mod.CHAIN_AXIS, 1)
+        if cfg.num_chains % (n_dev * LANES) != 0:
+            return (
+                "fused_step on a mesh needs num_chains divisible by "
+                f"n_devices*{LANES} (got {cfg.num_chains} over {n_dev})"
+            )
     if model_spec is not None and model_spec.name != "fnn":
         return "fused_step supports the reference FNN spec"
     return None
@@ -293,17 +315,20 @@ def _from_kernel_state(st: kernel.ChainState, ks: dict, adapt,
 
 class _Fused:
     def __init__(self, cfg: PTConfig, train, test, seed, model_spec=None,
-                 record_w: bool = False, interpret: Optional[bool] = None):
+                 record_w: bool = False, interpret: Optional[bool] = None,
+                 mesh=None):
         if interpret is None:
             # off-TPU (CPU test tier) the Mosaic kernel only runs interpreted
             interpret = jax.default_backend() != "tpu"
         from ptnn import sampler as sampler_mod
 
         reason = runtime_reason(
-            cfg, train, test, model_spec=model_spec, record_w=record_w
+            cfg, train, test, mesh=mesh, model_spec=model_spec,
+            record_w=record_w,
         )
         if reason is not None:
             raise ValueError(f"fused_step unsupported here: {reason}")
+        self.mesh = mesh
         self.cfg = cfg
         self.task_cls = cfg.task == "classification"
         self.mala = cfg.proposal == "precond_mala"
@@ -411,6 +436,54 @@ class _Fused:
             return w_rows[:, :: cfg.rungs_per_ladder][:, :k]
         return w_rows[:, :k]
 
+    def _call_impl(self, fn, kstate, arrs, start, length, adapttemp):
+        """Invoke a block-kernel impl, sharding the chain axis over the
+        mesh when one is active.
+
+        ``fn(kstate, *arrs, start, length, data, adapttemp)`` →
+        ``(new_state, traces)``. Without a mesh this is a plain call. With
+        a 1-D 'chains' mesh, the call runs under ``jax.shard_map``: every
+        chain-axis operand/output (last dim = C) is sharded over the mesh
+        so each device dispatches the Pallas kernel on its own 128-lane
+        chain blocks; the dataset replicates and (start, length) ride an
+        SMEM-bound (2,) scalar vector. Per-chain math is device-local by
+        construction, so sharded == unsharded bit-for-bit (tested)."""
+        if self.mesh is None:
+            return fn(kstate, *arrs, start, length, self.kdata, adapttemp)
+        cs = lambda x: P(*([None] * (x.ndim - 1)), mesh_mod.CHAIN_AXIS)
+        sl = jnp.stack(
+            [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+        )
+        arrs = list(arrs)
+        # dataset row counts are STATIC kernel parameters — keep them out
+        # of the shard_map operands (they would trace to int32[] scalars)
+        d_arr = {k: v for k, v in self.kdata.items() if hasattr(v, "ndim")}
+        d_static = {
+            k: v for k, v in self.kdata.items() if not hasattr(v, "ndim")
+        }
+
+        def local_fn(kst, ar, sl_, darr, at):
+            return fn(kst, *ar, sl_[0], sl_[1], {**darr, **d_static}, at)
+
+        in_specs = (
+            jax.tree.map(cs, kstate),
+            jax.tree.map(cs, arrs),
+            P(),
+            jax.tree.map(lambda _x: P(), d_arr),
+            cs(adapttemp),
+        )
+        out_struct = jax.eval_shape(
+            local_fn, kstate, arrs, sl, d_arr, adapttemp
+        )
+        out_specs = jax.tree.map(cs, out_struct)
+        return jax.shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )(kstate, arrs, sl, d_arr, adapttemp)
+
     def block_body(self, st: kernel.ChainState, xs):
         """One fused block + boundary swap; scan-compatible."""
         start, length, swap_flag = xs
@@ -432,20 +505,29 @@ class _Fused:
             st, self.p_pad, self.c_pad, cfg.adapt_step_size, mala=self.mala,
             hmc=self.hmc, task_cls=self.task_cls,
         )
+        kw = dict(record_w=self.record_w, interpret=self.interpret)
         if self.mala and self.task_cls:
-            ksd, traces = ps.fused_mala_cls_block_impl(
-                kstate, noise_w, u, start, length, self.kdata, adapttemp,
-                cfg.topology, self.scal, record_w=self.record_w,
-                interpret=self.interpret,
+            fn = lambda kst, nw, um, s, ln, d, at: (
+                ps.fused_mala_cls_block_impl(
+                    kst, nw, um, s, ln, d, at, cfg.topology, self.scal, **kw
+                )
+            )
+            ksd, traces = self._call_impl(
+                fn, kstate, (noise_w, u), start, length, adapttemp
             )
         elif self.mala:
             u_eta = jax.random.uniform(
                 kue, (self.k_max, self.c_pad), jnp.float32
             )
-            ksd, traces = ps.fused_mala_block_impl(
-                kstate, noise_w, noise_eta, u, u_eta, start, length,
-                self.kdata, adapttemp, cfg.topology, self.scal,
-                record_w=self.record_w, interpret=self.interpret,
+            fn = lambda kst, nw, ne, um, ue, s, ln, d, at: (
+                ps.fused_mala_block_impl(
+                    kst, nw, ne, um, ue, s, ln, d, at, cfg.topology,
+                    self.scal, **kw
+                )
+            )
+            ksd, traces = self._call_impl(
+                fn, kstate, (noise_w, noise_eta, u, u_eta), start, length,
+                adapttemp,
             )
             traces["acc_train"] = jnp.zeros_like(traces["ll"])
             traces["acc_test"] = jnp.zeros_like(traces["ll"])
@@ -465,19 +547,28 @@ class _Fused:
                 ],
                 (self.k_max, self.c_pad),
             )
-            ksd, traces = ps.fused_hmc_block_impl(
-                kstate, noise_w, noise_eta, u, u_eta, u_jit, u_traj,
-                self.rung_sum, start, length, self.kdata, adapttemp,
-                cfg.topology, self.scal, record_w=self.record_w,
-                interpret=self.interpret,
+            fn = lambda kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at: (
+                ps.fused_hmc_block_impl(
+                    kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at,
+                    cfg.topology, self.scal, **kw
+                )
+            )
+            ksd, traces = self._call_impl(
+                fn, kstate,
+                (noise_w, noise_eta, u, u_eta, u_jit, u_traj, self.rung_sum),
+                start, length, adapttemp,
             )
             traces["acc_train"] = jnp.zeros_like(traces["ll"])
             traces["acc_test"] = jnp.zeros_like(traces["ll"])
         else:
-            ksd, traces = ps.fused_rw_block_impl(
-                kstate, noise_w, noise_eta, u, start, length, self.kdata,
-                adapttemp, cfg.topology, self.scal, record_w=self.record_w,
-                interpret=self.interpret,
+            fn = lambda kst, nw, ne, um, s, ln, d, at: (
+                ps.fused_rw_block_impl(
+                    kst, nw, ne, um, s, ln, d, at, cfg.topology, self.scal,
+                    **kw
+                )
+            )
+            ksd, traces = self._call_impl(
+                fn, kstate, (noise_w, noise_eta, u), start, length, adapttemp
             )
         st2 = _from_kernel_state(
             st, ksd, cfg.adapt_step_size, mala=self.mala, hmc=self.hmc,
@@ -540,18 +631,20 @@ def sample_fused(
     from ptnn import sampler as sampler_mod
 
     cfg.validate()
-    if mesh is not None:
-        raise ValueError("fused_step is single-device; pass mesh=None")
     if checkpoint_path is not None:
         raise ValueError(
             "fused_step does not checkpoint (chunk boundaries are "
             "swap-aligned, not step-aligned); run with fused_step=False "
             "for checkpointed runs"
         )
-    eng = _Fused(cfg, train, test, seed, model_spec, record_w=True)
-    state = init_state if init_state is not None else fast_jit(
+    eng = _Fused(cfg, train, test, seed, model_spec, record_w=True,
+                 mesh=mesh)
+    jit_here = jax.jit if mesh is not None else fast_jit
+    state = init_state if init_state is not None else jit_here(
         eng.init_state
     )()
+    if mesh is not None:
+        state = mesh_mod.shard_chain_tree(state, mesh)
 
     # group each segment's blocks into fixed-size scan chunks (dummy blocks
     # of length 0 pad the tail so every chunk shares one compiled scan)
@@ -560,8 +653,8 @@ def sample_fused(
     def run_group(st, xs):
         return jax.lax.scan(eng.block_body, st, xs)
 
-    run_group_j = fast_jit(run_group)
-    recompute = fast_jit(eng.step.recompute_ll)
+    run_group_j = jit_here(run_group)
+    recompute = jit_here(eng.step.recompute_ll)
 
     host_chunks: List[Dict[str, np.ndarray]] = []
     pending = None  # (device traces, lengths) fetched lazily
@@ -634,10 +727,9 @@ def throughput_build_fused(
     compile+warmup once, every call is one timed rep)."""
     import dataclasses as _dc
 
-    if mesh is not None:
-        raise ValueError("fused_step is single-device; pass mesh=None")
     cfg2 = _dc.replace(cfg, record_w=False).validate()
-    eng = _Fused(cfg2, train, test, seed, model_spec, record_w=False)
+    eng = _Fused(cfg2, train, test, seed, model_spec, record_w=False,
+                 mesh=mesh)
 
     seg_xs = [_pack_xs(seg) for seg in eng.plan]
 
@@ -651,8 +743,11 @@ def throughput_build_fused(
             summaries.append({k: jnp.mean(v) for k, v in traces.items()})
         return st, summaries
 
-    run_j = fast_jit(run)
-    state0 = fast_jit(eng.init_state)()
+    jit_here = jax.jit if mesh is not None else fast_jit
+    run_j = jit_here(run)
+    state0 = jit_here(eng.init_state)()
+    if mesh is not None:
+        state0 = mesh_mod.shard_chain_tree(state0, mesh)
     st, _ = run_j(state0)
     jax.block_until_ready(st)
 

@@ -316,3 +316,55 @@ def test_fused_mala_cls_sample_matches_perstep_statistically():
     acc_s = float(np.mean(res_s.accept_ratio_per_chain))
     assert abs(acc_f - acc_s) < 15.0, (acc_f, acc_s)
     assert abs(res_f.swap_percent - res_s.swap_percent) < 25.0
+
+
+@pytest.mark.slow
+def test_fused_sharded_equals_unsharded():
+    """2-device chain-sharded fused blocks == single-device, bit-for-bit
+    (per-chain kernel math is device-local; the swap gather is exact)."""
+    import jax
+
+    from ptnn.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = mesh_mod.make_mesh(jax.devices()[:2])
+    prob = load_regression("Sunspot")
+    cfg = dataclasses.replace(
+        _cfg(
+            num_chains=256,
+            num_samples=256 * 40,
+            swap_interval=10,
+            chunk_steps=40,
+        ),
+        fused_step=True,
+    ).validate()
+    assert fused.runtime_reason(cfg, prob.train, prob.test, mesh=mesh) is None
+    res_m = ptnn.sample(cfg, prob.train, prob.test, seed=3, mesh=mesh)
+    res_1 = ptnn.sample(cfg, prob.train, prob.test, seed=3)
+    for k in res_1.traces:
+        np.testing.assert_allclose(
+            res_m.traces[k], res_1.traces[k], rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+    assert res_m.swap_percent == res_1.swap_percent
+
+
+def test_fused_mesh_divisibility_gate():
+    import jax
+
+    from ptnn.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = mesh_mod.make_mesh(jax.devices()[:2])
+    cfg = dataclasses.replace(_cfg(num_chains=8), fused_step=True).validate()
+    reason = fused.fused_reason(cfg, mesh=mesh)
+    assert reason is not None and "divisible" in reason
+    # ChEES stays single-device even when divisibility holds
+    cfg2 = _cfg(
+        proposal="hmc", hmc_adapt_traj=True, n_ladders=64, num_chains=256,
+        swap_interval=10, swap_style="even_odd", swap_payload="untempered",
+        swap_rule="metropolis", fused_step=True,
+    )
+    assert "128-lane" in fused.fused_reason(cfg2, mesh=mesh)
