@@ -17,6 +17,10 @@ from ptnn.sampler import (
     throughput_run,
     throughput_runner,
 )
+# ptnn.auto and ptnn.predict are deliberately NOT imported here: both are
+# `python -m` entry points, and importing them at package level makes runpy
+# warn about the module pre-existing in sys.modules. `from ptnn import auto`
+# still works (plain submodule import).
 from ptnn import checkpoint, data, mcmc, profiling, results, sweeps, tuning
 
 __version__ = "0.1.0"

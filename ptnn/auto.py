@@ -1,0 +1,462 @@
+"""One-call auto-configured parallel tempering: ``ptnn.auto.auto_sample``.
+
+The reference makes its user pick ~10 coupled hyperparameters by hand —
+chain count, maxtemp, swap interval, proposal family, step sizes, sample
+budget — with per-dataset constants baked into ``main()``
+(pt_classification.py:1036-1045, pt_timeseries_regression.py:915-955) and no
+instrument to tell whether the choices were any good. This module closes
+that loop with the framework's own measurements:
+
+1. **Pilot → communication barrier.** A short replicated-ladder pilot
+   measures the per-pair expected swap rejection (Rao-Blackwellized inside
+   the compiled sweep); ``tuning.tune_ladder`` re-spaces the rungs at equal
+   barrier increments (Syed et al. 2021).
+2. **Barrier → ladder size.** ``tuning.suggest_num_chains`` converts the
+   measured barrier total into the rung count the posterior actually needs;
+   the pilot profile is interpolated onto that count
+   (``ops/ladder.barrier_tuned_temperatures(n_out=...)``).
+3. **Chain budget → replicated ensemble.** Chains are latency-free on a TPU
+   chip up to ~400 (fnn_roofline.md), so the remaining budget becomes R
+   independent tuned ladders (``PTConfig.n_ladders``) — R cold chains whose
+   ESS adds (results/ladder_ensembles.md: 19x quality-per-second at equal
+   wall-clock).
+4. **Objective → proposal.** ``target="quality"`` picks ChEES-adapted HMC
+   (the measured quality flagship, results/chees_study.md — nobody chooses
+   a trajectory length); ``target="speed"`` picks preconditioned MALA (the
+   measured ESS/s flagship). Both ride the fused Pallas block kernels when
+   the config qualifies (ptnn/fused.py gates, transparent fallback).
+5. **Replication gate.** The final run is S independently-seeded executions
+   of one compiled program; the report carries cross-seed split-R-hat on the
+   cold posterior — the honest convergence lever (results/convergence.md) —
+   plus pooled cold ESS/s and the replica round-trip rate.
+
+Every decision lands in ``AutoReport.decisions`` with the measurement that
+drove it, so the choices are auditable rather than folklore.
+
+Usage::
+
+    import ptnn
+    from ptnn.data import load
+    prob = load("Sunspot")
+    report = ptnn.auto.auto_sample(prob.train, prob.test, task="regression")
+    print(report.describe())
+
+CLI: ``python -m ptnn.auto Sunspot --target quality --out results/auto``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ptnn import tuning
+from ptnn.config import PTConfig
+from ptnn.ops import ess as ess_mod
+from ptnn.ops import ladder as ladder_mod
+from ptnn.ops import roundtrip as rt_mod
+
+
+@dataclasses.dataclass
+class AutoReport:
+    """Everything ``auto_sample`` decided and measured."""
+
+    config: PTConfig  # the production config actually run
+    tune: tuning.TuneResult  # pilot history (per-round rejection profiles)
+    decisions: Dict[str, str]  # choice -> the measurement/reason behind it
+    # Cross-seed replication gate (None when replicate < 2):
+    rhat_cold_max: Optional[float]
+    verdict: str  # "mixed" | "marginal" | "metastable" (convergence.md bands)
+    # Quality (reference metric semantics, results.summarize):
+    test_pooled_mean: float  # pooled across ALL chains, mean over seeds
+    test_pooled_std: float  # spread over seeds
+    test_cold_mean: float  # cold rungs only (the true posterior), over seeds
+    test_cold_std: float
+    # Throughput / effective-sample economics:
+    chain_steps_per_sec: float  # median over seeds
+    pooled_cold_ess_per_sec: float  # ESS of R pooled cold chains x steps/s
+    ess_draws: int  # post-burn-in draws behind the ESS estimate (per seed)
+    roundtrips_per_kstep: float  # replica transport, mean over seeds
+    swap_percent: float
+    accept_percent: float
+    elapsed_s: float  # total sampling wall-clock (pilot excluded)
+    seeds: Tuple[int, ...]
+    per_seed_cold: Tuple[float, ...]  # cold test metric per seed
+
+    def describe(self) -> str:
+        cfg = self.config
+        is_reg = cfg.task == "regression"
+        metric = "test RMSE" if is_reg else "test acc %"
+        lines = [
+            f"auto-configured PT: {cfg.num_chains} chains = "
+            f"{cfg.n_ladders} ladder(s) x {cfg.rungs_per_ladder} rungs, "
+            f"proposal={cfg.proposal}"
+            + (" +ChEES" if cfg.hmc_adapt_traj else "")
+            + (", fused blocks" if cfg.fused_step else ""),
+            f"  cold {metric}: {self.test_cold_mean:.4f} "
+            f"+- {self.test_cold_std:.4f} over {len(self.seeds)} seeds "
+            f"(pooled: {self.test_pooled_mean:.4f})",
+            f"  cross-seed split-R-hat {self.rhat_cold_max:.3f} "
+            f"({self.verdict})"
+            if self.rhat_cold_max is not None
+            else "  (single seed: no replication gate)",
+            f"  {self.chain_steps_per_sec:,.0f} chain-steps/s, "
+            f"{self.pooled_cold_ess_per_sec:,.0f} pooled cold ESS/s "
+            f"({self.ess_draws} draws x {cfg.n_ladders} cold chains)",
+            f"  transport: {self.roundtrips_per_kstep:.1f} round trips/1k "
+            f"steps, swap {self.swap_percent:.1f}%, accept "
+            f"{self.accept_percent:.1f}%",
+            "  decisions:",
+        ]
+        lines += [f"    {k}: {v}" for k, v in self.decisions.items()]
+        return "\n".join(lines)
+
+
+def infer_topology(
+    train: np.ndarray, test: np.ndarray, task: str, hidden: Optional[int]
+) -> Tuple[int, int, int]:
+    """(n_in, hidden, n_out) from the data's reference row format
+    ``[features..., label]``. ``hidden`` defaults to max(10, n_in) — the
+    envelope of the reference's per-dataset blocks (iris 12 @ 4 in,
+    Ionosphere 50 @ 34 in, regression 10 @ 4 in)."""
+    n_in = train.shape[1] - 1
+    if n_in < 1:
+        raise ValueError("need at least one feature column + a label column")
+    if task == "regression":
+        n_out = 1
+    else:
+        labels = np.concatenate([train[:, n_in], test[:, n_in]])
+        if not np.allclose(labels, np.round(labels)):
+            raise ValueError("classification labels must be integral")
+        n_out = int(np.max(labels)) + 1
+        if n_out < 2:
+            raise ValueError("classification needs at least 2 classes")
+    return (n_in, hidden if hidden is not None else max(10, n_in), n_out)
+
+
+def _flagship_knobs(cfg: PTConfig, proposal: str, chees: bool) -> PTConfig:
+    """The measured flagship sampler settings (bench.py variants mala /
+    chees16_16x4): DEO even/odd swaps every 10 steps under the
+    detailed-balance rule, Welford preconditioner frozen at burn-in,
+    normalized-gradient warm start."""
+    extra = {}
+    if proposal == "hmc":
+        extra = dict(hmc_leapfrog=16 if chees else 8, hmc_adapt_traj=chees,
+                     step_w=0.01)
+    return dataclasses.replace(
+        cfg,
+        proposal=proposal,
+        adapt_rate=0.1,
+        swap_style="even_odd",
+        swap_interval=10,
+        swap_rule="metropolis",
+        swap_payload="untempered",
+        warmstart_frac=0.1,
+        precond_start_frac=0.3,
+        **extra,
+    )
+
+
+def auto_config(
+    train: np.ndarray,
+    test: np.ndarray,
+    task: str,
+    *,
+    hidden: Optional[int] = None,
+    chain_budget: int = 64,
+    steps_per_chain: int = 8000,
+    target: str = "quality",
+    maxtemp: Optional[float] = None,
+    pilot_steps_per_chain: int = 2000,
+    tune_rounds: int = 2,
+    seed: int = 0,
+    mesh=None,
+) -> Tuple[PTConfig, tuning.TuneResult, Dict[str, str]]:
+    """Measure, then decide: returns the production config, the pilot's
+    tuning history, and the decision audit trail. See the module docstring
+    for the policy; every branch records its reason in the returned dict."""
+    if task not in ("regression", "classification"):
+        raise ValueError("task must be 'regression' or 'classification'")
+    if target not in ("quality", "speed"):
+        raise ValueError("target must be 'quality' or 'speed'")
+    if chain_budget < 4:
+        raise ValueError("auto needs a chain budget of at least 4")
+    decisions: Dict[str, str] = {}
+
+    topology = infer_topology(train, test, task, hidden)
+    decisions["topology"] = (
+        f"{topology} (n_in/n_out from data columns; hidden "
+        + ("user-specified)" if hidden is not None else "= max(10, n_in))")
+    )
+
+    # endpoint: the reference's committed sweeps concentrate at maxtemp 5
+    # (regression, Res_*) / 10 (classification, PT_Eval*); the tuner moves
+    # every interior rung, so only the endpoint matters here
+    mt = maxtemp if maxtemp is not None else (5.0 if task == "regression" else 10.0)
+    decisions["maxtemp"] = (
+        f"{mt} (user-specified endpoint)"
+        if maxtemp is not None
+        else f"{mt} (reference sweep convention for {task}; interior rungs "
+        "are re-spaced by the measured barrier anyway)"
+    )
+
+    # pilot: K0 rungs, the rest of the budget as replicas — every replica
+    # measures the same (K0-1)-pair profile, pooling cuts the estimator
+    # variance ~R-fold at no extra wall-clock (tuning.tune_ladder)
+    k0 = min(8, chain_budget)
+    r0 = max(1, chain_budget // k0)
+    pilot = _flagship_knobs(
+        PTConfig(
+            task=task,
+            topology=topology,
+            num_samples=k0 * r0 * pilot_steps_per_chain,
+            num_chains=k0 * r0,
+            n_ladders=r0,
+            maxtemp=mt,
+            swap_offset=0,
+            record_w=False,
+        ),
+        proposal="precond_mala",
+        chees=False,
+    ).validate()
+    tune = tuning.tune_ladder(
+        pilot, train, test, rounds=tune_rounds,
+        seeds=(seed,), mesh=mesh,
+    )
+    decisions["pilot"] = (
+        f"{r0} x {k0}-rung ladders, {pilot_steps_per_chain} steps/chain, "
+        f"{tune_rounds} feedback round(s); measured barrier "
+        f"Lambda = {tune.barrier:.3f}"
+    )
+
+    # barrier -> rungs per ladder; budget -> independent replicas
+    k_star = int(np.clip(tune.suggested_num_chains, 2, chain_budget))
+    n_ladders = max(1, chain_budget // k_star)
+    num_chains = n_ladders * k_star
+    last = tune.history[-1]
+    tuned = ladder_mod.barrier_tuned_temperatures(
+        last.temperatures, last.pair_reject, n_out=k_star
+    )
+    decisions["ladder"] = (
+        f"{k_star} rungs/ladder (barrier {tune.barrier:.3f} / 0.5 target "
+        f"rejection per link, Syed et al. 2021), re-spaced at equal "
+        f"barrier increments from the pilot profile"
+    )
+    decisions["ensemble"] = (
+        f"{n_ladders} independent ladder(s) = {num_chains} chains from the "
+        f"budget of {chain_budget} (chains are latency-free on-chip, "
+        f"fnn_roofline.md; R cold chains' ESS adds, ladder_ensembles.md)"
+    )
+
+    chees = target == "quality" and n_ladders >= 2
+    proposal = "hmc" if target == "quality" else "precond_mala"
+    decisions["proposal"] = (
+        "ChEES-adapted HMC (quality flagship, chees_study.md: beats every "
+        "fixed trajectory length on RMSE and ESS/s at once)"
+        if chees
+        else (
+            "preconditioned HMC, fixed L=8 (quality target but <2 replicas: "
+            "ChEES needs cross-replica expectations)"
+            if proposal == "hmc"
+            else "preconditioned MALA (ESS/s flagship, BENCH: 8.6x RW at "
+            "better RMSE)"
+        )
+    )
+
+    cfg = _flagship_knobs(
+        PTConfig(
+            task=task,
+            topology=topology,
+            num_samples=num_chains * steps_per_chain,
+            num_chains=num_chains,
+            n_ladders=n_ladders,
+            maxtemp=mt,
+            custom_ladder=tuple(float(t) for t in tuned),
+            swap_offset=0,
+            # canonical PT: tempering held for the whole run — the tuned
+            # ladder's profile assumes its rungs keep their temperatures
+            # (the reference's 60% switch collapses every rung to T=1,
+            # which is a different algorithm; classification_preset
+            # canonical=True documents the same choice)
+            pt_phase_frac=2.0,
+            record_w=True,
+            # cold rungs only: the posterior at any chain count without
+            # hauling hot-rung traces to host
+            record_w_chains=n_ladders,
+            track_replicas=True,
+        ),
+        proposal=proposal,
+        chees=chees,
+    ).validate()
+
+    # fused Pallas blocks when the config qualifies (ptnn/fused.py:
+    # RW/MALA both tasks, HMC/ChEES regression within one 128-lane block);
+    # dispatch re-checks shapes at runtime and falls back transparently
+    from ptnn import fused as fused_mod
+
+    try:  # validate() pre-rejects statically-unsupported fused configs
+        reason = fused_mod.fused_reason(
+            dataclasses.replace(cfg, fused_step=True).validate(), mesh=mesh
+        )
+    except ValueError as e:
+        reason = str(e)
+    if reason is None:
+        cfg = dataclasses.replace(cfg, fused_step=True).validate()
+        decisions["execution"] = (
+            "fused Pallas blocks (one kernel per DEO interval amortizes the "
+            "per-step dispatch floor; ~1.5-2.4x steps/s, fnn_roofline.md)"
+        )
+    else:
+        decisions["execution"] = f"per-step sampler ({reason})"
+    return cfg, tune, decisions
+
+
+def auto_sample(
+    train: np.ndarray,
+    test: np.ndarray,
+    task: str,
+    *,
+    replicate: int = 3,
+    seed: int = 0,
+    mesh=None,
+    out: Optional[str] = None,
+    **config_kw,
+) -> AutoReport:
+    """Auto-configure (``auto_config``), then run ``replicate`` independently
+    seeded executions of the one compiled program and report quality,
+    effective-sample economics, transport, and the cross-seed convergence
+    gate. ``out`` additionally writes ``auto_report.txt`` there."""
+    from ptnn import results as results_mod
+    from ptnn import sampler as sampler_mod
+
+    cfg, tune, decisions = auto_config(
+        train, test, task, seed=seed, mesh=mesh, **config_kw
+    )
+    is_reg = task == "regression"
+    key = "rmse_test" if is_reg else "acc_test"
+    b = int(cfg.samples_per_chain * cfg.burn_in)
+    cold_idx = np.arange(0, cfg.num_chains, cfg.rungs_per_ladder)
+
+    seeds = tuple(range(seed, seed + max(1, replicate)))
+    colds, pooled, cold_m, sps, trips = [], [], [], [], []
+    swap_pct, acc_pct, elapsed = [], [], 0.0
+    for s in seeds:
+        res = sampler_mod.sample(cfg, train, test, seed=s, mesh=mesh)
+        # traces["w"] carries exactly the R cold rungs (record_w_chains)
+        colds.append(np.asarray(res.traces["w"][b:, :, :]))
+        pooled.append(float(np.mean(res.traces[key][b:, :])))
+        cold_m.append(float(np.mean(res.traces[key][b:, cold_idx])))
+        sps.append(res.chain_steps_per_sec)
+        trips.append(
+            rt_mod.roundtrip_stats(
+                res.traces["replica"], n_ladders=cfg.n_ladders
+            ).rate_per_kstep
+        )
+        swap_pct.append(res.swap_percent)
+        acc_pct.append(
+            float(np.mean(res.accept_ratio_per_chain))
+        )
+        elapsed += res.elapsed_s
+
+    # pooled cold ESS x per-chain draw rate -> effective samples per second
+    # (bench.py convention: (ESS / draws) * (aggregate steps/s / chains))
+    ess = float(np.median([
+        ess_mod.pooled_multi_ess(c, max_params=16) for c in colds
+    ]))
+    draws = colds[0].shape[0]
+    sps_med = float(np.median(sps))
+    ess_s = (ess / draws) * (sps_med / cfg.num_chains)
+
+    rhat = None
+    verdict = "unreplicated"
+    if len(seeds) >= 2:
+        # the S seed runs stacked as chains of the same cold posterior —
+        # worst rank-normalized split R-hat over 8 sampled parameters
+        pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
+        rhat = max(
+            ess_mod.split_rhat(
+                np.stack([c[:, 0, j] for c in colds], axis=1)
+            )
+            for j in pidx
+        )
+        verdict = (
+            "mixed" if rhat < 1.01
+            else ("marginal" if rhat < 1.1 else "metastable")
+        )
+
+    report = AutoReport(
+        config=cfg,
+        tune=tune,
+        decisions=decisions,
+        rhat_cold_max=rhat,
+        verdict=verdict,
+        test_pooled_mean=float(np.mean(pooled)),
+        test_pooled_std=float(np.std(pooled)),
+        test_cold_mean=float(np.mean(cold_m)),
+        test_cold_std=float(np.std(cold_m)),
+        chain_steps_per_sec=sps_med,
+        pooled_cold_ess_per_sec=float(ess_s),
+        ess_draws=draws,
+        roundtrips_per_kstep=float(np.mean(trips)),
+        swap_percent=float(np.mean(swap_pct)),
+        accept_percent=float(np.mean(acc_pct)),
+        elapsed_s=elapsed,
+        seeds=seeds,
+        per_seed_cold=tuple(cold_m),
+    )
+    if out:
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "auto_report.txt"), "w") as f:
+            f.write(report.describe() + "\n")
+            f.write(
+                "# per-seed cold test metric: "
+                + " ".join(f"{v:.5f}" for v in report.per_seed_cold)
+                + "\n# tuned ladder: "
+                + " ".join(f"{t:.4f}" for t in cfg.custom_ladder)
+                + "\n"
+            )
+    return report
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    import argparse
+
+    from ptnn import data as data_mod
+
+    p = argparse.ArgumentParser(
+        description="Auto-configured PT sampling of a bundled dataset"
+    )
+    p.add_argument("dataset", help="bundled set, e.g. Sunspot or iris")
+    p.add_argument("--target", choices=("quality", "speed"), default="quality")
+    p.add_argument("--chains", type=int, default=64, help="chain budget")
+    p.add_argument("--steps", type=int, default=8000, help="steps per chain")
+    p.add_argument("--replicate", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--out", default=None)
+    a = p.parse_args(argv)
+
+    prob = data_mod.load(a.dataset, seed=a.seed)
+    t0 = time.time()
+    report = auto_sample(
+        prob.train,
+        prob.test,
+        prob.task,
+        chain_budget=a.chains,
+        steps_per_chain=a.steps,
+        target=a.target,
+        replicate=a.replicate,
+        seed=a.seed,
+        hidden=a.hidden,
+        out=a.out,
+    )
+    print(report.describe())
+    print(f"total wall-clock (pilot + {a.replicate} runs): "
+          f"{time.time() - t0:.1f} s")
+
+
+if __name__ == "__main__":
+    main()

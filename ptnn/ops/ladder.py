@@ -107,7 +107,7 @@ def communication_barrier(
 
 
 def barrier_tuned_temperatures(
-    temps: np.ndarray, pair_reject: np.ndarray
+    temps: np.ndarray, pair_reject: np.ndarray, n_out: int | None = None
 ) -> np.ndarray:
     """Re-space the ladder so every adjacent pair carries an equal share of
     the measured communication barrier (the round-trip-optimal schedule of
@@ -119,30 +119,45 @@ def barrier_tuned_temperatures(
     barrier concentrated between two rungs the tuned ladder concentrates
     rungs there, which raises the bottleneck pair's acceptance and therefore
     the replica round-trip rate (measure with ops/roundtrip.py).
+
+    ``n_out`` re-spaces onto a DIFFERENT rung count (same barrier-equalizing
+    inversion, ``n_out`` equal increments of Lambda): the barrier total
+    prescribes how many rungs a ladder needs (tuning.suggest_num_chains), and
+    this places them — the piece ptnn.auto uses to turn a pilot ladder's
+    measured profile into the production schedule.
     """
     temps = np.asarray(temps, np.float64)
     c = temps.shape[0]
-    if c < 3:
-        return temps.copy()  # nothing interior to move
+    n = c if n_out is None else int(n_out)
+    if n < 2:
+        raise ValueError("a ladder needs at least 2 rungs")
     cum, total = communication_barrier(temps, pair_reject)
-    if total <= 0.0:
-        return temps.copy()  # no measured resistance anywhere
+    if c < 3 and n == c:
+        return temps.copy()  # nothing interior to move
     # beta=0 reference rungs (T=inf, PTConfig.vr_hot_infinite) map cleanly
     # through the inversion: 1/inf = 0 is an interpolation endpoint and
     # 1/0 = inf restores the rung — silence the expected divide warnings
     with np.errstate(divide="ignore"):
         betas = 1.0 / temps  # descending from 1
+    if total <= 0.0:
+        if n == c:
+            return temps.copy()  # no measured resistance anywhere
+        # resize with no profile information: geometric in beta
+        with np.errstate(divide="ignore"):
+            return 1.0 / np.interp(
+                np.arange(n) / (n - 1), np.arange(c) / (c - 1), betas
+            )
     # Make Lambda strictly increasing so the inverse is well defined even
     # when some pairs measured zero rejection (flat segments).
     eps = total * 1e-9 + 1e-12
     cum = cum + eps * np.arange(c)
-    targets = cum[-1] * np.arange(c) / (c - 1)
+    targets = cum[-1] * np.arange(n) / (n - 1)
     # Lambda is increasing as beta DESCENDS: interpolate beta against cum.
     new_betas = np.interp(targets, cum, betas)
     new_betas[0], new_betas[-1] = betas[0], betas[-1]
     # np.interp on a strictly increasing grid keeps monotonicity; guard
     # against float ties by nudging toward geometric order.
-    for k in range(1, c):
+    for k in range(1, n):
         if new_betas[k] >= new_betas[k - 1]:
             new_betas[k] = new_betas[k - 1] * (1.0 - 1e-9)
     with np.errstate(divide="ignore"):

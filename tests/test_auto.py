@@ -1,0 +1,178 @@
+"""ptnn.auto — one-call auto-configured PT (pilot -> barrier -> ensemble ->
+flagship proposal -> replication gate).
+
+The reference hardcodes every hyperparameter per dataset in main()
+(pt_classification.py:1036-1045); auto derives them from measurements. These
+tests pin the decision policy (deterministic given the pilot measurements)
+and the end-to-end report on tiny budgets.
+"""
+
+import numpy as np
+import pytest
+
+from ptnn import auto
+from ptnn.data import load_regression
+from ptnn.ops import ladder
+
+
+# ---------------------------------------------------------------------------
+# unit: ladder re-spacing onto a different rung count (the auto-sizing piece)
+
+
+def test_respace_to_more_rungs_monotone_endpoints():
+    temps = ladder.assign_temperatures(5, 8.0)
+    rej = np.array([0.4, 0.1, 0.1, 0.4])
+    out = ladder.barrier_tuned_temperatures(temps, rej, n_out=9)
+    assert out.shape == (9,)
+    assert out[0] == 1.0 and out[-1] == pytest.approx(8.0)
+    assert (np.diff(out) > 0).all()
+
+
+def test_respace_to_fewer_rungs():
+    temps = ladder.assign_temperatures(8, 10.0)
+    out = ladder.barrier_tuned_temperatures(temps, np.full(7, 0.3), n_out=3)
+    assert out.shape == (3,)
+    assert out[0] == 1.0 and out[-1] == pytest.approx(10.0)
+    assert (np.diff(out) > 0).all()
+
+
+def test_respace_same_count_matches_original_signature():
+    temps = ladder.assign_temperatures(6, 5.0)
+    rej = np.array([0.5, 0.2, 0.1, 0.2, 0.5])
+    np.testing.assert_allclose(
+        ladder.barrier_tuned_temperatures(temps, rej, n_out=6),
+        ladder.barrier_tuned_temperatures(temps, rej),
+    )
+
+
+def test_respace_zero_barrier_resizes_geometrically():
+    temps = ladder.assign_temperatures(4, 9.0)
+    out = ladder.barrier_tuned_temperatures(temps, np.zeros(3), n_out=7)
+    assert out.shape == (7,)
+    assert out[0] == 1.0 and out[-1] == pytest.approx(9.0)
+    assert (np.diff(out) > 0).all()
+
+
+def test_respace_rejects_degenerate_count():
+    temps = ladder.assign_temperatures(4, 9.0)
+    with pytest.raises(ValueError):
+        ladder.barrier_tuned_temperatures(temps, np.zeros(3), n_out=1)
+
+
+# ---------------------------------------------------------------------------
+# unit: topology inference from the reference row format
+
+
+def test_infer_topology_regression_and_classification():
+    tr = np.zeros((10, 5))
+    te = np.zeros((4, 5))
+    assert auto.infer_topology(tr, te, "regression", None) == (4, 10, 1)
+    assert auto.infer_topology(tr, te, "regression", 7) == (4, 7, 1)
+    tr_c = np.concatenate([np.zeros((10, 5)), np.zeros((10, 1))], axis=1)
+    tr_c[:, 5] = np.arange(10) % 3
+    assert auto.infer_topology(tr_c, tr_c, "classification", None) == (5, 10, 3)
+    bad = tr_c.copy()
+    bad[:, 5] = 0.5
+    with pytest.raises(ValueError):
+        auto.infer_topology(bad, bad, "classification", None)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end on tiny budgets (CPU tier)
+
+
+def _tiny_kw():
+    return dict(
+        chain_budget=8,
+        steps_per_chain=240,
+        pilot_steps_per_chain=120,
+        tune_rounds=1,
+    )
+
+
+def test_auto_config_decisions_regression():
+    prob = load_regression("Sunspot")
+    cfg, tune, dec = auto.auto_config(
+        prob.train, prob.test, "regression", **_tiny_kw()
+    )
+    # budget respected and factored into whole ladders
+    assert cfg.num_chains <= 8
+    assert cfg.num_chains == cfg.n_ladders * cfg.rungs_per_ladder
+    assert len(cfg.custom_ladder) == cfg.rungs_per_ladder
+    assert cfg.custom_ladder[0] == 1.0
+    assert cfg.custom_ladder[-1] == pytest.approx(5.0)  # regression endpoint
+    assert tune.barrier >= 0.0
+    # quality target on >=2 replicas -> ChEES HMC; audit trail populated
+    if cfg.n_ladders >= 2:
+        assert cfg.proposal == "hmc" and cfg.hmc_adapt_traj
+    for k in ("topology", "maxtemp", "pilot", "ladder", "ensemble",
+              "proposal", "execution"):
+        assert k in dec and dec[k]
+    assert cfg.topology == (4, 10, 1)
+    # canonical PT: the tuned schedule keeps its temperatures all run
+    assert cfg.pt_phase_frac == 2.0
+
+
+def test_auto_config_speed_target_picks_mala():
+    prob = load_regression("Lazer")
+    cfg, _, dec = auto.auto_config(
+        prob.train, prob.test, "regression", target="speed", **_tiny_kw()
+    )
+    assert cfg.proposal == "precond_mala" and not cfg.hmc_adapt_traj
+    assert "MALA" in dec["proposal"]
+
+
+def test_auto_sample_report_regression():
+    # speed target: the MALA scan compiles in seconds; the ChEES-HMC quality
+    # path (minutes of XLA compile for the unrolled leapfrog bodies) is the
+    # slow-tier test below
+    prob = load_regression("Sunspot")
+    rep = auto.auto_sample(
+        prob.train, prob.test, "regression", replicate=2, target="speed",
+        **_tiny_kw()
+    )
+    assert np.isfinite(rep.test_cold_mean) and rep.test_cold_mean > 0
+    assert rep.rhat_cold_max is not None and rep.rhat_cold_max >= 1.0
+    assert rep.verdict in ("mixed", "marginal", "metastable")
+    assert rep.pooled_cold_ess_per_sec > 0
+    assert rep.chain_steps_per_sec > 0
+    assert len(rep.per_seed_cold) == 2
+    assert 0 <= rep.swap_percent <= 100
+    # the report renders (the user-facing surface)
+    text = rep.describe()
+    assert "decisions" in text and "cold test RMSE" in text
+
+
+@pytest.mark.slow
+def test_auto_sample_quality_chees_end_to_end():
+    prob = load_regression("Sunspot")
+    rep = auto.auto_sample(
+        prob.train, prob.test, "regression", replicate=2, target="quality",
+        **_tiny_kw()
+    )
+    cfg = rep.config
+    if cfg.n_ladders >= 2:
+        assert cfg.proposal == "hmc" and cfg.hmc_adapt_traj
+    assert np.isfinite(rep.test_cold_mean) and rep.test_cold_mean > 0
+    assert rep.pooled_cold_ess_per_sec > 0
+    assert rep.verdict in ("mixed", "marginal", "metastable")
+
+
+def test_auto_sample_classification_and_out(tmp_path):
+    # synthetic 3-class separable set in the reference row format
+    rng = np.random.default_rng(0)
+    n, f = 120, 4
+    x = rng.normal(size=(n, f)).astype(np.float64)
+    y = (x[:, 0] > 0).astype(float) + (x[:, 1] > 0)
+    rows = np.concatenate([x, y[:, None]], axis=1)
+    tr, te = rows[:90], rows[90:]
+    rep = auto.auto_sample(
+        tr, te, "classification", replicate=1, out=str(tmp_path), **_tiny_kw()
+    )
+    assert rep.config.task == "classification"
+    assert rep.config.topology == (4, 10, 3)
+    assert rep.rhat_cold_max is None and rep.verdict == "unreplicated"
+    assert 0.0 <= rep.test_cold_mean <= 100.0
+    report_file = tmp_path / "auto_report.txt"
+    assert report_file.exists()
+    assert "decisions" in report_file.read_text()
