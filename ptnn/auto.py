@@ -77,7 +77,10 @@ class AutoReport:
     test_cold_std: float
     # Throughput / effective-sample economics:
     chain_steps_per_sec: float  # median over seeds
-    pooled_cold_ess_per_sec: float  # ESS of R pooled cold chains x steps/s
+    # ESS of R pooled cold chains x per-chain draw rate; None when the
+    # posterior trace was skipped (w_size x ladders x steps over the host
+    # fetch budget — see decisions["posterior_trace"])
+    pooled_cold_ess_per_sec: Optional[float]
     ess_draws: int  # post-burn-in draws behind the ESS estimate (per seed)
     roundtrips_per_kstep: float  # replica transport, mean over seeds
     swap_percent: float
@@ -103,9 +106,13 @@ class AutoReport:
             f"({self.verdict})"
             if self.rhat_cold_max is not None
             else "  (single seed: no replication gate)",
-            f"  {self.chain_steps_per_sec:,.0f} chain-steps/s, "
-            f"{self.pooled_cold_ess_per_sec:,.0f} pooled cold ESS/s "
-            f"({self.ess_draws} draws x {cfg.n_ladders} cold chains)",
+            f"  {self.chain_steps_per_sec:,.0f} chain-steps/s"
+            + (
+                f", {self.pooled_cold_ess_per_sec:,.0f} pooled cold ESS/s "
+                f"({self.ess_draws} draws x {cfg.n_ladders} cold chains)"
+                if self.pooled_cold_ess_per_sec is not None
+                else " (posterior trace skipped: see decisions)"
+            ),
             f"  transport: {self.roundtrips_per_kstep:.1f} round trips/1k "
             f"steps, swap {self.swap_percent:.1f}%, accept "
             f"{self.accept_percent:.1f}%",
@@ -174,6 +181,7 @@ def auto_config(
     tune_rounds: int = 2,
     seed: int = 0,
     mesh=None,
+    model_spec=None,
 ) -> Tuple[PTConfig, tuning.TuneResult, Dict[str, str]]:
     """Measure, then decide: returns the production config, the pilot's
     tuning history, and the decision audit trail. See the module docstring
@@ -191,6 +199,11 @@ def auto_config(
         f"{topology} (n_in/n_out from data columns; hidden "
         + ("user-specified)" if hidden is not None else "= max(10, n_in))")
     )
+    if model_spec is not None:
+        decisions["topology"] = (
+            f"model_spec '{model_spec.name}' ({model_spec.w_size} params); "
+            f"data columns {topology[0]}/{topology[2]}"
+        )
 
     # endpoint: the reference's committed sweeps concentrate at maxtemp 5
     # (regression, Res_*) / 10 (classification, PT_Eval*); the tuner moves
@@ -224,7 +237,7 @@ def auto_config(
     ).validate()
     tune = tuning.tune_ladder(
         pilot, train, test, rounds=tune_rounds,
-        seeds=(seed,), mesh=mesh,
+        seeds=(seed,), mesh=mesh, model_spec=model_spec,
     )
     decisions["pilot"] = (
         f"{r0} x {k0}-rung ladders, {pilot_steps_per_chain} steps/chain, "
@@ -266,6 +279,29 @@ def auto_config(
         )
     )
 
+    # posterior-trace budget: pos_w is (steps, R_cold, w_size) float32 on
+    # the host; past ~256 MB the tunnel fetch dominates (verify SKILL.md
+    # "multi-GB device_get wedges") — skip it and report scalar metrics only
+    w_size = (
+        model_spec.w_size
+        if model_spec is not None
+        else int(np.prod(topology[:2]) + topology[1] * topology[2]
+                 + topology[1] + topology[2])
+    )
+    w_bytes = 4 * w_size * n_ladders * steps_per_chain
+    record_w = w_bytes <= 256 * 2**20
+    decisions["posterior_trace"] = (
+        f"cold-rung pos_w recorded ({w_bytes / 2**20:.0f} MiB host fetch)"
+        if record_w
+        else (
+            f"SKIPPED: {w_size} params x {n_ladders} cold chains x "
+            f"{steps_per_chain} steps = {w_bytes / 2**20:.0f} MiB exceeds "
+            "the 256 MiB fetch budget; ESS/R-hat unavailable (scalar "
+            "metrics only). Shorten steps_per_chain or reduce ladders to "
+            "re-enable."
+        )
+    )
+
     cfg = _flagship_knobs(
         PTConfig(
             task=task,
@@ -282,10 +318,10 @@ def auto_config(
             # which is a different algorithm; classification_preset
             # canonical=True documents the same choice)
             pt_phase_frac=2.0,
-            record_w=True,
+            record_w=record_w,
             # cold rungs only: the posterior at any chain count without
             # hauling hot-rung traces to host
-            record_w_chains=n_ladders,
+            record_w_chains=n_ladders if record_w else 0,
             track_replicas=True,
         ),
         proposal=proposal,
@@ -299,7 +335,9 @@ def auto_config(
 
     try:  # validate() pre-rejects statically-unsupported fused configs
         reason = fused_mod.fused_reason(
-            dataclasses.replace(cfg, fused_step=True).validate(), mesh=mesh
+            dataclasses.replace(cfg, fused_step=True).validate(),
+            mesh=mesh,
+            model_spec=model_spec,
         )
     except ValueError as e:
         reason = str(e)
@@ -322,6 +360,7 @@ def auto_sample(
     replicate: int = 3,
     seed: int = 0,
     mesh=None,
+    model_spec=None,
     out: Optional[str] = None,
     **config_kw,
 ) -> AutoReport:
@@ -333,7 +372,8 @@ def auto_sample(
     from ptnn import sampler as sampler_mod
 
     cfg, tune, decisions = auto_config(
-        train, test, task, seed=seed, mesh=mesh, **config_kw
+        train, test, task, seed=seed, mesh=mesh, model_spec=model_spec,
+        **config_kw
     )
     is_reg = task == "regression"
     key = "rmse_test" if is_reg else "acc_test"
@@ -344,9 +384,12 @@ def auto_sample(
     colds, pooled, cold_m, sps, trips = [], [], [], [], []
     swap_pct, acc_pct, elapsed = [], [], 0.0
     for s in seeds:
-        res = sampler_mod.sample(cfg, train, test, seed=s, mesh=mesh)
-        # traces["w"] carries exactly the R cold rungs (record_w_chains)
-        colds.append(np.asarray(res.traces["w"][b:, :, :]))
+        res = sampler_mod.sample(
+            cfg, train, test, seed=s, mesh=mesh, model_spec=model_spec
+        )
+        if cfg.record_w:
+            # traces["w"] carries exactly the R cold rungs (record_w_chains)
+            colds.append(np.asarray(res.traces["w"][b:, :, :]))
         pooled.append(float(np.mean(res.traces[key][b:, :])))
         cold_m.append(float(np.mean(res.traces[key][b:, cold_idx])))
         sps.append(res.chain_steps_per_sec)
@@ -363,29 +406,33 @@ def auto_sample(
 
     # pooled cold ESS x per-chain draw rate -> effective samples per second
     # (bench.py convention: (ESS / draws) * (aggregate steps/s / chains))
-    ess = float(np.median([
-        ess_mod.pooled_multi_ess(c, max_params=16) for c in colds
-    ]))
-    draws = colds[0].shape[0]
     sps_med = float(np.median(sps))
-    ess_s = (ess / draws) * (sps_med / cfg.num_chains)
-
+    ess_s = None
+    draws = 0
     rhat = None
     verdict = "unreplicated"
-    if len(seeds) >= 2:
-        # the S seed runs stacked as chains of the same cold posterior —
-        # worst rank-normalized split R-hat over 8 sampled parameters
-        pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
-        rhat = max(
-            ess_mod.split_rhat(
-                np.stack([c[:, 0, j] for c in colds], axis=1)
+    if colds:
+        ess = float(np.median([
+            ess_mod.pooled_multi_ess(c, max_params=16) for c in colds
+        ]))
+        draws = colds[0].shape[0]
+        ess_s = (ess / draws) * (sps_med / cfg.num_chains)
+        if len(seeds) >= 2:
+            # the S seed runs stacked as chains of the same cold posterior —
+            # worst rank-normalized split R-hat over 8 sampled parameters
+            pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
+            rhat = max(
+                ess_mod.split_rhat(
+                    np.stack([c[:, 0, j] for c in colds], axis=1)
+                )
+                for j in pidx
             )
-            for j in pidx
-        )
-        verdict = (
-            "mixed" if rhat < 1.01
-            else ("marginal" if rhat < 1.1 else "metastable")
-        )
+            verdict = (
+                "mixed" if rhat < 1.01
+                else ("marginal" if rhat < 1.1 else "metastable")
+            )
+    elif len(seeds) >= 2:
+        verdict = "unavailable (posterior trace skipped)"
 
     report = AutoReport(
         config=cfg,
@@ -398,7 +445,7 @@ def auto_sample(
         test_cold_mean=float(np.mean(cold_m)),
         test_cold_std=float(np.std(cold_m)),
         chain_steps_per_sec=sps_med,
-        pooled_cold_ess_per_sec=float(ess_s),
+        pooled_cold_ess_per_sec=None if ess_s is None else float(ess_s),
         ess_draws=draws,
         roundtrips_per_kstep=float(np.mean(trips)),
         swap_percent=float(np.mean(swap_pct)),
@@ -436,10 +483,20 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--replicate", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden", type=int, default=None)
+    p.add_argument(
+        "--model", choices=("fnn", "cnn"), default="fnn",
+        help="cnn: sample the Bayesian CNN spec (digits/mnist data) "
+        "instead of the reference FNN",
+    )
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
 
     prob = data_mod.load(a.dataset, seed=a.seed)
+    spec = None
+    if a.model == "cnn":
+        from ptnn.models import cnn
+
+        spec = cnn.mnist_spec() if prob.topology[0] == 784 else cnn.digits_spec()
     t0 = time.time()
     report = auto_sample(
         prob.train,
@@ -451,6 +508,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         replicate=a.replicate,
         seed=a.seed,
         hidden=a.hidden,
+        model_spec=spec,
         out=a.out,
     )
     print(report.describe())

@@ -59,6 +59,7 @@ def tune_ladder(
     seeds: Sequence[int] = (0,),
     pilot_samples: int | None = None,
     mesh=None,
+    model_spec=None,
 ) -> TuneResult:
     """Iteratively equalize per-pair swap rejection over ``rounds`` pilots.
 
@@ -106,7 +107,9 @@ def tune_ladder(
         rej_acc, swap_acc, temps_used = [], [], None
         k = pilot.rungs_per_ladder
         for seed in seeds:
-            res = sampler_mod.sample(cur, train, test, seed=seed, mesh=mesh)
+            res = sampler_mod.sample(
+                cur, train, test, seed=seed, mesh=mesh, model_spec=model_spec
+            )
             acc = res.pair_swap_accept  # (C-1,)
             if pilot.n_ladders > 1:
                 # replicated ladders: every replica measures the SAME

@@ -158,6 +158,37 @@ def test_auto_sample_quality_chees_end_to_end():
     assert rep.verdict in ("mixed", "marginal", "metastable")
 
 
+def test_auto_config_posterior_trace_budget():
+    # 61 params x ladders x 3M steps/chain blows the 256 MiB fetch budget:
+    # auto must skip the pos_w trace (scalar metrics only) and say so
+    prob = load_regression("Sunspot")
+    cfg, _, dec = auto.auto_config(
+        prob.train, prob.test, "regression",
+        chain_budget=8, steps_per_chain=3_000_000,
+        pilot_steps_per_chain=120, tune_rounds=1,
+    )
+    assert not cfg.record_w and cfg.record_w_chains == 0
+    assert "SKIPPED" in dec["posterior_trace"]
+
+
+def test_auto_config_model_spec_cnn():
+    from ptnn.data import load_digits
+    from ptnn.models import cnn
+
+    prob = load_digits()
+    tr, te = prob.train[:120], prob.test[:60]
+    spec = cnn.digits_spec()
+    cfg, _, dec = auto.auto_config(
+        tr, te, "classification", model_spec=spec, target="speed",
+        **_tiny_kw()
+    )
+    assert cfg.topology[0] == 64 and cfg.topology[2] == 10
+    assert spec.name in dec["topology"]
+    # fused blocks cover the reference FNN spec only -> per-step fallback
+    assert "per-step" in dec["execution"]
+    assert cfg.proposal == "precond_mala"
+
+
 def test_auto_sample_classification_and_out(tmp_path):
     # synthetic 3-class separable set in the reference row format
     rng = np.random.default_rng(0)
