@@ -362,12 +362,16 @@ def auto_sample(
     mesh=None,
     model_spec=None,
     out: Optional[str] = None,
+    name: str = "auto",
     **config_kw,
 ) -> AutoReport:
     """Auto-configure (``auto_config``), then run ``replicate`` independently
     seeded executions of the one compiled program and report quality,
     effective-sample economics, transport, and the cross-seed convergence
-    gate. ``out`` additionally writes ``auto_report.txt`` there."""
+    gate. ``out`` additionally writes ``auto_report.txt`` plus the full
+    reference artifact tree for the LAST seed's run (cold-rung pos_w +
+    ``config.json``, so ``python -m ptnn.predict --run <out>/<name>_0``
+    serves the posterior directly)."""
     from ptnn import results as results_mod
     from ptnn import sampler as sampler_mod
 
@@ -456,6 +460,10 @@ def auto_sample(
     )
     if out:
         os.makedirs(out, exist_ok=True)
+        # serving-ready artifacts for the last seed: cold-rung pos_w +
+        # config.json -> ptnn.predict loads/serves it with no re-specification
+        run_dir = results_mod.versioned_dir(out, name)
+        results_mod.write_artifacts(res, run_dir, name, plots=False)
         with open(os.path.join(out, "auto_report.txt"), "w") as f:
             f.write(report.describe() + "\n")
             f.write(
@@ -463,7 +471,7 @@ def auto_sample(
                 + " ".join(f"{v:.5f}" for v in report.per_seed_cold)
                 + "\n# tuned ladder: "
                 + " ".join(f"{t:.4f}" for t in cfg.custom_ladder)
-                + "\n"
+                + f"\n# artifacts (last seed): {run_dir}\n"
             )
     return report
 
@@ -510,6 +518,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         hidden=a.hidden,
         model_spec=spec,
         out=a.out,
+        name=prob.name,
     )
     print(report.describe())
     print(f"total wall-clock (pilot + {a.replicate} runs): "

@@ -164,6 +164,20 @@ def write_artifacts(
     samples = cfg.samples_per_chain
     temps = res.temperatures
     likeh = np.zeros((samples, 2))
+
+    def _w_col(ci: int) -> int | None:
+        # cfg.record_w_chains: the w trace holds only the first k COLD rungs
+        # (stride rungs_per_ladder under replicated ladders — kernel._w_trace)
+        # — map chain index -> recorded column, None when not recorded
+        if "w" not in res.traces:
+            return None
+        k = cfg.record_w_chains
+        if k <= 0:
+            return ci
+        stride = cfg.rungs_per_ladder if cfg.n_ladders > 1 else 1
+        j, r = divmod(ci, stride)
+        return j if r == 0 and j < k else None
+
     for ci in range(cfg.num_chains):
         t_str = str(float(temps[ci]))
         if cfg.n_ladders > 1:
@@ -171,10 +185,11 @@ def write_artifacts(
             # reference's chain_<T>.txt naming with the ladder index so the
             # R artifact sets don't overwrite each other
             t_str = f"{t_str}_l{ci // cfg.rungs_per_ladder}"
-        if "w" in res.traces:
+        wc = _w_col(ci)
+        if wc is not None:
             native.savetxt(
                 os.path.join(path, "posterior", "pos_w", f"chain_{t_str}.txt"),
-                res.traces["w"][:, ci, :],
+                res.traces["w"][:, wc, :],
             )
         likeh[:, 0] = res.traces["ll"][:, ci]
         likeh[0, :] = [-100.0, -100.0]

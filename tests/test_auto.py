@@ -207,3 +207,16 @@ def test_auto_sample_classification_and_out(tmp_path):
     report_file = tmp_path / "auto_report.txt"
     assert report_file.exists()
     assert "decisions" in report_file.read_text()
+    # serving-ready artifacts: cold-rung pos_w only (record_w_chains) +
+    # config.json, loadable through the predict path
+    from ptnn import predict
+
+    run_dir = tmp_path / "auto_0"
+    pos = run_dir / "posterior" / "pos_w"
+    assert (run_dir / "config.json").exists()
+    assert len(list(pos.glob("chain_*.txt"))) == rep.config.n_ladders
+    draws, cfg2 = predict.load_posterior(str(run_dir), chains="cold")
+    assert cfg2 is not None and cfg2.num_chains == rep.config.num_chains
+    assert draws.shape[1] == rep.config.topology[0] * rep.config.topology[1] \
+        + rep.config.topology[1] * rep.config.topology[2] \
+        + sum(rep.config.topology[1:])
