@@ -102,8 +102,17 @@ class AutoReport:
             f"  cold {metric}: {self.test_cold_mean:.4f} "
             f"+- {self.test_cold_std:.4f} over {len(self.seeds)} seeds "
             f"(pooled: {self.test_pooled_mean:.4f})",
-            f"  cross-seed split-R-hat {self.rhat_cold_max:.3f} "
-            f"({self.verdict})"
+            (
+                f"  cross-seed split-R-hat {self.rhat_cold_max:.3f} "
+                f"({self.verdict})"
+                + (
+                    " — point estimates replicable, weight-space posterior "
+                    "not mixed at this budget; the per-seed bands above are "
+                    "the honest uncertainty (results/convergence.md)"
+                    if self.verdict == "metastable"
+                    else ""
+                )
+            )
             if self.rhat_cold_max is not None
             else "  (single seed: no replication gate)",
             f"  {self.chain_steps_per_sec:,.0f} chain-steps/s"
@@ -492,9 +501,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument(
-        "--model", choices=("fnn", "cnn"), default="fnn",
-        help="cnn: sample the Bayesian CNN spec (digits/mnist data) "
-        "instead of the reference FNN",
+        "--model", choices=("fnn", "cnn", "mlp"), default="fnn",
+        help="cnn: the Bayesian CNN spec (digits/mnist data); mlp: a deep "
+        "MLP stack (--mlp-hidden, conventional formulation — not the "
+        "reference's quirk-faithful FNN)",
+    )
+    p.add_argument(
+        "--mlp-hidden", type=int, nargs="+", default=[32, 16],
+        help="hidden-layer sizes for --model mlp",
     )
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
@@ -505,6 +519,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         from ptnn.models import cnn
 
         spec = cnn.mnist_spec() if prob.topology[0] == 784 else cnn.digits_spec()
+    elif a.model == "mlp":
+        from ptnn.models import mlp
+
+        n_in, _, n_out = infer_topology(
+            prob.train, prob.test, prob.task, None
+        )
+        spec = mlp.spec(
+            (n_in, *a.mlp_hidden, n_out if prob.task == "classification" else 1),
+            task=prob.task,
+        )
     t0 = time.time()
     report = auto_sample(
         prob.train,

@@ -189,6 +189,19 @@ def test_auto_config_model_spec_cnn():
     assert cfg.proposal == "precond_mala"
 
 
+def test_auto_config_model_spec_mlp():
+    from ptnn.models import mlp
+
+    prob = load_regression("Lazer")
+    spec = mlp.spec((4, 8, 4, 1), task="regression")
+    cfg, _, dec = auto.auto_config(
+        prob.train, prob.test, "regression", model_spec=spec,
+        target="speed", **_tiny_kw()
+    )
+    assert spec.name in dec["topology"]
+    assert "per-step" in dec["execution"]  # fused kernels are FNN-only
+
+
 def test_auto_sample_classification_and_out(tmp_path):
     # synthetic 3-class separable set in the reference row format
     rng = np.random.default_rng(0)
