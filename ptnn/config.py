@@ -736,8 +736,6 @@ class PTConfig:
                     "fused_step covers the reference RW, precond-MALA and "
                     "HMC proposals; other modes keep the per-step sampler"
                 )
-            if self.proposal == "hmc" and self.task != "regression":
-                raise ValueError("fused HMC covers the regression task")
             if self.use_surrogate or self.variational_reference:
                 raise ValueError(
                     "fused_step excludes surrogate/variational-reference "

@@ -70,8 +70,6 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
             "proposals"
         )
     if cfg.proposal in ("precond_mala", "hmc"):
-        if cfg.proposal == "hmc" and cfg.task != "regression":
-            return "fused HMC covers the regression task"
         if cfg.proposal == "hmc" and cfg.hmc_adapt_traj:
             if mesh is not None or (
                 ((cfg.num_chains + LANES - 1) // LANES) * LANES != LANES
@@ -123,7 +121,7 @@ def _k_cap(
     (pallas_step.vmem_bytes model); 0 = doesn't fit even at K=_K_MIN."""
     per_k = 4 * LANES * (p_pad + 8 + (p_pad if record_w else 0))
     live = max(4, n_classes + 4)
-    if mala and n_classes > 0:
+    if (mala or hmc) and n_classes > 0:
         # the classification backprop keeps the hidden sigmoid planes and
         # per-class delta planes live through the gradient
         live = live + hidden + n_classes
@@ -532,9 +530,6 @@ class _Fused:
             traces["acc_train"] = jnp.zeros_like(traces["ll"])
             traces["acc_test"] = jnp.zeros_like(traces["ll"])
         elif self.hmc:
-            u_eta = jax.random.uniform(
-                kue, (self.k_max, self.c_pad), jnp.float32
-            )
             kj = jax.random.fold_in(kb, 101)
             u_jit = jax.random.uniform(
                 kj, (self.k_max, self.c_pad), jnp.float32
@@ -547,19 +542,38 @@ class _Fused:
                 ],
                 (self.k_max, self.c_pad),
             )
-            fn = lambda kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at: (
-                ps.fused_hmc_block_impl(
-                    kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at,
-                    cfg.topology, self.scal, **kw
+            if self.task_cls:
+                # classification HMC: no eta machinery (the multinomial
+                # likelihood has no noise parameter)
+                fn = lambda kst, nw, um, uj, ut, rs, s, ln, d, at: (
+                    ps.fused_hmc_cls_block_impl(
+                        kst, nw, um, uj, ut, rs, s, ln, d, at,
+                        cfg.topology, self.scal, **kw
+                    )
                 )
-            )
-            ksd, traces = self._call_impl(
-                fn, kstate,
-                (noise_w, noise_eta, u, u_eta, u_jit, u_traj, self.rung_sum),
-                start, length, adapttemp,
-            )
-            traces["acc_train"] = jnp.zeros_like(traces["ll"])
-            traces["acc_test"] = jnp.zeros_like(traces["ll"])
+                ksd, traces = self._call_impl(
+                    fn, kstate,
+                    (noise_w, u, u_jit, u_traj, self.rung_sum),
+                    start, length, adapttemp,
+                )
+            else:
+                u_eta = jax.random.uniform(
+                    kue, (self.k_max, self.c_pad), jnp.float32
+                )
+                fn = lambda kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at: (
+                    ps.fused_hmc_block_impl(
+                        kst, nw, ne, um, ue, uj, ut, rs, s, ln, d, at,
+                        cfg.topology, self.scal, **kw
+                    )
+                )
+                ksd, traces = self._call_impl(
+                    fn, kstate,
+                    (noise_w, noise_eta, u, u_eta, u_jit, u_traj,
+                     self.rung_sum),
+                    start, length, adapttemp,
+                )
+                traces["acc_train"] = jnp.zeros_like(traces["ll"])
+                traces["acc_test"] = jnp.zeros_like(traces["ll"])
         else:
             fn = lambda kst, nw, ne, um, s, ln, d, at: (
                 ps.fused_rw_block_impl(

@@ -1525,3 +1525,351 @@ def fused_mala_cls_block_impl(
     if record_w:
         traces["w"] = res[20]
     return new_state, traces
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned-HMC fused block, classification task.
+#
+# Mirrors kernel.step_precond with proposal="hmc", task="classification"
+# (incl. hmc_adapt_traj): leapfrog trajectories on the tempered multinomial
+# posterior via the hand-written _fwd_grad_cls backprop, kinetic-energy MH,
+# NO eta machinery (the multinomial likelihood has no noise parameter),
+# untempered log-likelihood carried AND recorded (pt_classification.py:404
+# convention), Gaussian weight prior with dim = w_size (:224-230),
+# accuracy/argmax-RMSE metrics, warm start, Welford preconditioner,
+# Robbins-Monro scale and the in-kernel ChEES rung-sum adaptation exactly as
+# the regression HMC kernel. Kept as its own kernel so the two validated
+# flagship paths stay untouched.
+
+
+def _hmc_cls_block_kernel(
+    topo, n_tr, n_te, k_max, w_size, p_pad, sigma_sq,
+    adapt_rate, hmc_target, warmstart_step, precond_power,
+    pc_start, warm_end, burn_end_p, leapfrog, eps_jitter, chees,
+    chees_rate, n_ladders, record_w,
+    sl_ref,  # (2,) SMEM int32: [start, length]
+    xtr_ref, ytr_ref, yhtr_ref, mtr_ref,
+    xte_ref, yte_ref, yhte_ref, mte_ref,
+    at_ref,  # (1, C) adapttemp
+    w_ref, wl_ref, eta_ref, ll_ref, pr_ref, rtr_ref, rte_ref, atr_ref,
+    ate_ref, na_ref, lsw_ref,
+    gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
+    lt_ref, m1_ref, v2_ref,  # (1, C) log_traj / ChEES Adam m1 / v2
+    a_ref,  # (C, C) rung-sum matrix (zeros when not chees)
+    nw_ref,  # (K, P, C) momentum noise (pre-masked rows)
+    u_ref,  # (K, C) MH uniforms
+    uj_ref,  # (K, C) eps-jitter uniforms
+    ut_ref,  # (K, C) van-der-Corput trajectory jitter (lane-replicated)
+    o_w, o_wl, o_eta, o_ll, o_pr, o_rtr, o_rte, o_atr, o_ate, o_na, o_lsw,
+    o_gl, o_pm, o_p2, o_lt, o_m1, o_v2,
+    t_ll, t_rtr, t_rte, t_atr, t_ate, t_na, t_tl, *maybe_t_w,
+):
+    t_w = maybe_t_w[0] if record_w else None
+    start = sl_ref[0]
+    length = sl_ref[1]
+    at = at_ref[:]  # (1, C)
+    prior_const = -0.5 * w_size * math.log(sigma_sq)
+    f32 = jnp.float32
+    log09 = math.log(0.9)
+    log0999 = math.log(0.999)
+
+    def body(k, carry):
+        (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2,
+         lt, m1, v2) = carry
+        i = start + k
+        live = k < length
+        sig = jnp.exp(lsw)  # (1, C)
+        # --- diagonal preconditioner from the Welford buffers -------------
+        cnt = jnp.maximum(jnp.minimum(i, burn_end_p) - warm_end, 1).astype(
+            f32
+        )
+        var = p2 / cnt  # (P, C); padded rows stay 0
+        mean_var = jnp.sum(var, axis=0, keepdims=True) / float(w_size)
+        m = jnp.clip(var / jnp.maximum(mean_var, 1e-30), 1e-4, 1e4)
+        if precond_power != 1.0:
+            m = jnp.power(m, precond_power)
+        m = jnp.where(i >= pc_start, m, jnp.ones_like(m))
+        g_cur = gl / at - w / sigma_sq  # tempered posterior grad (cls)
+        # --- trajectory schedule -------------------------------------------
+        eps = sig
+        if eps_jitter > 0.0:
+            eps = sig * (
+                1.0 + eps_jitter * (2.0 * uj_ref[pl.ds(k, 1), :] - 1.0)
+            )
+        if chees:
+            u_t = ut_ref[pl.ds(k, 1), :]  # (1, C) lane-replicated vdc
+            tau_traj = jnp.exp(lt) * u_t
+            l_steps = jnp.clip(
+                jnp.ceil(tau_traj / eps), 1.0, float(leapfrog)
+            )  # (1, C) float
+        # --- leapfrog trajectory -------------------------------------------
+        p0 = nw_ref[k] / jnp.sqrt(m)  # (P, C); padded rows zero
+        k_init = 0.5 * jnp.sum(m * p0 * p0, axis=0, keepdims=True)
+
+        def leap(n, cr):
+            w_c, p_c, g_c = cr
+            p_half = p_c + 0.5 * eps * g_c
+            w_n = w_c + eps * m * p_half
+            _ll_n, _rtr_n, _atr_n, gl_n = _fwd_grad_cls(
+                w_n, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr, p_pad
+            )
+            g_n = gl_n / at - w_n / sigma_sq
+            p_n = p_half + 0.5 * eps * g_n
+            if chees:
+                upd = n.astype(f32) < l_steps  # (1, C)
+                w_n = jnp.where(upd, w_n, w_c)
+                p_n = jnp.where(upd, p_n, p_c)
+                g_n = jnp.where(upd, g_n, g_c)
+            return (w_n, p_n, g_n)
+
+        w_end, p_end, _g_end = jax.lax.fori_loop(
+            0, leapfrog, leap, (w, p0, g_cur)
+        )
+        k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
+        # --- warm start (forced accept below) -------------------------------
+        g_rms = jnp.sqrt(
+            jnp.sum(g_cur * g_cur, axis=0, keepdims=True) / float(w_size)
+        )
+        w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
+        w_prop = jnp.where(i < warm_end, w_warm, w_end)
+        # --- one eval at the selected endpoint ------------------------------
+        ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
+        pr_prop = prior_const - ssq / (2.0 * sigma_sq)
+        ll_prop, rtr_prop, atr_prop, g_rows = _fwd_grad_cls(
+            w_prop, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr, p_pad
+        )
+        _ll_te, rte_prop, ate_prop = _fwd_cls(
+            w_prop, xte_ref, yhte_ref, yte_ref, mte_ref, topo, n_te
+        )
+        diff = k_init - k_end  # reversible volume-preserving integrator
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        accept = jnp.logical_or(u_ref[pl.ds(k, 1), :] < a, i < warm_end)
+        accept = jnp.logical_and(accept, live)
+
+        # classification records the UNTEMPERED proposal likelihood
+        t_ll[pl.ds(k, 1), :] = jnp.where(live, ll_prop, ll)
+        rtr = jnp.where(accept, rtr_prop, rtr)
+        rte = jnp.where(accept, rte_prop, rte)
+        atr = jnp.where(accept, atr_prop, atr)
+        ate = jnp.where(accept, ate_prop, ate)
+        t_rtr[pl.ds(k, 1), :] = rtr
+        t_rte[pl.ds(k, 1), :] = rte
+        t_atr[pl.ds(k, 1), :] = atr
+        t_ate[pl.ds(k, 1), :] = ate
+        t_na[pl.ds(k, 1), :] = na  # count BEFORE this step's decision
+        if chees:
+            t_tl[pl.ds(k, 1), :] = jnp.where(live, l_steps, 0.0)
+        else:
+            t_tl[pl.ds(k, 1), :] = jnp.where(
+                live, jnp.full_like(at, float(leapfrog)), jnp.zeros_like(at)
+            )
+
+        w_old = w  # pre-decision position (ChEES uses it)
+        w = jnp.where(accept, w_prop, w)
+        wl = jnp.where(accept, w_prop, wl)
+        if record_w:
+            t_w[pl.ds(k, 1), :, :] = wl.reshape((1,) + wl.shape)
+        ll = jnp.where(accept, ll_prop, ll)
+        pr = jnp.where(accept, pr_prop, pr)
+        gl = jnp.where(accept, g_rows, gl)
+        na = na + accept.astype(jnp.int32)
+
+        # --- ChEES trajectory-length adaptation (in-kernel rung sums) ------
+        if chees:
+            rsum_p = lambda x: jnp.dot(
+                x, a_ref[:], preferred_element_type=f32
+            )
+            dxp = w_prop - rsum_p(w_prop) / float(n_ladders)
+            dx = w_old - rsum_p(w_old) / float(n_ladders)
+            dsq = jnp.sum(m * dxp * dxp, axis=0, keepdims=True) - jnp.sum(
+                m * dx * dx, axis=0, keepdims=True
+            )
+            inner = jnp.sum(dxp * p_end, axis=0, keepdims=True)
+            g_c = a * dsq * inner * u_t  # acceptance-weighted estimator
+            wsum = jnp.maximum(rsum_p(a), 1e-6)
+            g_rung = rsum_p(g_c) / wsum
+            g_log = g_rung * tau_traj
+            live_tr = jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            )
+            t_ad = jnp.maximum(
+                (jnp.minimum(i, burn_end_p) - warm_end).astype(f32) + 1.0,
+                1.0,
+            )
+            m1 = jnp.where(live_tr, 0.9 * m1 + 0.1 * g_log, m1)
+            v2 = jnp.where(live_tr, 0.999 * v2 + 0.001 * g_log * g_log, v2)
+            bc1 = 1.0 - jnp.exp(t_ad * log09)
+            bc2 = 1.0 - jnp.exp(t_ad * log0999)
+            step_ad = (
+                chees_rate * (m1 / bc1) / (jnp.sqrt(v2 / bc2) + 1e-8)
+            )
+            lt = jnp.clip(
+                lt + jnp.where(live_tr, step_ad, 0.0),
+                math.log(1e-4),
+                jnp.log(eps * float(leapfrog)),
+            )
+
+        # --- Welford accumulation + Robbins-Monro w-scale ------------------
+        updf = jnp.where(
+            jnp.logical_and(
+                live, jnp.logical_and(i >= warm_end, i < burn_end_p)
+            ),
+            1.0,
+            0.0,
+        )
+        cnt_new = jnp.maximum(
+            jnp.minimum(i + 1, burn_end_p) - warm_end, 1
+        ).astype(f32)
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        lsw = jnp.clip(
+            lsw
+            + jnp.where(updf > 0.0, adapt_rate * (a - hmc_target), 0.0),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+        return (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2,
+                lt, m1, v2)
+
+    init = (
+        w_ref[:], wl_ref[:], eta_ref[:], ll_ref[:], pr_ref[:],
+        rtr_ref[:], rte_ref[:], atr_ref[:], ate_ref[:], na_ref[:],
+        lsw_ref[:], gl_ref[:], pm_ref[:], p2_ref[:], lt_ref[:], m1_ref[:],
+        v2_ref[:],
+    )
+    (w, wl, eta, ll, pr, rtr, rte, atr, ate, na, lsw, gl, pm, p2, lt, m1,
+     v2) = jax.lax.fori_loop(0, k_max, body, init)
+    o_w[:] = w
+    o_wl[:] = wl
+    o_eta[:] = eta
+    o_ll[:] = ll
+    o_pr[:] = pr
+    o_rtr[:] = rtr
+    o_rte[:] = rte
+    o_atr[:] = atr
+    o_ate[:] = ate
+    o_na[:] = na
+    o_lsw[:] = lsw
+    o_gl[:] = gl
+    o_pm[:] = pm
+    o_p2[:] = p2
+    o_lt[:] = lt
+    o_m1[:] = m1
+    o_v2[:] = v2
+
+
+def fused_hmc_cls_block_impl(
+    state: dict,  # cls-MALA state dict + log_traj/chees_m1/chees_v2 (1,C)
+    noise_w: jax.Array,  # (K, P, C) momentum noise, pre-masked rows
+    u_mh: jax.Array,  # (K, C) MH uniforms
+    u_jit: jax.Array,  # (K, C) eps-jitter uniforms
+    u_traj: jax.Array,  # (K, C) van-der-Corput jitter, lane-replicated
+    rung_sum: jax.Array,  # (C, C) rung-sum matrix (zeros when not chees)
+    start,
+    length,
+    data: dict,  # prep_data output with one-hot planes
+    adapttemp: jax.Array,  # (1, C)
+    topo: Tuple[int, int, int],
+    cfg_scalars: dict,  # sigma_sq, adapt_rate, hmc_target, warmstart_step,
+    #                     precond_power, pc_start, warm_end, burn_end,
+    #                     leapfrog, eps_jitter, chees, chees_rate, n_ladders
+    record_w: bool = True,
+    interpret: bool = False,
+):
+    """One fused K-step preconditioned-HMC block, classification."""
+    k_max, p_pad, c_pad = noise_w.shape
+    assert c_pad % LANES == 0 and p_pad % 8 == 0
+    n_blocks = c_pad // LANES
+    chees = bool(cfg_scalars["chees"])
+    if chees and n_blocks != 1:
+        raise ValueError(
+            "fused ChEES needs the chain axis in ONE 128-lane block (its "
+            "rung sums couple lanes); got c_pad=%d" % c_pad
+        )
+    i_dim, h_dim, o_dim = topo
+    w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
+
+    kern = functools.partial(
+        _hmc_cls_block_kernel, topo, float(data["n_tr"]),
+        float(data["n_te"]), k_max, w_size, p_pad,
+        float(cfg_scalars["sigma_sq"]), float(cfg_scalars["adapt_rate"]),
+        float(cfg_scalars["hmc_target"]),
+        float(cfg_scalars["warmstart_step"]),
+        float(cfg_scalars["precond_power"]), int(cfg_scalars["pc_start"]),
+        int(cfg_scalars["warm_end"]), int(cfg_scalars["burn_end"]),
+        int(cfg_scalars["leapfrog"]), float(cfg_scalars["eps_jitter"]),
+        chees, float(cfg_scalars["chees_rate"]),
+        int(cfg_scalars["n_ladders"]), record_w,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda *shape: pl.BlockSpec(
+        shape + (LANES,),
+        lambda b: (0,) * len(shape) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    st_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 9
+        + [blk(p_pad), blk(p_pad), blk(p_pad)] + [blk(1)] * 3
+    )
+    out_specs = (
+        [blk(p_pad), blk(p_pad)] + [blk(1)] * 9
+        + [blk(p_pad), blk(p_pad), blk(p_pad)] + [blk(1)] * 3
+        + [blk(k_max)] * 7
+    )
+    f32 = jnp.float32
+    pc = lambda: jax.ShapeDtypeStruct((p_pad, c_pad), f32)
+    c1 = lambda dt=f32: jax.ShapeDtypeStruct((1, c_pad), dt)
+    kc = lambda dt=f32: jax.ShapeDtypeStruct((k_max, c_pad), dt)
+    out_shape = [
+        pc(), pc(),  # w, w_last
+        c1(), c1(), c1(), c1(), c1(), c1(), c1(),  # eta..acc_te
+        c1(jnp.int32), c1(),  # n_accept, log_step_w
+        pc(), pc(), pc(),  # g_like, pc_mean, pc_m2
+        c1(), c1(), c1(),  # log_traj, chees_m1, chees_v2
+        kc(), kc(), kc(), kc(), kc(), kc(jnp.int32), kc(),  # traces (+tl)
+    ]
+    if record_w:
+        out_specs.append(blk(k_max, p_pad))
+        out_shape.append(jax.ShapeDtypeStruct((k_max, p_pad, c_pad), f32))
+    sl = jnp.stack(
+        [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem] + [full()] * 8 + [blk(1)] + st_specs + [full()]
+        + [blk(k_max, p_pad)] + [blk(k_max)] * 3,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sl,
+        data["x_tr"], data["y_tr"], data["yh_tr"], data["m_tr"],
+        data["x_te"], data["y_te"], data["yh_te"], data["m_te"],
+        adapttemp,
+        state["w"], state["w_last"], state["eta"], state["ll"],
+        state["prior"], state["rmse_train"], state["rmse_test"],
+        state["acc_train"], state["acc_test"],
+        state["n_accept"], state["log_step_w"],
+        state["g_like"], state["pc_mean"], state["pc_m2"],
+        state["log_traj"], state["chees_m1"], state["chees_v2"],
+        rung_sum,
+        noise_w, u_mh, u_jit, u_traj,
+    )
+    new_state = dict(
+        w=res[0], w_last=res[1], eta=res[2], ll=res[3], prior=res[4],
+        rmse_train=res[5], rmse_test=res[6], acc_train=res[7],
+        acc_test=res[8], n_accept=res[9], log_step_w=res[10],
+        g_like=res[11], pc_mean=res[12], pc_m2=res[13], log_traj=res[14],
+        chees_m1=res[15], chees_v2=res[16],
+    )
+    traces = dict(
+        ll=res[17], rmse_train=res[18], rmse_test=res[19], acc_train=res[20],
+        acc_test=res[21], accept_count=res[22], traj_len=res[23],
+    )
+    if record_w:
+        traces["w"] = res[24]
+    return new_state, traces

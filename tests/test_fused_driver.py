@@ -368,3 +368,57 @@ def test_fused_mesh_divisibility_gate():
         swap_rule="metropolis", fused_step=True,
     )
     assert "128-lane" in fused.fused_reason(cfg2, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_fused_hmc_cls_sample_matches_perstep_statistically():
+    from ptnn.data import load_classification
+
+    prob = load_classification("iris")
+    cfg = ptnn.PTConfig(
+        task="classification",
+        topology=(4, 12, 3),
+        num_samples=8 * 400,
+        num_chains=8,
+        maxtemp=10.0,
+        swap_interval=10,
+        swap_style="even_odd",
+        swap_payload="untempered",
+        swap_rule="metropolis",
+        proposal="hmc",
+        hmc_leapfrog=4,
+        hmc_adapt_traj=True,
+        n_ladders=2,
+        adapt_rate=0.1,
+        warmstart_frac=0.1,
+        precond_start_frac=0.3,
+        record_w=True,
+        chunk_steps=100,
+    ).validate()
+    res_f = ptnn.sample(
+        dataclasses.replace(cfg, fused_step=True).validate(),
+        prob.train, prob.test, seed=5,
+    )
+    res_s = ptnn.sample(cfg, prob.train, prob.test, seed=5)
+
+    assert set(res_f.traces) == set(res_s.traces)
+    for k in res_f.traces:
+        assert res_f.traces[k].shape == res_s.traces[k].shape, k
+    b = cfg.samples_per_chain // 2
+    acc_te_f = float(np.mean(res_f.traces["acc_test"][b:, 0]))
+    acc_te_s = float(np.mean(res_s.traces["acc_test"][b:, 0]))
+    # cold-chain test accuracy in the same band, and actually learned
+    assert acc_te_f > 60.0 and acc_te_s > 60.0, (acc_te_f, acc_te_s)
+    assert abs(acc_te_f - acc_te_s) < 20.0, (acc_te_f, acc_te_s)
+    acc_f = float(np.mean(res_f.accept_ratio_per_chain))
+    acc_s = float(np.mean(res_s.accept_ratio_per_chain))
+    assert abs(acc_f - acc_s) < 15.0, (acc_f, acc_s)
+    assert abs(res_f.swap_percent - res_s.swap_percent) < 25.0
+    # realized trajectory lengths live inside the static bound and moved
+    tl = res_f.traces["traj_len"][1:, :]
+    assert np.all((tl >= 1.0) & (tl <= cfg.hmc_leapfrog))
+    assert np.std(tl) > 0.0
+    # classification has no eta machinery: eta is a pure pass-through
+    np.testing.assert_array_equal(
+        np.asarray(res_f.final_state.eta), np.asarray(res_s.final_state.eta)
+    )

@@ -1182,3 +1182,287 @@ def test_fused_mala_cls_block_matches_oracle(rng):
         )
     assert np.all(np.asarray(new_state["w"])[WC2:, :] == 0.0)
     assert np.all(np.asarray(new_state["g_like"])[WC2:, :] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused preconditioned-HMC block, classification task, vs oracle.
+
+
+def _hmc_cls_scal(chees=True):
+    return dict(
+        sigma_sq=25.0, adapt_rate=0.1, hmc_target=0.75, warmstart_step=0.05,
+        precond_power=1.0, pc_start=10, warm_end=6, burn_end=20,
+        leapfrog=4, eps_jitter=0.2, chees=chees, chees_rate=0.025,
+        n_ladders=2,
+    )
+
+
+def _mk_state_hmc_cls(rng, c_pad, p_pad, chains, raw, scal):
+    base = _mk_state_mala_cls(rng, c_pad, p_pad, chains, raw, scal)
+    pad1 = lambda v: jnp.pad(
+        jnp.asarray(v, jnp.float32), (0, c_pad - chains)
+    ).reshape(1, c_pad)
+    # eps large enough that leapfrog energy error actually rejects sometimes
+    # (the multinomial posterior at w_size 43 is too flat for eps ~0.1), but
+    # not so large that full-L float32 trajectories turn chaotic and the
+    # kernel-vs-autodiff summation-order drift blows past the tolerance
+    base["log_step_w"] = jnp.full((1, c_pad), math.log(0.75), jnp.float32)
+    base.update(
+        log_traj=pad1(np.full((chains,), math.log(0.1), np.float32)),
+        chees_m1=pad1(np.zeros((chains,), np.float32)),
+        chees_v2=pad1(np.zeros((chains,), np.float32)),
+    )
+    return base
+
+
+def _oracle_hmc_cls(state, noise_w, u_mh, u_jit, u_traj, start, length, raw,
+                    adapttemp, scal, chains):
+    """Plain-JAX replay of the fused classification-HMC block semantics:
+    leapfrog on the tempered multinomial posterior with autodiff gradients,
+    kinetic-energy MH, untempered ll carried/recorded, NO eta machinery,
+    forced-accept warm start, ChEES rung-sum adaptation, Welford + RM."""
+    x_tr = jnp.asarray(raw[0])
+    y_tr = jnp.asarray(raw[1]).astype(jnp.int32)
+    x_te = jnp.asarray(raw[2])
+    y_te = jnp.asarray(raw[3]).astype(jnp.int32)
+    vg = _vg_cls()
+    fwd = jax.vmap(lambda wi, x: fnn.forward(wi, x, TOPO_C2), (0, None))
+    sq = scal["sigma_sq"]
+    prior_const = -0.5 * WC2 * math.log(sq)
+    n_lad = scal["n_ladders"]
+    k_rung = chains // n_lad
+    L = scal["leapfrog"]
+
+    def metrics(out, y):
+        pred = jnp.argmax(out, axis=-1).astype(jnp.float32)
+        yf = y.astype(jnp.float32)[None, :]
+        rmse = jnp.sqrt(jnp.mean(jnp.square(pred - yf), axis=-1))
+        acc = 100.0 * jnp.mean((pred == yf).astype(jnp.float32), axis=-1)
+        return rmse, acc
+
+    def rung_mean(x):
+        xr = x.reshape(n_lad, k_rung, -1)
+        mu = jnp.mean(xr, axis=0, keepdims=True)
+        return jnp.broadcast_to(mu, xr.shape).reshape(chains, -1)
+
+    w = jnp.asarray(state["w"])[:WC2, :chains].T
+    wl = jnp.asarray(state["w_last"])[:WC2, :chains].T
+    ll = jnp.asarray(state["ll"])[0, :chains]
+    pr = jnp.asarray(state["prior"])[0, :chains]
+    rtr = jnp.asarray(state["rmse_train"])[0, :chains]
+    rte = jnp.asarray(state["rmse_test"])[0, :chains]
+    atr = jnp.asarray(state["acc_train"])[0, :chains]
+    ate = jnp.asarray(state["acc_test"])[0, :chains]
+    na = jnp.asarray(state["n_accept"])[0, :chains]
+    lsw = jnp.asarray(state["log_step_w"])[0, :chains]
+    gl = jnp.asarray(state["g_like"])[:WC2, :chains].T
+    pm = jnp.asarray(state["pc_mean"])[:WC2, :chains].T
+    p2 = jnp.asarray(state["pc_m2"])[:WC2, :chains].T
+    lt = jnp.asarray(state["log_traj"])[0, :chains]
+    m1 = jnp.asarray(state["chees_m1"])[0, :chains]
+    v2 = jnp.asarray(state["chees_v2"])[0, :chains]
+    at = jnp.asarray(adapttemp)[0, :chains]
+
+    tr = {k: [] for k in ("ll", "rmse_train", "rmse_test", "acc_train",
+                          "acc_test", "accept_count", "traj_len")}
+    for k in range(int(length)):
+        i = start + k
+        sig = jnp.exp(lsw)
+        cnt = float(max(min(i, scal["burn_end"]) - scal["warm_end"], 1))
+        var = p2 / cnt
+        m = jnp.clip(
+            var / jnp.maximum(jnp.mean(var, axis=1, keepdims=True), 1e-30),
+            1e-4, 1e4,
+        )
+        m = jnp.where(i >= scal["pc_start"], m, jnp.ones_like(m))
+        g_cur = gl / at[:, None] - w / sq
+        eps = sig * (
+            1.0
+            + scal["eps_jitter"]
+            * (2.0 * jnp.asarray(u_jit)[k, :chains] - 1.0)
+        )
+        if scal["chees"]:
+            u_t = jnp.asarray(u_traj)[k, :chains]
+            tau_traj = jnp.exp(lt) * u_t
+            l_steps = jnp.clip(jnp.ceil(tau_traj / eps), 1.0, float(L))
+        else:
+            l_steps = jnp.full((chains,), float(L))
+        epsw = eps[:, None]
+        p0 = jnp.asarray(noise_w)[k, :WC2, :chains].T / jnp.sqrt(m)
+        k_init = 0.5 * jnp.sum(m * jnp.square(p0), axis=-1)
+        w_c, p_c, g_c = w, p0, g_cur
+        for n in range(L):
+            p_half = p_c + 0.5 * epsw * g_c
+            w_n = w_c + epsw * m * p_half
+            (_v, _out), gl_n = vg(w_n, x_tr, y_tr)
+            g_n = gl_n / at[:, None] - w_n / sq
+            p_n = p_half + 0.5 * epsw * g_n
+            upd = (float(n) < l_steps)[:, None]
+            w_c = jnp.where(upd, w_n, w_c)
+            p_c = jnp.where(upd, p_n, p_c)
+            g_c = jnp.where(upd, g_n, g_c)
+        k_end = 0.5 * jnp.sum(m * jnp.square(p_c), axis=-1)
+        g_rms = jnp.sqrt(jnp.mean(jnp.square(g_cur), axis=-1, keepdims=True))
+        w_warm = w + scal["warmstart_step"] * g_cur / jnp.maximum(
+            g_rms, 1e-12
+        )
+        w_prop = jnp.where(i < scal["warm_end"], w_warm, w_c)
+        pr_prop = prior_const - jnp.sum(jnp.square(w_prop), axis=-1) / (
+            2.0 * sq
+        )
+        (val, out_tr), gl_prop = vg(w_prop, x_tr, y_tr)
+        ll_prop = val
+        rtr_p, atr_p = metrics(out_tr, y_tr)
+        out_te = fwd(w_prop, x_te)
+        rte_p, ate_p = metrics(out_te, y_te)
+        diff = k_init - k_end
+        log_mh = (ll_prop - ll) / at + (pr_prop - pr) + diff
+        a = jnp.exp(jnp.minimum(log_mh, 0.0))
+        acc = jnp.logical_or(
+            jnp.asarray(u_mh)[k, :chains] < a, i < scal["warm_end"]
+        )
+        tr["ll"].append(ll_prop)  # untempered (classification convention)
+        rtr = jnp.where(acc, rtr_p, rtr)
+        rte = jnp.where(acc, rte_p, rte)
+        atr = jnp.where(acc, atr_p, atr)
+        ate = jnp.where(acc, ate_p, ate)
+        tr["rmse_train"].append(rtr)
+        tr["rmse_test"].append(rte)
+        tr["acc_train"].append(atr)
+        tr["acc_test"].append(ate)
+        tr["accept_count"].append(na)
+        tr["traj_len"].append(l_steps)
+        w_old = w
+        w = jnp.where(acc[:, None], w_prop, w)
+        wl = jnp.where(acc[:, None], w_prop, wl)
+        ll = jnp.where(acc, ll_prop, ll)
+        pr = jnp.where(acc, pr_prop, pr)
+        gl = jnp.where(acc[:, None], gl_prop, gl)
+        na = na + acc.astype(jnp.int32)
+        # ChEES adaptation (rung sums over ladder replicas)
+        if scal["chees"]:
+            dxp = w_prop - rung_mean(w_prop)
+            dx = w_old - rung_mean(w_old)
+            dsq = jnp.sum(m * jnp.square(dxp), -1) - jnp.sum(
+                m * jnp.square(dx), -1
+            )
+            inner = jnp.sum(dxp * p_c, -1)
+            g_ch = a * dsq * inner * u_t
+            wsum = jnp.maximum(a.reshape(n_lad, k_rung).sum(0), 1e-6)
+            g_rung = jnp.broadcast_to(
+                (g_ch.reshape(n_lad, k_rung).sum(0) / wsum)[None, :],
+                (n_lad, k_rung),
+            ).reshape(chains)
+            g_log = g_rung * tau_traj
+            live_tr = scal["warm_end"] <= i < scal["burn_end"]
+            t_ad = float(
+                max(min(i, scal["burn_end"]) - scal["warm_end"], 0) + 1
+            )
+            if live_tr:
+                m1 = 0.9 * m1 + 0.1 * g_log
+                v2 = 0.999 * v2 + 0.001 * jnp.square(g_log)
+                step_ad = (
+                    scal["chees_rate"]
+                    * (m1 / (1.0 - 0.9 ** t_ad))
+                    / (jnp.sqrt(v2 / (1.0 - 0.999 ** t_ad)) + 1e-8)
+                )
+            else:
+                step_ad = jnp.zeros_like(lt)
+            lt = jnp.clip(
+                lt + step_ad, math.log(1e-4), jnp.log(eps * float(L))
+            )
+        # Welford + RM
+        updf = 1.0 if scal["warm_end"] <= i < scal["burn_end"] else 0.0
+        cnt_new = float(
+            max(min(i + 1, scal["burn_end"]) - scal["warm_end"], 1)
+        )
+        delta = w - pm
+        pm = pm + updf * delta / cnt_new
+        p2 = p2 + updf * delta * (w - pm)
+        lsw = jnp.clip(
+            lsw
+            + (
+                scal["adapt_rate"] * (a - scal["hmc_target"])
+                if updf > 0.0
+                else jnp.zeros_like(lsw)
+            ),
+            math.log(1e-6),
+            math.log(10.0),
+        )
+    out = dict(w=w, w_last=wl, ll=ll, prior=pr, rmse_train=rtr,
+               rmse_test=rte, acc_train=atr, acc_test=ate, n_accept=na,
+               log_step_w=lsw, g_like=gl, pc_mean=pm, pc_m2=p2, log_traj=lt,
+               chees_m1=m1, chees_v2=v2)
+    return out, {k: jnp.stack(v) for k, v in tr.items()}
+
+
+@pytest.mark.parametrize("chees", [True, False])
+def test_fused_hmc_cls_block_matches_oracle(rng, chees):
+    chains, k_max, length, start = 6, 24, 24, 0
+    p_pad, c_pad = 48, LANES
+    raw = _mk_data_cls2(rng)
+    data = ps.prep_data(
+        *[jnp.asarray(a) for a in raw], n_classes=3
+    )
+    scal = _hmc_cls_scal(chees)
+    state = _mk_state_hmc_cls(rng, c_pad, p_pad, chains, raw, scal)
+    noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
+    noise_w[:, :WC2, :chains] = rng.normal(size=(k_max, WC2, chains))
+    u = np.ones((k_max, c_pad), np.float32)
+    u[:, :chains] = rng.uniform(size=(k_max, chains))
+    uj = np.broadcast_to(
+        rng.uniform(size=(k_max, 1)).astype(np.float32), (k_max, c_pad)
+    ).copy()
+    ut = np.broadcast_to(
+        rng.uniform(size=(k_max, 1)).astype(np.float32), (k_max, c_pad)
+    ).copy()
+    adapttemp = np.ones((1, c_pad), np.float32)
+    adapttemp[0, :chains] = np.geomspace(1.0, 4.0, chains)
+    rs = ps.rung_sum_matrix(chains, chains // scal["n_ladders"], c_pad)
+
+    new_state, traces = ps.fused_hmc_cls_block_impl(
+        state, jnp.asarray(noise_w), jnp.asarray(u), jnp.asarray(uj),
+        jnp.asarray(ut), rs, start, length, data, jnp.asarray(adapttemp),
+        TOPO_C2, scal, record_w=True, interpret=True,
+    )
+    ora_state, ora_tr = _oracle_hmc_cls(
+        state, noise_w, u, uj, ut, start, length, raw, adapttemp, scal,
+        chains,
+    )
+
+    na = np.asarray(new_state["n_accept"])[0, :chains]
+    assert na.sum() >= scal["warm_end"] * chains  # forced warm accepts
+    assert na.sum() < length * chains, na  # and at least one rejection
+
+    np.testing.assert_array_equal(na, np.asarray(ora_state["n_accept"]))
+    np.testing.assert_array_equal(
+        np.asarray(traces["accept_count"])[:length, :chains],
+        np.asarray(ora_tr["accept_count"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traces["traj_len"])[:length, :chains],
+        np.asarray(ora_tr["traj_len"]),
+    )
+    # eta is a pure pass-through (no noise parameter in the multinomial)
+    np.testing.assert_array_equal(
+        np.asarray(new_state["eta"]), np.asarray(state["eta"])
+    )
+    for k in ("ll", "prior", "rmse_train", "rmse_test", "acc_train",
+              "acc_test", "log_step_w", "log_traj", "chees_m1", "chees_v2"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[0, :chains],
+            np.asarray(ora_state[k]),
+            rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    for k in ("w", "w_last", "g_like", "pc_mean", "pc_m2"):
+        np.testing.assert_allclose(
+            np.asarray(new_state[k])[:WC2, :chains].T,
+            np.asarray(ora_state[k]), rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    for k in ("ll", "rmse_train", "rmse_test", "acc_train", "acc_test"):
+        np.testing.assert_allclose(
+            np.asarray(traces[k])[:length, :chains],
+            np.asarray(ora_tr[k]), rtol=5e-4, atol=5e-5, err_msg=k,
+        )
+    assert np.all(np.asarray(new_state["w"])[WC2:, :] == 0.0)
+    assert np.all(np.asarray(new_state["g_like"])[WC2:, :] == 0.0)
