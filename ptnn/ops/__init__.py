@@ -2,4 +2,4 @@
 
 from ptnn.ops import drift, ladder, likelihood
 
-__all__ = ["drift", "ladder", "likelihood"]
+__all__ = ["drift", "ladder", "likelihood"]  # ess/evidence/ic import lazily

@@ -167,6 +167,12 @@ def main(argv=None) -> None:
     p.add_argument("--chains", choices=("cold", "all"), default="cold")
     p.add_argument("--thin", type=int, default=1)
     p.add_argument("--out", help="write predictions (np.savetxt) here")
+    p.add_argument(
+        "--ic",
+        action="store_true",
+        help="report WAIC + PSIS-LOO on the training split (and the test-"
+        "set log predictive density) from the loaded draws — ops/ic.py",
+    )
     args = p.parse_args(argv)
 
     draws, cfg = load_posterior(args.run, chains=args.chains, thin=args.thin)
@@ -215,6 +221,35 @@ def main(argv=None) -> None:
             axis=1,
         )
     print(line)
+    if args.ic:
+        if not args.problem:
+            raise SystemExit("--ic needs --problem (train/test splits)")
+        from ptnn.ops import ic
+
+        prob = load(args.problem)
+        nx = x_cols(cfg)
+        x_tr, y_tr = prob.train[:, :nx], prob.train[:, nx]
+        x_te, y_te = prob.test[:, :nx], prob.test[:, nx]
+        ll_tr = ic.pointwise_log_lik(cfg, draws, x_tr, y_tr)
+        w, lo = ic.waic(ll_tr), ic.psis_loo(ll_tr)
+        bad = int(np.sum(lo["pareto_k"] > 0.7))
+        print(
+            f"WAIC: elpd {w['elpd_waic']:.2f} (se {w['se']:.2f}), "
+            f"p_waic {w['p_waic']:.2f}"
+        )
+        print(
+            f"PSIS-LOO: elpd {lo['elpd_loo']:.2f} (se {lo['se']:.2f}), "
+            f"p_loo {lo['p_loo']:.2f}, "
+            f"{bad}/{len(lo['pareto_k'])} points with Pareto k > 0.7"
+        )
+        ll_te = ic.pointwise_log_lik(
+            cfg, draws, x_te, y_te, cond=(x_tr, y_tr)
+        )
+        lppd_te = ic.waic(ll_te)["lppd"]
+        print(
+            f"test lppd: {lppd_te:.2f} over {x_te.shape[0]} rows "
+            f"({lppd_te / x_te.shape[0]:.4f}/row)"
+        )
     if args.out:
         np.savetxt(args.out, cols, fmt="%1.6f")
         print(f"wrote {args.out}")
