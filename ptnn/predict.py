@@ -100,6 +100,10 @@ def posterior_predict(
     hi: float = 95.0,
     batch: int = 512,
     spec=None,
+    noise: Optional[str] = None,
+    cond: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    seed: int = 0,
+    return_samples: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Posterior-predictive summary on inputs ``x`` from weight ``draws``.
 
@@ -108,6 +112,16 @@ def posterior_predict(
     ``probs`` (N, K) posterior-mean class probabilities, ``label`` (N,)
     argmax, and ``entropy`` (N,) of the predictive distribution (nats) —
     the uncertainty number the reference never surfaces.
+
+    ``noise="conditional"`` (regression): the default band is EPISTEMIC
+    only (percentiles of fx across draws — the reference's plot semantics);
+    with noise enabled the band/std describe the FULL posterior predictive
+    p(y*|D): per weight draw, tau^2 is drawn from its conditional InvGamma
+    posterior given the training residuals (``cond=(x_train, y_train)``,
+    ops/ic.py derivation) and observation noise is added, so a 5-95 band
+    should cover ~90% of held-out targets (ops/calibrate.py scores this).
+    ``return_samples`` additionally returns the ``(M, N)`` predictive draws
+    (for CRPS).
 
     ``spec``: ModelSpec override for non-FNN families — runs sampled with
     an explicit ``model_spec`` (e.g. the CNN driver's ``cnn.digits_spec()``)
@@ -141,12 +155,41 @@ def posterior_predict(
     out = np.concatenate(outs, axis=0)  # (M, N) or (M, N, K)
 
     if cfg.task == "regression":
-        return {
+        y_rep = out
+        if noise == "conditional":
+            if cond is None:
+                raise ValueError(
+                    "noise='conditional' needs cond=(x_train, y_train) — "
+                    "the data the sampler conditioned tau^2 on"
+                )
+            xc = np.asarray(cond[0], np.float32)
+            yc = np.asarray(cond[1], np.float64)
+            fwd_c = jax.jit(jax.vmap(lambda w: spec.forward(w, xc)[:, 0]))
+            fc = np.concatenate(
+                [
+                    np.asarray(fwd_c(jnp.asarray(draws[i : i + batch])))
+                    for i in range(0, draws.shape[0], max(batch, 1))
+                ],
+                axis=0,
+            ).astype(np.float64)
+            a = cfg.nu_1 + 0.5 * yc.shape[0]
+            b = cfg.nu_2 + 0.5 * np.sum(np.square(yc[None, :] - fc), axis=1)
+            rng = np.random.default_rng(seed)
+            tau_sq = b / rng.gamma(a, 1.0, size=b.shape)  # InvGamma(a, b)
+            y_rep = out + np.sqrt(tau_sq)[:, None] * rng.standard_normal(
+                out.shape
+            )
+        elif noise is not None:
+            raise ValueError("noise must be None or 'conditional'")
+        res = {
             "mean": out.mean(axis=0),
-            "low": np.percentile(out, lo, axis=0),
-            "high": np.percentile(out, hi, axis=0),
-            "std": out.std(axis=0),
+            "low": np.percentile(y_rep, lo, axis=0),
+            "high": np.percentile(y_rep, hi, axis=0),
+            "std": y_rep.std(axis=0),
         }
+        if return_samples:
+            res["samples"] = y_rep
+        return res
     probs = out.mean(axis=0)  # (N, K) posterior-mean predictive
     ent = -np.sum(probs * np.log(np.maximum(probs, 1e-12)), axis=-1)
     return {
@@ -167,6 +210,13 @@ def main(argv=None) -> None:
     p.add_argument("--chains", choices=("cold", "all"), default="cold")
     p.add_argument("--thin", type=int, default=1)
     p.add_argument("--out", help="write predictions (np.savetxt) here")
+    p.add_argument(
+        "--calibrate",
+        action="store_true",
+        help="score the posterior as a distributional forecast on the "
+        "chosen split: full-predictive band coverage + CRPS (regression) "
+        "or ECE + Brier (classification) — ops/calibrate.py",
+    )
     p.add_argument(
         "--ic",
         action="store_true",
@@ -221,6 +271,40 @@ def main(argv=None) -> None:
             axis=1,
         )
     print(line)
+    if args.calibrate:
+        if y is None:
+            raise SystemExit("--calibrate needs targets (use --problem)")
+        from ptnn.ops import calibrate
+
+        if cfg.task == "regression":
+            prob = load(args.problem)
+            nx = x_cols(cfg)
+            full = posterior_predict(
+                cfg,
+                draws,
+                x,
+                noise="conditional",
+                cond=(prob.train[:, :nx], prob.train[:, nx]),
+                return_samples=True,
+            )
+            cov_e = calibrate.coverage(y, pred["low"], pred["high"])
+            cov_f = calibrate.coverage(y, full["low"], full["high"])
+            cr = calibrate.crps(full["samples"], y)
+            print(
+                f"calibration ({args.split}): 5-95 band coverage "
+                f"{cov_f * 100:.1f}% (target 90; epistemic-only band: "
+                f"{cov_e * 100:.1f}%), CRPS {cr['mean']:.4f}, "
+                f"mean full-band width "
+                f"{np.mean(full['high'] - full['low']):.4f}"
+            )
+        else:
+            yl = y.astype(np.int64)
+            e = calibrate.ece(pred["probs"], yl)
+            br = calibrate.brier(pred["probs"], yl)
+            print(
+                f"calibration ({args.split}): ECE {e['ece']:.4f}, "
+                f"Brier {br:.4f} over {yl.shape[0]} rows"
+            )
     if args.ic:
         if not args.problem:
             raise SystemExit("--ic needs --problem (train/test splits)")
