@@ -88,6 +88,15 @@ class AutoReport:
     elapsed_s: float  # total sampling wall-clock (pilot excluded)
     seeds: Tuple[int, ...]
     per_seed_cold: Tuple[float, ...]  # cold test metric per seed
+    # Serving-quality scoring from the last seed's pooled cold draws
+    # (ops/ic.py + ops/calibrate.py; None when the posterior trace was
+    # skipped or a custom model_spec is in play — see decisions):
+    elpd_loo: Optional[float] = None
+    loo_bad_k_frac: Optional[float] = None  # fraction of points with k>0.7
+    coverage_90: Optional[float] = None  # regression: 5-95 full-band coverage
+    crps: Optional[float] = None  # regression
+    ece: Optional[float] = None  # classification
+    brier: Optional[float] = None  # classification
 
     def describe(self) -> str:
         cfg = self.config
@@ -125,8 +134,22 @@ class AutoReport:
             f"  transport: {self.roundtrips_per_kstep:.1f} round trips/1k "
             f"steps, swap {self.swap_percent:.1f}%, accept "
             f"{self.accept_percent:.1f}%",
-            "  decisions:",
         ]
+        if self.elpd_loo is not None:
+            score = (
+                f"  predictive score: elpd_loo {self.elpd_loo:.1f} "
+                f"(Pareto k>0.7 on {self.loo_bad_k_frac * 100:.0f}% of "
+                "points)"
+            )
+            if self.coverage_90 is not None:
+                score += (
+                    f", 5-95 band coverage {self.coverage_90 * 100:.1f}%, "
+                    f"CRPS {self.crps:.4f}"
+                )
+            if self.ece is not None:
+                score += f", ECE {self.ece:.3f}, Brier {self.brier:.3f}"
+            lines.append(score)
+        lines.append("  decisions:")
         lines += [f"    {k}: {v}" for k, v in self.decisions.items()]
         return "\n".join(lines)
 
@@ -447,6 +470,43 @@ def auto_sample(
     elif len(seeds) >= 2:
         verdict = "unavailable (posterior trace skipped)"
 
+    # serving-quality scoring on the last seed's pooled cold draws
+    elpd = badk = cov = crps_v = ece_v = brier_v = None
+    if colds and model_spec is None:
+        from ptnn import predict as predict_mod
+        from ptnn.ops import calibrate as cal_mod
+        from ptnn.ops import ic as ic_mod
+
+        nx = cfg.topology[0]
+        x_tr, y_tr = train[:, :nx], train[:, nx]
+        x_te, y_te = test[:, :nx], test[:, nx]
+        dr = colds[-1].reshape(-1, colds[-1].shape[-1])
+        dr = dr[:: max(dr.shape[0] // 1000, 1)]
+        lo = ic_mod.psis_loo(ic_mod.pointwise_log_lik(cfg, dr, x_tr, y_tr))
+        elpd = float(lo["elpd_loo"])
+        badk = float(np.mean(lo["pareto_k"] > 0.7))
+        if is_reg:
+            full = predict_mod.posterior_predict(
+                cfg, dr, x_te, noise="conditional", cond=(x_tr, y_tr),
+                return_samples=True,
+            )
+            cov = cal_mod.coverage(y_te, full["low"], full["high"])
+            crps_v = cal_mod.crps(full["samples"], y_te)["mean"]
+        else:
+            pr = predict_mod.posterior_predict(cfg, dr, x_te)
+            yl = y_te.astype(np.int64)
+            ece_v = cal_mod.ece(pr["probs"], yl)["ece"]
+            brier_v = cal_mod.brier(pr["probs"], yl)
+        decisions["predictive_score"] = (
+            f"PSIS-LOO + calibration on {dr.shape[0]} pooled cold draws "
+            "(last seed; ops/ic.py, ops/calibrate.py)"
+        )
+    elif colds:
+        decisions["predictive_score"] = (
+            "skipped: custom model_spec (pointwise log-lik builder covers "
+            "the reference FNN family)"
+        )
+
     report = AutoReport(
         config=cfg,
         tune=tune,
@@ -466,6 +526,12 @@ def auto_sample(
         elapsed_s=elapsed,
         seeds=seeds,
         per_seed_cold=tuple(cold_m),
+        elpd_loo=elpd,
+        loo_bad_k_frac=badk,
+        coverage_90=cov,
+        crps=crps_v,
+        ece=ece_v,
+        brier=brier_v,
     )
     if out:
         os.makedirs(out, exist_ok=True)

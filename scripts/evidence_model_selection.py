@@ -16,7 +16,9 @@ Gaussian-reference scope measured in vref_transport.md):
    so the tuned schedule packs rungs there;
 2. three seeded full-budget VR runs on the tuned ladder;
 3. report mean +- spread of abs log Z (stepping stone — unbiased stones),
-   cold-chain test RMSE, and the measured barrier.
+   PSIS-LOO elpd from the same runs' cold-chain draws (ops/ic.py — the
+   posterior-predictive ranking next to the prior-predictive one), cold
+   test RMSE, and the measured barrier.
 
 Writes results/evidence_model_selection.md. CPU-friendly (~10 min); pass
 --quick for a smoke-scale run.
@@ -36,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import ptnn
 from ptnn import tuning
 from ptnn.data import load_regression
-from ptnn.ops import evidence
+from ptnn.ops import evidence, ic
 
 
 def vr_cfg(hidden: int, num_samples: int) -> ptnn.PTConfig:
@@ -54,7 +56,8 @@ def vr_cfg(hidden: int, num_samples: int) -> ptnn.PTConfig:
         pt_phase_frac=2.0,
         variational_reference=True,
         vr_hot_infinite=True,
-        record_w=False,
+        record_w=True,
+        record_w_chains=1,  # cold-chain draws for the PSIS-LOO column
         record_ll_state=True,
         chunk_steps=200,
     ).validate()
@@ -85,13 +88,20 @@ def main(argv=None) -> None:
         cfg_t = dataclasses.replace(
             cfg, custom_ladder=tuple(float(t) for t in tuned.temperatures)
         ).validate()
-        zs, rmses = [], []
+        x_tr, y_tr = prob.train[:, :4], prob.train[:, 4]
+        zs, rmses, loos = [], [], []
         for seed in args.seeds:
             res = ptnn.sample(cfg_t, prob.train, prob.test, seed=seed)
             est = evidence.from_result(res)
             assert est.anchored, "VR run must anchor at beta=0"
             zs.append(est.log_z_abs_ss)
             rmses.append(float(res.traces["rmse_test"][-1, 0]))
+            # cold-chain draws -> PSIS-LOO elpd on the training split
+            w_tr = np.asarray(res.traces["w"])[:, 0, :]
+            start = max(int(w_tr.shape[0] * cfg_t.burn_in), 1)
+            draws = w_tr[start :: max((w_tr.shape[0] - start) // 1000, 1)]
+            ll = ic.pointwise_log_lik(cfg_t, draws, x_tr, y_tr)
+            loos.append(ic.psis_loo(ll)["elpd_loo"])
         rows.append(
             dict(
                 hidden=h,
@@ -99,6 +109,8 @@ def main(argv=None) -> None:
                 z_mean=float(np.mean(zs)),
                 z_spread=float(np.max(zs) - np.min(zs)),
                 zs=zs,
+                loo_mean=float(np.mean(loos)),
+                loo_spread=float(np.max(loos) - np.min(loos)),
                 rmse=float(np.mean(rmses)),
                 barrier=tuned.barrier,
             )
@@ -106,11 +118,14 @@ def main(argv=None) -> None:
         print(
             f"h={h} (d={6 * h + 1}): logZ_ss={np.mean(zs):.1f} "
             f"(spread {np.max(zs) - np.min(zs):.1f}), "
+            f"elpd_loo={np.mean(loos):.1f} "
+            f"(spread {np.max(loos) - np.min(loos):.1f}), "
             f"rmse_test={np.mean(rmses):.4f}, barrier={tuned.barrier:.2f}",
             flush=True,
         )
 
     best = max(rows, key=lambda r: r["z_mean"])
+    best_loo = max(rows, key=lambda r: r["loo_mean"])
     lines = [
         "# Evidence-based model selection (corrected-path absolute log Z)",
         "",
@@ -119,16 +134,23 @@ def main(argv=None) -> None:
         f"over {len(args.seeds)} seeds x {args.steps} steps/chain",
         "(`scripts/evidence_model_selection.py`). The reference can only",
         "rank architectures by held-out error; absolute evidence ranks them",
-        "by marginal likelihood, pricing in complexity (Occam factor).",
+        "by marginal likelihood, pricing in complexity (Occam factor). The",
+        "elpd_loo column (PSIS-LOO, ops/ic.py) is the POSTERIOR-predictive",
+        "ranking from the same runs' cold-chain draws — evidence asks which",
+        "model explains the data a priori, LOO asks which predicts best a",
+        "posteriori; agreement between the two is a consistency check the",
+        "reference's error-only tables cannot express.",
         "",
-        "| hidden | params d | abs log Z (SS, mean) | seed spread | test RMSE | barrier |",
-        "|---|---|---|---|---|---|",
+        "| hidden | params d | abs log Z (SS, mean) | seed spread | elpd_loo (mean) | loo spread | test RMSE | barrier |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         mark = " **<- max evidence**" if r is best else ""
+        mark_l = " **<- max elpd**" if r is best_loo else ""
         lines.append(
             f"| {r['hidden']} | {r['d']} | {r['z_mean']:.1f}{mark} | "
-            f"{r['z_spread']:.1f} | {r['rmse']:.4f} | {r['barrier']:.2f} |"
+            f"{r['z_spread']:.1f} | {r['loo_mean']:.1f}{mark_l} | "
+            f"{r['loo_spread']:.1f} | {r['rmse']:.4f} | {r['barrier']:.2f} |"
         )
     lines += [
         "",

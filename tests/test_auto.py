@@ -138,9 +138,15 @@ def test_auto_sample_report_regression():
     assert rep.chain_steps_per_sec > 0
     assert len(rep.per_seed_cold) == 2
     assert 0 <= rep.swap_percent <= 100
+    # serving-quality scoring (session 9): LOO + calibration in the report
+    assert rep.elpd_loo is not None and np.isfinite(rep.elpd_loo)
+    assert 0.0 <= rep.loo_bad_k_frac <= 1.0
+    assert 0.0 <= rep.coverage_90 <= 1.0 and rep.crps > 0.0
+    assert rep.ece is None  # classification-only metric
     # the report renders (the user-facing surface)
     text = rep.describe()
     assert "decisions" in text and "cold test RMSE" in text
+    assert "predictive score: elpd_loo" in text and "CRPS" in text
 
 
 @pytest.mark.slow
@@ -217,6 +223,10 @@ def test_auto_sample_classification_and_out(tmp_path):
     assert rep.config.topology == (4, 10, 3)
     assert rep.rhat_cold_max is None and rep.verdict == "unreplicated"
     assert 0.0 <= rep.test_cold_mean <= 100.0
+    assert rep.elpd_loo is not None and rep.elpd_loo < 0.0  # log probs
+    assert 0.0 <= rep.ece <= 1.0 and 0.0 <= rep.brier <= 2.0
+    assert rep.coverage_90 is None  # regression-only metric
+    assert "ECE" in rep.describe()
     report_file = tmp_path / "auto_report.txt"
     assert report_file.exists()
     assert "decisions" in report_file.read_text()
