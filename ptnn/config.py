@@ -165,6 +165,29 @@ class PTConfig:
     #                  (fnn_roofline.md). Step size (per chain) adapts by
     #                  Robbins-Monro toward hmc_target_accept during burn-in
     #                  and freezes, exactly like the precond_* scales.
+    # "pcn"          — preconditioned Crank-Nicolson within PT (Cotter et
+    #                  al. 2013 "MCMC methods for functions"; tempered
+    #                  variant per the retrieved PAPERS.md line arxiv
+    #                  2210.17048): w' = sqrt(1-rho^2) w + rho * xi with
+    #                  xi ~ N(0, sigma_sq I) — an AR(1) proposal REVERSIBLE
+    #                  w.r.t. the Gaussian weight prior, so the MH test
+    #                  reduces exactly to the tempered-likelihood ratio
+    #                  (pinned by tests/test_pcn.py: a beta=0 rung accepts
+    #                  identically and emits IID prior draws). Gradient-
+    #                  free. rho is the adapted per-chain scale (Robbins-
+    #                  Monro toward adapt_target_accept, capped at 1; rho=1
+    #                  is an independence sampler from the prior). Uses the
+    #                  precond-family step structure (separate dataset-free
+    #                  eta block, DEO-friendly) but ignores the Welford
+    #                  preconditioner: prior-reversibility requires the
+    #                  PRIOR metric. Honest scope (measured): its classic
+    #                  dimension-robustness is a PRIOR-DOMINATED-regime
+    #                  property; at reference temperatures the tempered BNN
+    #                  likelihood still gates acceptance, so quality matches
+    #                  adapted precond_rw (Sunspot 6k budget: test_mean
+    #                  0.0360 vs 0.0362) without beating it — reach for pcn
+    #                  when gradients are unavailable and the posterior is
+    #                  near-prior (strong tempering, small N, wide nets).
     # "sgld"         — replica-exchange stochastic-gradient Langevin dynamics
     #                  (reSGLD; Deng et al. 2020, and the retrieved PAPERS.md
     #                  line: arxiv 2301.01898 / 2010.01084): per step, ONE
@@ -553,7 +576,7 @@ class PTConfig:
                         f"{fdim} or lower surrogate_proj."
                     )
         if self.proposal not in (
-            "reference", "precond_rw", "precond_mala", "hmc", "sgld"
+            "reference", "precond_rw", "precond_mala", "hmc", "pcn", "sgld"
         ):
             raise ValueError(f"unknown proposal {self.proposal!r}")
         if self.warmstart_frac and self.proposal not in (
@@ -637,7 +660,7 @@ class PTConfig:
                     "sgld does not carry posterior-predictive fx traces "
                     "(metrics refresh at swap cadence only); record_fx=False"
                 )
-        if self.proposal in ("precond_rw", "precond_mala", "hmc"):
+        if self.proposal in ("precond_rw", "precond_mala", "hmc", "pcn"):
             if not 0.0 < self.precond_start_frac < self.burn_in:
                 raise ValueError(
                     "precond_start_frac must lie in (0, burn_in): the "

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift-mode", choices=("sequential", "batch"), default="sequential")
     p.add_argument(
         "--proposal",
-        choices=("reference", "precond_rw", "precond_mala", "hmc"),
+        choices=("reference", "precond_rw", "precond_mala", "hmc", "pcn"),
         default="reference",
         help="proposal family (PTConfig.proposal): 'reference' keeps the "
         "reference RW/Langevin machinery (--langevin & friends); the "

@@ -365,7 +365,7 @@ def init_state(
     else:
         fx_train = fx_test = None
 
-    is_precond = cfg.proposal in ("precond_rw", "precond_mala", "hmc")
+    is_precond = cfg.proposal in ("precond_rw", "precond_mala", "hmc", "pcn")
     log_step_w = None
     if cfg.adapt_step_size or is_precond:
         log_step_w = jnp.full((c,), jnp.log(cfg.step_w), jnp.float32)
@@ -1474,9 +1474,10 @@ def make_step_fn(
             trace["replica"] = new_state.replica_id
         return new_state, trace
 
-    if cfg.proposal in ("precond_rw", "precond_mala", "hmc"):
+    if cfg.proposal in ("precond_rw", "precond_mala", "hmc", "pcn"):
         is_mala = cfg.proposal == "precond_mala"
         is_hmc = cfg.proposal == "hmc"
+        is_pcn = cfg.proposal == "pcn"
         chees_on = is_hmc and cfg.hmc_adapt_traj
         grad_mode = is_mala or is_hmc
         pc_start = int(cfg.samples_per_chain * cfg.precond_start_frac)
@@ -1655,6 +1656,17 @@ def make_step_fn(
                 )
                 k_end = 0.5 * jnp.sum(m * jnp.square(p_end), axis=-1)
                 diff_hmc = k_init - k_end
+            elif is_pcn:
+                # preconditioned Crank-Nicolson: AR(1) move reversible
+                # w.r.t. the N(0, sigma_sq I) weight prior. The adapted
+                # scale doubles as rho (capped at 1 = independence sampler
+                # from the prior). Deliberately NOT preconditioned by the
+                # Welford m: prior-reversibility requires the prior metric.
+                rho = jnp.minimum(sig, 1.0)[:, None]
+                xi = jnp.sqrt(cfg.sigma_sq) * jax.random.normal(
+                    kp, (c, w_dim), jnp.float32
+                )
+                w_prop = jnp.sqrt(1.0 - rho * rho) * state.w + rho * xi
             else:
                 noise = (
                     jax.random.normal(kp, (c, w_dim), jnp.float32)
@@ -1741,7 +1753,19 @@ def make_step_fn(
                 bundle, _ = _eval_bundle(state, w_prop, state.eta, tau_cur)
                 (ll_prop, rmse_tr_prop, rmse_te_prop, acc_tr_prop,
                  acc_te_prop, *fx_props) = bundle
-                diff_prop = jnp.zeros((c,), jnp.float32)
+                if is_pcn:
+                    # pCN q-ratio: log q(w|w') - log q(w'|w) =
+                    # (|w'|^2 - |w|^2) / (2 sigma_sq) — exactly the negated
+                    # Gaussian w-prior difference, so the generic log_mh
+                    # below reduces to the tempered likelihood ratio (plus
+                    # the unchanged tau-prior terms, which cancel at fixed
+                    # eta). Cotter et al. 2013 thm 4.1 / Rudolf-Sprungk.
+                    diff_prop = (
+                        jnp.sum(jnp.square(w_prop), axis=-1)
+                        - jnp.sum(jnp.square(state.w), axis=-1)
+                    ) / (2.0 * cfg.sigma_sq)
+                else:
+                    diff_prop = jnp.zeros((c,), jnp.float32)
 
             ll_record = ll_prop / adapttemp if is_regression else ll_prop
             log_mh = (

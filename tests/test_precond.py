@@ -74,7 +74,7 @@ def test_mala_smoke_and_adaptation(sunspot):
     assert float(np.asarray(st.pc_m2).mean()) > 0.0
 
 
-@pytest.mark.parametrize("proposal", ["precond_rw", "precond_mala"])
+@pytest.mark.parametrize("proposal", ["precond_rw", "precond_mala", "pcn"])
 def test_chunk_invariance_precond(sunspot, proposal):
     """Chunking is an implementation detail: identical traces regardless of
     chunk_steps (per-step keys derive from absolute indices; the carried
