@@ -254,6 +254,22 @@ class PTConfig:
     #               shared batch). For N too large for even periodic full
     #               passes.
     sg_swap: str = "exact"
+    # SVRG control variates for the corrected swap test (PAPERS.md arxiv
+    # 2010.01084 "Accelerating ... replica exchange SG-MCMC via variance
+    # reduction"): the minibatch energy estimator becomes
+    #   E_hat_vr(w) = (N/B) sum_b [c_b(w) - c_b(w_anchor)] + E_full(w_anchor)
+    # — still unbiased for ANY anchor, but between-refresh iterates stay
+    # near their anchor, so the per-example differences (and with them the
+    # pair variance sigma_hat^2, hence the swap-rate penalty) shrink by
+    # orders of magnitude. Anchors refresh with ONE full-data pass every
+    # sg_anchor_interval steps (amortized like the exact mode's, but the
+    # cadence decouples from swap_interval and can be much longer); they
+    # permute with (w, eta) on swaps — the control variate belongs to the
+    # traveling configuration (unbiasedness is anchor-independent; staleness
+    # costs only variance until the next refresh).
+    sg_vr: bool = False
+    # Anchor refresh cadence in steps (required > 0 when sg_vr).
+    sg_anchor_interval: int = 0
     # Step at which M_c activates, as a fraction of samples_per_chain (before
     # that: identity preconditioner while Welford statistics accumulate).
     precond_start_frac: float = 0.125
@@ -620,6 +636,10 @@ class PTConfig:
                     "precond_*/sgld proposals manage their own step scale; "
                     "leave adapt_step_size=False"
                 )
+        if self.proposal != "sgld" and (self.sg_vr or self.sg_anchor_interval):
+            raise ValueError(
+                "sg_vr/sg_anchor_interval apply to proposal='sgld'"
+            )
         if self.proposal == "sgld":
             if self.sg_batch <= 0:
                 raise ValueError(
@@ -630,6 +650,18 @@ class PTConfig:
                 raise ValueError("sg_step must be positive")
             if self.sg_swap not in ("exact", "corrected"):
                 raise ValueError("sg_swap must be 'exact' or 'corrected'")
+            if self.sg_vr:
+                if self.sg_swap != "corrected":
+                    raise ValueError(
+                        "sg_vr reduces the CORRECTED swap test's estimator "
+                        "variance; sg_swap='exact' has no estimator to "
+                        "variance-reduce"
+                    )
+                if self.sg_anchor_interval <= 0:
+                    raise ValueError(
+                        "sg_vr needs sg_anchor_interval > 0 (full-data "
+                        "anchor refresh cadence in steps)"
+                    )
             if self.swap_payload != "untempered" or self.swap_rule != "metropolis":
                 raise ValueError(
                     "sgld swaps use untempered energies under the "

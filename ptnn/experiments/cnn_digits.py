@@ -120,6 +120,19 @@ def main(argv=None) -> None:
         help="sgld Euler-Maruyama step eps (PTConfig.sg_step)",
     )
     p.add_argument(
+        "--sgld-swap", choices=("exact", "corrected"), default="exact",
+        help="sgld swap energies: full-data refresh at swap cadence vs "
+        "minibatch estimates under the variance-corrected exchange test "
+        "(PTConfig.sg_swap)",
+    )
+    p.add_argument(
+        "--sgld-vr", type=int, default=0, metavar="M",
+        help="SVRG control variates for the corrected swap test: anchor "
+        "refresh (one full-data pass) every M steps (PTConfig.sg_vr + "
+        "sg_anchor_interval; arxiv 2010.01084). Requires "
+        "--sgld-swap corrected",
+    )
+    p.add_argument(
         "--warmstart-frac", type=float, default=0.0,
         help="fraction of the run spent on normalized-gradient warm start "
         "before MALA sampling begins (PTConfig.warmstart_frac; ends inside "
@@ -208,6 +221,9 @@ def main(argv=None) -> None:
             {
                 "sg_batch": args.sgld_batch,
                 "sg_step": args.sgld_step,
+                "sg_swap": args.sgld_swap,
+                "sg_vr": args.sgld_vr > 0,
+                "sg_anchor_interval": args.sgld_vr,
                 "swap_payload": "untempered",
                 "swap_rule": "metropolis",
                 "pt_phase_frac": 2.0,

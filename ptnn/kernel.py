@@ -157,6 +157,16 @@ class ChainState(NamedTuple):
     vr_m2: Any  # (Z,) float32
     n_regen_accepted: Any  # () int32, or None
     n_regen_proposed: Any  # () int32, or None
+    # Optional SVRG control-variate anchors for the corrected noisy-energy
+    # swap test (None unless cfg.proposal == "sgld" and cfg.sg_vr; PAPERS.md
+    # arxiv 2010.01084): full-data log-likelihood and coordinates of the
+    # last anchor refresh, per chain. Permuted WITH (w, eta) on swaps — the
+    # control variate describes the traveling configuration; the estimator
+    # is unbiased for any anchor regardless, staleness only costs variance
+    # until the next refresh (cfg.sg_anchor_interval).
+    sg_anchor_w: Any  # (C, W) float32, or None
+    sg_anchor_eta: Any  # (C,) float32, or None
+    sg_anchor_full: Any  # (C,) float32 full-data UNTEMPERED ll, or None
     # Counters:
     n_accept: jax.Array  # (C,) int32
     n_langevin: jax.Array  # (C,) int32
@@ -418,6 +428,15 @@ def init_state(
         eta=eta,
         ll=ll,
         prior=prior,
+        sg_anchor_w=(
+            w if (cfg.proposal == "sgld" and cfg.sg_vr) else None
+        ),
+        sg_anchor_eta=(
+            eta if (cfg.proposal == "sgld" and cfg.sg_vr) else None
+        ),
+        sg_anchor_full=(
+            ll if (cfg.proposal == "sgld" and cfg.sg_vr) else None
+        ),
         w_last=jnp.ones_like(w),  # pos_w rows default to 1.0 (np.ones init,
         # pt_classification.py:249) until first accept
         rmse_train=zero(),
@@ -983,6 +1002,20 @@ def make_step_fn(
             # identity labels travel with the configuration (ops/roundtrip.py)
             (rid,) = swap_mod.apply_permutation(res.perm, state.replica_id)
             out = out._replace(replica_id=rid)
+        if state.sg_anchor_w is not None:
+            # SVRG anchors describe the traveling CONFIGURATION (the control
+            # variate is a function of w alone) — permute with it, or an
+            # accepted swap instantly doubles the centered-estimator
+            # variance (stale anchor ~ independent of the new w)
+            a_w, a_e, a_f = swap_mod.apply_permutation(
+                res.perm,
+                state.sg_anchor_w,
+                state.sg_anchor_eta,
+                state.sg_anchor_full,
+            )
+            out = out._replace(
+                sg_anchor_w=a_w, sg_anchor_eta=a_e, sg_anchor_full=a_f
+            )
         if ks_regen is not None:
             # regenerate the hot rung AFTER the sweep: the fresh draw starts
             # flowing toward the cold end at the next swap event
@@ -2104,8 +2137,28 @@ def make_step_fn(
                 rmse_tr = s.rmse_train
                 acc_tr = 100.0 * jnp.mean(_hit_mb(s.w, xb, yb), axis=-1)
                 acc_te = ev_te.acc
-            ll_hat = scale * jnp.sum(cb, axis=-1)
-            d = cb[1:] - cb[:-1]  # (C-1, B)
+            if cfg.sg_vr:
+                # SVRG control variate (config.sg_vr; arxiv 2010.01084):
+                # evaluate the SAME shared batch at the anchors; the
+                # centered estimator (N/B) sum_b [c_b(w) - c_b(w_a)] +
+                # E_full(w_a) is unbiased for any anchor, and the pair
+                # variance is taken over the CENTERED per-example terms —
+                # iterates near their anchor make it collapse (exactly 0,
+                # with an exact full-data energy, on refresh-aligned steps)
+                per_a = _per_only(s.sg_anchor_w, xb, yb)
+                if is_regression:
+                    cb_a = (
+                        -0.5 * (likelihood._LOG_2PI + s.sg_anchor_eta)[:, None]
+                        + per_a * jnp.exp(-s.sg_anchor_eta)[:, None]
+                    )
+                else:
+                    cb_a = per_a
+                cb_c = cb - cb_a
+                ll_hat = scale * jnp.sum(cb_c, axis=-1) + s.sg_anchor_full
+            else:
+                cb_c = cb
+                ll_hat = scale * jnp.sum(cb, axis=-1)
+            d = cb_c[1:] - cb_c[:-1]  # (C-1, B)
             var_pair = (float(n_train_s) ** 2 / bsz) * jnp.var(d, axis=-1)
             dbeta = betas_run[:-1] - betas_run[1:]
             penalty = 0.5 * jnp.square(dbeta) * var_pair
@@ -2155,6 +2208,30 @@ def make_step_fn(
                 n_accept=state.n_accept + 1,
                 n_langevin=state.n_langevin + 1,
             )
+            if cfg.sg_vr:
+                # anchor refresh (one full-data pass, amortized over
+                # sg_anchor_interval steps) BEFORE any swap at this step —
+                # a refresh-aligned swap then runs on exact energies with
+                # zero penalty
+                def _refresh_anchor(s: ChainState) -> ChainState:
+                    if is_regression:
+                        ev = b_eval_tr(
+                            s.w, data.x_train, data.y_train, jnp.exp(s.eta)
+                        )
+                    else:
+                        ev = b_eval_tr(s.w, data.x_train, data.y_train)
+                    return s._replace(
+                        sg_anchor_w=s.w,
+                        sg_anchor_eta=s.eta,
+                        sg_anchor_full=ev.loglik,
+                    )
+
+                new_state = jax.lax.cond(
+                    (i % jnp.maximum(cfg.sg_anchor_interval, 1)) == 0,
+                    _refresh_anchor,
+                    lambda s: s,
+                    new_state,
+                )
             if cfg.sg_swap == "exact":
                 new_state = jax.lax.cond(
                     _swap_due(i),

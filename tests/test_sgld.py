@@ -243,3 +243,108 @@ def test_sgld_respects_replicated_ladders():
             np.broadcast_to(np.arange(cfg.num_chains) // k, rid.shape),
         )
         assert int(res.final_state.n_swap_accepted) > 0
+
+
+# ---------------------------------------------------------------------------
+# SVRG control variates for the corrected swap (cfg.sg_vr; arxiv 2010.01084)
+
+
+def test_vr_validation_gates():
+    with pytest.raises(ValueError, match="sg_vr reduces the CORRECTED"):
+        _sgld_cfg(sg_vr=True, sg_anchor_interval=100)
+    with pytest.raises(ValueError, match="sg_anchor_interval"):
+        _sgld_cfg(sg_swap="corrected", sg_vr=True)
+    with pytest.raises(ValueError, match="apply to proposal='sgld'"):
+        ptnn.PTConfig(
+            task="regression", topology=(4, 10, 1), num_samples=800,
+            num_chains=8, maxtemp=5.0, swap_interval=20, swap_offset=0,
+            sg_vr=True,
+        ).validate()
+
+
+def test_vr_full_batch_energy_is_exact():
+    """sg_batch = N with sg_vr: the centered estimator telescopes to the
+    exact full-data log-likelihood (the anchor terms cancel against the
+    stored anchor energy), whatever the anchor staleness."""
+    prob = load_classification("iris")
+    n = prob.train.shape[0]
+    cfg = _sgld_cfg(
+        task="classification",
+        topology=prob.topology,
+        num_samples=4 * 400,
+        num_chains=4,
+        maxtemp=10.0,
+        sg_batch=10 ** 6,
+        sg_step=1e-4,
+        sg_swap="corrected",
+        sg_vr=True,
+        sg_anchor_interval=130,  # deliberately NOT swap-aligned
+        record_w=True,
+        chunk_steps=100,
+    )
+    res = ptnn.sample(cfg, prob.train, prob.test, seed=1)
+    from ptnn import kernel
+    from ptnn.sampler import make_dataset
+
+    data = make_dataset(cfg, prob.train, prob.test)
+    spec = kernel.default_spec(cfg)
+    r = 201  # a swap row (see test_full_batch_corrected_energy_is_exact)
+    w_row = np.asarray(res.traces["w"][r])
+    ll_row = np.asarray(res.traces["ll"][r])
+    for ci in range(cfg.num_chains):
+        out = spec.forward(jnp.asarray(w_row[ci]), data.x_train)
+        logp = spec.log_probs(out)
+        yi = np.asarray(data.y_train, np.int64)
+        want = float(np.sum(np.asarray(logp)[np.arange(n), yi]))
+        assert ll_row[ci] == pytest.approx(want, rel=1e-5, abs=5e-2)
+
+
+def test_vr_boosts_swap_acceptance_at_small_batch():
+    """The point of the control variate: at B << N the naive corrected
+    test's variance penalty crushes swap acceptance; anchored estimators
+    restore most of it. Same seed, same schedule, only sg_vr differs."""
+    prob = load_regression("Sunspot")
+    kw = dict(
+        num_samples=8 * 1500,
+        sg_batch=16,
+        sg_swap="corrected",
+        chunk_steps=300,
+    )
+    plain = ptnn.sample(
+        _sgld_cfg(**kw), prob.train, prob.test, seed=5
+    )
+    vr = ptnn.sample(
+        _sgld_cfg(sg_vr=True, sg_anchor_interval=20, **kw),
+        prob.train, prob.test, seed=5,
+    )
+    assert np.isfinite(vr.traces["ll"][1:]).all()
+    # strictly more accepted swaps under variance reduction, by a margin
+    assert vr.swap_percent > plain.swap_percent + 5.0
+    # and the anchors are actually live (refreshed away from the init)
+    st = vr.final_state
+    assert float(np.abs(np.asarray(st.sg_anchor_w)).mean()) > 0.0
+    assert np.isfinite(np.asarray(st.sg_anchor_full)).all()
+
+
+def test_vr_checkpoint_resume_identical(tmp_path):
+    prob = load_regression("Sunspot")
+    cfg = _sgld_cfg(
+        num_samples=8 * 600, sg_swap="corrected", sg_vr=True,
+        sg_anchor_interval=50, chunk_steps=100,
+    )
+    full = ptnn.sample(cfg, prob.train, prob.test, seed=7)
+    ck = str(tmp_path / "sgvr.npz")
+    r1 = ptnn.sample(
+        cfg, prob.train, prob.test, seed=7,
+        checkpoint_path=ck, checkpoint_every=2,
+    )
+    r2 = ptnn.sample(
+        cfg, prob.train, prob.test, seed=7,
+        checkpoint_path=ck, checkpoint_every=2,
+    )
+    for r in (r1, r2):
+        np.testing.assert_array_equal(full.traces["ll"], r.traces["ll"])
+        np.testing.assert_array_equal(
+            np.asarray(full.final_state.sg_anchor_w),
+            np.asarray(r.final_state.sg_anchor_w),
+        )
