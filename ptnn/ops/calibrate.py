@@ -14,7 +14,9 @@ same posterior-predictive draws the serving path already batches on the MXU
                   statistics, O(M log M) per point);
 * ``ece``       — expected calibration error of classification confidences
                   (Naeini et al. 2015; equal-width bins on max-prob);
-* ``brier``     — multiclass Brier score (mean squared probability error).
+* ``brier``     — multiclass Brier score (mean squared probability error);
+* ``ppc``       — posterior-predictive checks: Bayesian p-values for
+                  dataset-level statistics (Gelman, Meng & Stern 1996).
 
 Regression metrics should be fed the FULL posterior predictive (epistemic +
 observation noise): ``predict.posterior_predict(..., noise="conditional")``
@@ -88,6 +90,39 @@ def ece(
         "bin_confidence": bin_conf,
         "bin_accuracy": bin_acc,
         "bin_count": bin_n,
+    }
+
+
+def ppc(samples: np.ndarray, y: np.ndarray) -> Dict[str, float]:
+    """Posterior-predictive checks: Bayesian p-values for dataset-level
+    statistics (Gelman, Meng & Stern 1996).
+
+    ``samples``: (M, N) predictive replicate draws (one replicate = one row
+    across the N data points); ``y``: (N,) observed targets. For each
+    statistic T, the p-value is ``P(T(y_rep) >= T(y))`` over replicates —
+    values near 0 or 1 flag an aspect of the data the posterior predictive
+    cannot reproduce (~0.5 is healthy). Statistics: mean, std, min, max,
+    and lag-1 autocorrelation (the time-series regression sets are ordered,
+    so acf1 is the sharpest misfit detector for them).
+    """
+    s = np.asarray(samples, np.float64)
+    y = np.asarray(y, np.float64)
+
+    def _acf1(a: np.ndarray) -> np.ndarray:
+        d = a - a.mean(axis=-1, keepdims=True)
+        num = np.sum(d[..., :-1] * d[..., 1:], axis=-1)
+        den = np.sum(d * d, axis=-1)
+        return num / np.maximum(den, 1e-30)
+
+    stats = {
+        "mean": (s.mean(axis=1), float(y.mean())),
+        "std": (s.std(axis=1), float(y.std())),
+        "min": (s.min(axis=1), float(y.min())),
+        "max": (s.max(axis=1), float(y.max())),
+        "acf1": (_acf1(s), float(_acf1(y[None, :])[0])),
+    }
+    return {
+        f"p_{k}": float(np.mean(rep >= obs)) for k, (rep, obs) in stats.items()
     }
 
 

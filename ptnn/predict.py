@@ -297,6 +297,11 @@ def main(argv=None) -> None:
                 f"mean full-band width "
                 f"{np.mean(full['high'] - full['low']):.4f}"
             )
+            pv = calibrate.ppc(full["samples"], y)
+            print(
+                "posterior-predictive checks (p~0.5 healthy): "
+                + ", ".join(f"{k} {v:.2f}" for k, v in pv.items())
+            )
         else:
             yl = y.astype(np.int64)
             e = calibrate.ece(pred["probs"], yl)

@@ -149,3 +149,28 @@ def test_calibrate_cli_end_to_end(tmp_path, capsys):
     assert m is not None, got
     assert float(m.group(1)) > float(m.group(2))
     assert float(m.group(1)) > 50.0  # full band is a real predictive band
+
+
+def test_ppc_pvalues_well_specified_vs_misfit():
+    rng = np.random.default_rng(11)
+    y = rng.normal(0.0, 1.0, size=400)
+    # well-specified replicates: same generative law -> all p in mid-range
+    rep_ok = rng.normal(0.0, 1.0, size=(500, 400))
+    p = calibrate.ppc(rep_ok, y)
+    for k, v in p.items():
+        assert 0.02 < v < 0.98, (k, v)
+    # variance-misfit replicates: too narrow -> p_std ~ 0, p_min ~ 1 (reps
+    # never reach the observed min), p_max ~ 0
+    rep_bad = rng.normal(0.0, 0.3, size=(500, 400))
+    p_bad = calibrate.ppc(rep_bad, y)
+    assert p_bad["p_std"] < 0.01
+    assert p_bad["p_min"] > 0.99
+    assert p_bad["p_max"] < 0.01
+    # autocorrelation misfit: observed series is AR(1)-correlated, iid reps
+    # cannot reproduce it
+    ar = np.empty(400)
+    ar[0] = rng.normal()
+    for i in range(1, 400):
+        ar[i] = 0.8 * ar[i - 1] + 0.6 * rng.normal()
+    p_ar = calibrate.ppc(rep_ok, ar)
+    assert p_ar["p_acf1"] < 0.01
