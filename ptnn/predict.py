@@ -92,6 +92,28 @@ def load_posterior(
     return np.concatenate(draws, axis=0), cfg
 
 
+def prior_draws(
+    cfg: PTConfig, n: int, seed: int = 0, spec=None
+) -> np.ndarray:
+    """``(n, w_size)`` weight draws from the model PRIOR — N(0, sigma_sq I)
+    (ops/likelihood.py prior semantics) — for prior-predictive checks: run
+    them through ``posterior_predict`` / ``ops/calibrate.ppc`` BEFORE
+    sampling to see what the architecture+prior alone say about the data
+    (the first step of the Bayesian workflow; the reference has no prior-
+    predictive surface at all). Note the regression tau^2 prior is improper
+    at the reference defaults (nu_1 = nu_2 = 0), so prior-predictive bands
+    are epistemic-only (``noise=None``) unless the config sets a proper
+    InvGamma (nu_1 > 1, nu_2 > 0).
+    """
+    from ptnn import kernel
+
+    spec = spec if spec is not None else kernel.default_spec(cfg)
+    rng = np.random.default_rng(seed)
+    return rng.normal(
+        0.0, np.sqrt(cfg.sigma_sq), size=(n, spec.w_size)
+    ).astype(np.float32)
+
+
 def posterior_predict(
     cfg: PTConfig,
     draws: np.ndarray,
@@ -211,6 +233,12 @@ def main(argv=None) -> None:
     p.add_argument("--thin", type=int, default=1)
     p.add_argument("--out", help="write predictions (np.savetxt) here")
     p.add_argument(
+        "--prior", type=int, default=0, metavar="N",
+        help="serve N draws from the PRIOR instead of the run's posterior "
+        "(prior-predictive checks; the run dir still supplies the "
+        "architecture via config.json)",
+    )
+    p.add_argument(
         "--calibrate",
         action="store_true",
         help="score the posterior as a distributional forecast on the "
@@ -225,7 +253,18 @@ def main(argv=None) -> None:
     )
     args = p.parse_args(argv)
 
-    draws, cfg = load_posterior(args.run, chains=args.chains, thin=args.thin)
+    if args.prior:
+        # prior-predictive mode: the run dir supplies only the architecture
+        cfg_path = os.path.join(args.run, "config.json")
+        if not os.path.exists(cfg_path):
+            raise SystemExit("--prior needs a run dir with config.json")
+        with open(cfg_path) as f:
+            cfg = from_json_dict(json.load(f))
+        draws = prior_draws(cfg, args.prior)
+    else:
+        draws, cfg = load_posterior(
+            args.run, chains=args.chains, thin=args.thin
+        )
     if cfg is None:
         raise SystemExit(
             "run has no config.json (written before this feature): call "

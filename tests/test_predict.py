@@ -122,3 +122,36 @@ def test_predict_validates_draw_shape():
 def test_load_posterior_missing_dir(tmp_path):
     with pytest.raises(FileNotFoundError, match="record_w=True"):
         predict_mod.load_posterior(str(tmp_path))
+
+
+def test_prior_draws_and_prior_predictive_cli(capsys):
+    cfg = ptnn.PTConfig(
+        task="regression", topology=(4, 10, 1), num_samples=800,
+        num_chains=8, maxtemp=5.0, swap_interval=20, swap_offset=0,
+    ).validate()
+    d = predict_mod.prior_draws(cfg, 4000, seed=3)
+    assert d.shape == (4000, 61)
+    # N(0, sigma_sq) moments
+    assert abs(float(d.mean())) < 0.1
+    assert abs(float(d.var()) / cfg.sigma_sq - 1.0) < 0.05
+    # distinct seeds -> distinct draws; same seed -> identical
+    assert not np.allclose(d, predict_mod.prior_draws(cfg, 4000, seed=4))
+    np.testing.assert_array_equal(d, predict_mod.prior_draws(cfg, 4000, seed=3))
+
+
+def test_prior_predictive_cli(tmp_path, capsys):
+    from ptnn.experiments import regression as reg_cli
+
+    out = str(tmp_path / "reg")
+    reg_cli.main(
+        [
+            "--problem", "Sunspot", "--samples", "1600", "--chains", "4",
+            "--maxtemp", "5", "--no-langevin", "--no-plots", "--out", out,
+        ]
+    )
+    capsys.readouterr()
+    predict_mod.main(
+        ["--run", f"{out}/Sunspot_0", "--problem", "Sunspot", "--prior", "64"]
+    )
+    got = capsys.readouterr().out
+    assert "64 draws -> " in got  # served from prior draws, not the trace
