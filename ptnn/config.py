@@ -330,6 +330,25 @@ class PTConfig:
     # — the reference leg of Surjanovic et al.'s stabilized PT. Applied to
     # the built ladder (geometric or custom) by the sampler drivers.
     vr_hot_infinite: bool = False
+    # How the reference (mu, scale) is obtained:
+    # "welford" — the in-run fit above (accumulate during burn-in, freeze at
+    #             the boundary). Diagonal family only.
+    # "static"  — externally supplied, FIXED for the whole run, correction
+    #             active from step 0 (vr_start_frac ignored). This is the
+    #             round-based adaptation interface (ptnn/rounds.py): refit
+    #             between rounds, each round exactly Markov — Surjanovic et
+    #             al. 2022's actual schedule, and the answer to the
+    #             staleness failure vref_transport.md measured for any
+    #             frozen in-run fit on d=61. The reference arrays ride in
+    #             ChainState (vr_mean = mu; vr_m2 = VARIANCE, not an M2
+    #             accumulator; vr_chol = lower Cholesky for "full_cov") —
+    #             inject them into init_state before sampling
+    #             (kernel.set_static_reference).
+    vr_mode: str = "welford"
+    # Reference family: "diag" (N(mu, diag(s^2)); both modes) or "full_cov"
+    # (N(mu, L L^T); static mode only — the full-covariance fit happens
+    # between rounds on the host, ops/vref.py:fit_gaussian).
+    vr_family: str = "diag"
 
     # Two-phase adaptive tempering: tempered until 60% of samples, then T := 1
     # with a likelihood rescale (pt_classification.py:302,317-324). The
@@ -412,6 +431,11 @@ class PTConfig:
     # (stride rungs_per_ladder), so k=n_ladders captures exactly the
     # independent posterior samplers.
     record_w_chains: int = 0
+    # Record the post-step eta (log noise variance) of the same chains
+    # record_w_chains selects (trace key "eta") — the rounds driver
+    # (ptnn/rounds.py) needs joint (w, eta) cold-chain draws to fit the
+    # z-reference; regression task only.
+    record_eta: bool = False
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     # Record the post-MH post-swap UNTEMPERED state log-likelihood per rung
     # each step (trace key "ll_cur") — the per-rung expectations that
@@ -754,23 +778,39 @@ class PTConfig:
                     "variational_reference is exactness-focused; the legacy "
                     "q-ratio emulation is excluded"
                 )
-            if not 0.0 < self.vr_start_frac < self.burn_in:
+            if self.vr_mode not in ("welford", "static"):
+                raise ValueError(f"unknown vr_mode {self.vr_mode!r}")
+            if self.vr_family not in ("diag", "full_cov"):
+                raise ValueError(f"unknown vr_family {self.vr_family!r}")
+            if self.vr_family == "full_cov" and self.vr_mode != "static":
                 raise ValueError(
-                    "vr_start_frac must lie in (0, burn_in): the reference "
-                    "fit freezes at burn-in end and needs Welford samples "
-                    "before activating"
+                    "vr_family='full_cov' requires vr_mode='static': the "
+                    "full-covariance fit happens between rounds on the host "
+                    "(ptnn/rounds.py), not by in-run Welford accumulation"
                 )
-            if self.warmstart_frac >= self.vr_start_frac:
-                raise ValueError(
-                    "vr_start_frac must exceed warmstart_frac: moment "
-                    "accumulation only starts after the warm start, and the "
-                    "correction needs accumulated samples when it activates"
-                )
+            if self.vr_mode == "welford":
+                if not 0.0 < self.vr_start_frac < self.burn_in:
+                    raise ValueError(
+                        "vr_start_frac must lie in (0, burn_in): the "
+                        "reference fit freezes at burn-in end and needs "
+                        "Welford samples before activating"
+                    )
+                if self.warmstart_frac >= self.vr_start_frac:
+                    raise ValueError(
+                        "vr_start_frac must exceed warmstart_frac: moment "
+                        "accumulation only starts after the warm start, and "
+                        "the correction needs accumulated samples when it "
+                        "activates"
+                    )
             if self.vr_var_inflation < 1.0:
                 raise ValueError(
                     "vr_var_inflation < 1 would make the fitted reference "
                     "LIGHTER-tailed than its own moment estimate"
                 )
+        elif self.vr_mode != "welford" or self.vr_family != "diag":
+            raise ValueError(
+                "vr_mode/vr_family apply to variational_reference runs only"
+            )
         if self.vr_hot_infinite and not (
             self.variational_reference and self.vr_regen
         ):

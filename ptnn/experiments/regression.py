@@ -104,6 +104,25 @@ def build_parser() -> argparse.ArgumentParser:
         "see the transport effect (results/vref_transport.md)",
     )
     p.add_argument(
+        "--vr-rounds",
+        type=int,
+        default=0,
+        metavar="R",
+        help="round-based VR adaptation (ptnn/rounds.py, implies --vref): "
+        "R rounds of doubling budgets, each refitting the reference on the "
+        "previous round's cold draws and re-spacing the ladder at equal "
+        "communication-barrier increments (Surjanovic et al. 2022 + Syed "
+        "et al. 2021); the final round carries the full --samples budget "
+        "and is exactly Markov under its constant reference",
+    )
+    p.add_argument(
+        "--vr-family",
+        choices=("diag", "full_cov"),
+        default="full_cov",
+        help="reference family for --vr-rounds: mean-field diagonal or "
+        "full-covariance Gaussian (fit between rounds on the host)",
+    )
+    p.add_argument(
         "--replicate",
         type=int,
         default=0,
@@ -148,7 +167,7 @@ def main(argv=None) -> None:
                     adapt_rate=0.1,
                     precond_start_frac=0.3,
                 ).validate()
-            if args.vref:
+            if args.vref or args.vr_rounds > 0:
                 # --vref --evidence composes: the kernel records the path
                 # correction alongside ll_cur and ops/evidence.py runs the
                 # corrected-path estimators with the analytic beta=0 anchor
@@ -162,6 +181,12 @@ def main(argv=None) -> None:
                     variational_reference=True,
                     vr_hot_infinite=True,
                 ).validate()
+                if args.vr_rounds > 0:
+                    cfg = dataclasses.replace(
+                        cfg,
+                        vr_mode="static",
+                        vr_family=args.vr_family,
+                    ).validate()
             if args.fused:
                 # applied last: fused_step validation depends on the final
                 # proposal/task configuration
@@ -177,6 +202,7 @@ def main(argv=None) -> None:
                 evidence=args.evidence,
                 roundtrip=args.roundtrip,
                 replicate=args.replicate,
+                vr_rounds=args.vr_rounds,
                 master_fmt="%1.4f",
             )
 

@@ -26,6 +26,7 @@ def run_problem(
     evidence: bool = False,
     roundtrip: bool = False,
     replicate: int = 0,
+    vr_rounds: int = 0,
 ) -> results_mod.Summary:
     """One full experiment: sample, write the artifact tree into an
     auto-versioned ``<outdir>/<name>_<n>`` directory, append the master row.
@@ -52,8 +53,32 @@ def run_problem(
     if roundtrip:
         cfg = dataclasses.replace(cfg, track_replicas=True).validate()
     t0 = time.time()
-    res = sample(cfg, prob.train, prob.test, seed=seed, mesh=mesh)
+    rr = None
+    if vr_rounds > 0 and replicate >= 2:
+        raise ValueError(
+            "--replicate with --vr-rounds is not wired: the replication "
+            "loop re-samples without the adapted reference. Run S rounds "
+            "invocations with different --seed instead."
+        )
+    if vr_rounds > 0:
+        # round-based reference-and-schedule adaptation (ptnn/rounds.py):
+        # the returned result is the final round, exactly Markov under its
+        # constant (static) reference; history goes to rounds_history.md
+        from ptnn import rounds as rounds_mod
+
+        rr = rounds_mod.run_rounds(
+            cfg, prob.train, prob.test, seed=seed, n_rounds=vr_rounds,
+            mesh=mesh, verbose=True,
+        )
+        res, cfg = rr.result, rr.config
+    else:
+        res = sample(cfg, prob.train, prob.test, seed=seed, mesh=mesh)
     path = results_mod.versioned_dir(outdir, prob.name)
+    if rr is not None:
+        from ptnn import rounds as rounds_mod
+
+        with open(os.path.join(path, "rounds_history.md"), "w") as f:
+            f.write(rounds_mod.format_history(rr.history) + "\n")
     summary = results_mod.write_artifacts(res, path, prob.name, plots=plots)
     if truepos:
         # "true posterior" reporting: cold chain only

@@ -154,7 +154,12 @@ class ChainState(NamedTuple):
     # leading axis is the parameter dim, not chains) — plus the hot-rung
     # regeneration counters.
     vr_mean: Any  # (Z,) float32
-    vr_m2: Any  # (Z,) float32
+    vr_m2: Any  # (Z,) float32 — Welford M2 accumulator (vr_mode="welford")
+    #           # or the VARIANCE itself (vr_mode="static")
+    # Lower Cholesky factor of the static full-covariance reference
+    # (None unless cfg.vr_family == "full_cov"; ops/vref.py:fit_gaussian,
+    # injected between rounds by ptnn/rounds.py via set_static_reference)
+    vr_chol: Any  # (Z, Z) float32, or None
     n_regen_accepted: Any  # () int32, or None
     n_regen_proposed: Any  # () int32, or None
     # Optional SVRG control-variate anchors for the corrected noisy-energy
@@ -329,15 +334,29 @@ def init_state(
     cfg: PTConfig,
     data: Dataset,
     spec: model_api.ModelSpec = None,
+    init_w: Any = None,
+    init_eta: Any = None,
 ) -> ChainState:
     """Initial chain state (reference: master-side ``w = randn(num_param)``
     pt_classification.py:658; regression eta init from the residual variance
-    of the initial prediction, pt_timeseries_regression.py:270-271)."""
+    of the initial prediction, pt_timeseries_regression.py:270-271).
+
+    ``init_w`` (C, W) / ``init_eta`` (C,) override the random/residual
+    initialization — the warm-start interface (ptnn/rounds.py carries the
+    previous round's configurations into the next). Every cached quantity
+    (ll, prior, g_like, fx) is computed fresh from them, so the state is
+    exactly what a cold init at those coordinates would be.
+    """
     if spec is None:
         spec = default_spec(cfg)
     c, w_dim = cfg.num_chains, spec.w_size
     kw, _ = jax.random.split(key)
-    w = jax.random.normal(kw, (c, w_dim), dtype=jnp.float32)
+    if init_w is None:
+        w = jax.random.normal(kw, (c, w_dim), dtype=jnp.float32)
+    else:
+        w = jnp.asarray(init_w, jnp.float32)
+        if w.shape != (c, w_dim):
+            raise ValueError(f"init_w shape {w.shape} != {(c, w_dim)}")
     if data.w_mask is not None:
         w = w * data.w_mask
     b_eval, b_prior = _batched_evals(cfg, spec, data)
@@ -355,6 +374,10 @@ def init_state(
         else:
             var = jnp.var(resid, axis=1)
         eta = jnp.log(var)
+        if init_eta is not None:
+            eta = jnp.asarray(init_eta, jnp.float32)
+            if eta.shape != (c,):
+                raise ValueError(f"init_eta shape {eta.shape} != {(c,)}")
         tau = jnp.exp(eta)
         ev = b_eval(w, data.x_train, data.y_train, tau, data.mask_train)
         ll = ev.loglik
@@ -412,14 +435,22 @@ def init_state(
         chees_m1 = jnp.zeros((c,), jnp.float32)
         chees_v2 = jnp.zeros((c,), jnp.float32)
 
-    vr_mean = vr_m2 = n_regen_acc = n_regen_prop = None
+    vr_mean = vr_m2 = vr_chol = n_regen_acc = n_regen_prop = None
     if cfg.variational_reference:
         # reference coordinates z = (w, eta) for regression (eta is a
         # likelihood-anchored latent and MUST be covered by q — see the
         # make_step_fn VR block), z = w for classification
         zdim = w_dim + 1 if cfg.task == "regression" else w_dim
         vr_mean = jnp.zeros((zdim,), jnp.float32)
-        vr_m2 = jnp.zeros((zdim,), jnp.float32)
+        # static mode: vr_m2 IS the variance (default: standard normal q —
+        # override via set_static_reference); welford mode: M2 accumulator
+        vr_m2 = (
+            jnp.ones((zdim,), jnp.float32)
+            if cfg.vr_mode == "static"
+            else jnp.zeros((zdim,), jnp.float32)
+        )
+        if cfg.vr_family == "full_cov":
+            vr_chol = jnp.eye(zdim, dtype=jnp.float32)
         n_regen_acc = jnp.zeros((), jnp.int32)
         n_regen_prop = jnp.zeros((), jnp.int32)
 
@@ -460,6 +491,7 @@ def init_state(
         pair_prop_count=jnp.zeros((c,), jnp.int32),
         vr_mean=vr_mean,
         vr_m2=vr_m2,
+        vr_chol=vr_chol,
         n_regen_accepted=n_regen_acc,
         n_regen_proposed=n_regen_prop,
         n_accept=jnp.zeros((c,), jnp.int32),
@@ -467,6 +499,37 @@ def init_state(
         n_swap_accepted=jnp.zeros((), jnp.int32),
         n_swap_proposed=jnp.zeros((), jnp.int32),
     )
+
+
+def set_static_reference(
+    state: ChainState, cfg: PTConfig, mu, var, chol=None
+) -> ChainState:
+    """Inject an externally fitted static reference (vr_mode="static") into
+    an initial state: ``mu``/``var`` (Z,), ``chol`` (Z, Z) lower for
+    vr_family="full_cov" (ops/vref.py:fit_gaussian output). The rounds
+    driver (ptnn/rounds.py) calls this between rounds."""
+    if cfg.vr_mode != "static":
+        raise ValueError("set_static_reference requires vr_mode='static'")
+    mu = jnp.asarray(mu, jnp.float32)
+    var = jnp.asarray(var, jnp.float32)
+    if mu.shape != state.vr_mean.shape or var.shape != state.vr_m2.shape:
+        raise ValueError(
+            f"reference shape {mu.shape}/{var.shape} != state z-dim "
+            f"{state.vr_mean.shape}"
+        )
+    out = state._replace(vr_mean=mu, vr_m2=var)
+    if cfg.vr_family == "full_cov":
+        if chol is None:
+            raise ValueError("vr_family='full_cov' needs the chol factor")
+        chol = jnp.asarray(chol, jnp.float32)
+        if chol.shape != state.vr_chol.shape:
+            raise ValueError(
+                f"chol shape {chol.shape} != {state.vr_chol.shape}"
+            )
+        out = out._replace(vr_chol=chol)
+    elif chol is not None:
+        raise ValueError("chol supplied but vr_family is 'diag'")
+    return out
 
 
 def vdc_u(i) -> jax.Array:
@@ -553,6 +616,17 @@ def make_step_fn(
         if cfg.n_ladders > 1:
             return w_last[:: cfg.rungs_per_ladder][:k]
         return w_last[:k]
+
+    def _eta_trace(eta: jax.Array) -> jax.Array:
+        # cfg.record_eta: the same chain selection as _w_trace, so the
+        # recorded (w, eta) columns pair up (rounds-driver reference fits
+        # need the joint z draws)
+        k = cfg.record_w_chains
+        if k <= 0:
+            return eta
+        if cfg.n_ladders > 1:
+            return eta[:: cfg.rungs_per_ladder][:k]
+        return eta[:k]
 
     def _swap_due(i) -> jax.Array:
         if swap_interval_t is None:
@@ -702,12 +776,20 @@ def make_step_fn(
     # ladder pair never swaps (measured: pair acceptance 0.00) — replica
     # transport dies exactly where the feature is supposed to create it.
     if vr_on:
-        # activation / accumulation / freeze step indices — shared with the
-        # host-side consumers through ops/vref.py:schedule
-        vr_start, vr_accum_start, vr_burn_end = vref_mod.schedule(
-            cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
-            cfg.warmstart_frac,
-        )
+        vr_static = cfg.vr_mode == "static"
+        vr_full_cov = cfg.vr_family == "full_cov"
+        if vr_static:
+            # externally fitted reference, fixed for the whole run and
+            # active from step 0 (the rounds interface — each round is
+            # exactly Markov under its own constant reference)
+            vr_start = vr_accum_start = vr_burn_end = 0
+        else:
+            # activation / accumulation / freeze step indices — shared with
+            # the host-side consumers through ops/vref.py:schedule
+            vr_start, vr_accum_start, vr_burn_end = vref_mod.schedule(
+                cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
+                cfg.warmstart_frac,
+            )
 
         def _vr_z(w, eta):
             """Reference coordinates: (..., W) -> (..., W+1) with eta
@@ -720,7 +802,12 @@ def make_step_fn(
 
         def _vr_stats(state: ChainState, i):
             """(mu, var) of the fitted q as of step ``i`` (frozen post
-            burn-in because the accumulators freeze)."""
+            burn-in because the accumulators freeze; constant under
+            vr_mode="static", where vr_m2 IS the variance)."""
+            if vr_static:
+                return state.vr_mean, jnp.maximum(
+                    state.vr_m2, vref_mod.VAR_FLOOR
+                )
             cnt = jnp.maximum(
                 (jnp.minimum(i, vr_burn_end) - vr_accum_start).astype(
                     jnp.float32
@@ -731,6 +818,23 @@ def make_step_fn(
                 state.vr_m2, cnt, cfg.vr_var_inflation
             )
             return state.vr_mean, var
+
+        def _vr_logq(state: ChainState, i, z) -> jax.Array:
+            """``log q(z)`` under the active family (up to the shared
+            normalizer, which cancels in every consumer's difference)."""
+            if vr_full_cov:
+                return vref_mod.log_q_chol(z, state.vr_mean, state.vr_chol)
+            mu, var = _vr_stats(state, i)
+            return vref_mod.log_q_quad(z, mu, var)
+
+        def _vr_sample(state: ChainState, i, key) -> jax.Array:
+            """One IID reference draw under the active family."""
+            if vr_full_cov:
+                return vref_mod.sample_q_chol(
+                    key, state.vr_mean, state.vr_chol
+                )
+            mu, var = _vr_stats(state, i)
+            return vref_mod.sample_q(key, mu, var)
 
         def _vr_logp_ref(w, eta):
             """The z-coordinates' own prior terms (the part of log prior
@@ -746,17 +850,20 @@ def make_step_fn(
         def _vr_corr_z(state: ChainState, i, w, eta) -> jax.Array:
             """Path correction corr(z) = log q(z) - log p(z), zero before
             activation."""
-            mu, var = _vr_stats(state, i)
-            corr = vref_mod.log_q_quad(
-                _vr_z(w, eta), mu, var
-            ) - _vr_logp_ref(w, eta)
+            corr = _vr_logq(state, i, _vr_z(w, eta)) - _vr_logp_ref(w, eta)
+            if vr_static:
+                return corr  # active from step 0
             return jnp.where(i >= vr_start, corr, jnp.zeros_like(corr))
 
         def _vr_update(
             state: ChainState, new_state: ChainState, i
         ) -> ChainState:
             """Fold the post-step COLD-chain z into the Welford moments
-            (between vr_accum_start and burn-in end; frozen afterwards)."""
+            (between vr_accum_start and burn-in end; frozen afterwards).
+            No-op under vr_mode="static" (the reference never adapts
+            in-run)."""
+            if vr_static:
+                return new_state
             live = jnp.logical_and(i >= vr_accum_start, i < vr_burn_end)
             cnt_new = jnp.maximum(
                 (jnp.minimum(i + 1, vr_burn_end) - vr_accum_start).astype(
@@ -811,9 +918,8 @@ def make_step_fn(
             of beta, making the beta=0 acceptance identically 1 with all
             terms finite. One single-configuration forward pass per swap
             event."""
-            mu, var = _vr_stats(st, i)
             kq, ka = jax.random.split(kr)
-            z_new = vref_mod.sample_q(kq, mu, var)
+            z_new = _vr_sample(st, i, kq)
             if is_regression:
                 w_new, eta_new = z_new[:w_dim], z_new[w_dim]
             else:
@@ -839,9 +945,7 @@ def make_step_fn(
             dlogp_ref = _vr_logp_ref(w_new, eta_new) - _vr_logp_ref(
                 w_cur, eta_cur
             )
-            dlogq = vref_mod.log_q_quad(
-                z_new, mu, var
-            ) - vref_mod.log_q_quad(z_cur, mu, var)
+            dlogq = _vr_logq(st, i, z_new) - _vr_logq(st, i, z_cur)
             log_r = beta_hot * (
                 dlogp_ref + (ll_new - st.ll[-1]) - dlogq
             )
@@ -1258,6 +1362,8 @@ def make_step_fn(
             trace["fx_test"] = new_state.fx_test
         if cfg.record_w:
             trace["w"] = _w_trace(new_state.w_last)
+        if cfg.record_eta and is_regression:
+            trace["eta"] = _eta_trace(new_state.eta)
 
         new_state = jax.lax.cond(
             _swap_due(i),
@@ -1551,17 +1657,29 @@ def make_step_fn(
             """Tempered-posterior gradient from the cached likelihood-term
             gradient: g_like/(tau^2 adapttemp) - w/sigma^2 (regression) or
             g_like/adapttemp - w/sigma^2 (classification). Under the
-            variational-reference path, ``vr_args = (mu, var, active)`` adds
-            the (1 - beta) * grad corr term (ops/vref.py)."""
+            variational-reference path, ``vr_args = (state, i, active,
+            eta)`` adds the (1 - beta) * grad_w corr term (ops/vref.py).
+            ``eta`` enters because the full-covariance family couples the
+            w and eta coordinates of z; the diagonal family's w-gradient
+            is eta-free."""
             g = g_like / tau_sq[:, None] if is_regression else g_like
             out = g / adapttemp[:, None] - w / cfg.sigma_sq
             if vr_args is not None:
-                mu, var, active = vr_args
-                # w-coordinates of the fitted z-reference (regression
-                # appends eta as the last coordinate)
-                gc = vref_mod.grad_correction(
-                    w, mu[: w.shape[-1]], var[: w.shape[-1]], cfg.sigma_sq
-                )
+                vr_state, vr_i, active, vr_eta = vr_args
+                if cfg.vr_family == "full_cov":
+                    # grad_w corr = grad_w log q(z) + w / sigma^2
+                    gz = vref_mod.grad_logq_chol(
+                        _vr_z(w, vr_eta), vr_state.vr_mean, vr_state.vr_chol
+                    )
+                    gc = gz[..., : w.shape[-1]] + w / cfg.sigma_sq
+                else:
+                    mu, var = _vr_stats(vr_state, vr_i)
+                    # w-coordinates of the fitted z-reference (regression
+                    # appends eta as the last coordinate)
+                    gc = vref_mod.grad_correction(
+                        w, mu[: w.shape[-1]], var[: w.shape[-1]],
+                        cfg.sigma_sq,
+                    )
                 out = out + jnp.where(active, 1.0, 0.0) * (
                     1.0 - 1.0 / adapttemp
                 )[:, None] * gc
@@ -1604,8 +1722,10 @@ def make_step_fn(
             tau_cur = jnp.exp(state.eta)  # (C,)
             vr_args = None
             if vr_on:
-                vr_mu, vr_var = _vr_stats(state, i)
-                vr_args = (vr_mu, vr_var, i >= vr_start)
+                # eta is fixed through the whole w-block (the eta block
+                # runs after), so the current eta is correct at every
+                # gradient evaluation point along the trajectory
+                vr_args = (state, i, i >= vr_start, state.eta)
             if grad_mode:
                 g_cur = _g_post(
                     state.g_like, state.w, tau_cur, adapttemp, vr_args
@@ -1850,6 +1970,10 @@ def make_step_fn(
                 trace["fx_test"] = new_state.fx_test
             if cfg.record_w:
                 trace["w"] = _w_trace(new_state.w_last)
+            if cfg.record_eta and is_regression:
+                # paired with this row's w: the post-w-block, pre-eta-block
+                # state (a coherent point of the kernel cycle)
+                trace["eta"] = _eta_trace(new_state.eta)
 
             if is_regression:
                 # eta-block: RW-MH on log noise variance, dataset-free.
@@ -1875,12 +1999,21 @@ def make_step_fn(
                     # Without this the beta=0 rung's eta would sample its
                     # bare (monotone) prior and run away — see the VR block
                     # comment above.
-                    vr_mu, vr_var = _vr_stats(state, i)
-                    mu_e, var_e = vr_mu[w_dim], vr_var[w_dim]
-                    dlogq_e = -0.5 * (
-                        jnp.square(eta_prop - mu_e)
-                        - jnp.square(state.eta - mu_e)
-                    ) / var_e
+                    if cfg.vr_family == "full_cov":
+                        # the family couples w and eta: difference the
+                        # joint log q at the post-w-block weights
+                        dlogq_e = _vr_logq(
+                            state, i, _vr_z(new_state.w, eta_prop)
+                        ) - _vr_logq(
+                            state, i, _vr_z(new_state.w, state.eta)
+                        )
+                    else:
+                        vr_mu, vr_var = _vr_stats(state, i)
+                        mu_e, var_e = vr_mu[w_dim], vr_var[w_dim]
+                        dlogq_e = -0.5 * (
+                            jnp.square(eta_prop - mu_e)
+                            - jnp.square(state.eta - mu_e)
+                        ) / var_e
                     log_mh_e = log_mh_e + jnp.where(
                         i >= vr_start, 1.0, 0.0
                     ) * (1.0 - 1.0 / adapttemp) * (dlogq_e - dprior)
@@ -2256,6 +2389,8 @@ def make_step_fn(
             }
             if cfg.record_w:
                 trace["w"] = _w_trace(new_state.w_last)
+            if cfg.record_eta and is_regression:
+                trace["eta"] = _eta_trace(new_state.eta)
             if cfg.record_ll_state:
                 trace["ll_cur"] = new_state.ll
             if cfg.track_replicas:

@@ -130,10 +130,13 @@ def from_traces(
         if window is None:
             from ptnn.ops import vref
 
-            _, _, freeze = vref.schedule(
-                cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
-                cfg.warmstart_frac,
-            )
+            if cfg.vr_mode == "static":
+                freeze = 0  # the reference is fixed for the whole run
+            else:
+                _, _, freeze = vref.schedule(
+                    cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
+                    cfg.warmstart_frac,
+                )
             a, b = _window(cfg, ll.shape[0], None)
             window = (max(a, min(freeze, ll.shape[0] - 2)), b)
     a, b = _window(cfg, ll.shape[0], window)
@@ -159,24 +162,38 @@ def from_result(res, window: Optional[Tuple[int, int]] = None) -> EvidenceEstima
         from ptnn import kernel
         from ptnn.ops import vref
 
-        cnt = vref.frozen_count(
-            cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
-            cfg.warmstart_frac,
-        )
-        var = np.asarray(
-            vref.welford_variance(
-                np.asarray(res.final_state.vr_m2, np.float64),
-                cnt,
-                cfg.vr_var_inflation,
-            )
-        )
         spec = kernel.default_spec(cfg)
         prior_dim = (
             spec.prior_dim_regression
             if cfg.task == "regression"
             else spec.prior_dim_classification
         )
-        log_z0 = vref.log_z0(var, prior_dim, cfg.sigma_sq)
+        if cfg.vr_family == "full_cov":
+            log_z0 = vref.log_z0_chol(
+                np.asarray(res.final_state.vr_chol, np.float64),
+                prior_dim,
+                cfg.sigma_sq,
+            )
+        else:
+            if cfg.vr_mode == "static":
+                # vr_m2 IS the variance (inflation baked in at fit time)
+                var = np.maximum(
+                    np.asarray(res.final_state.vr_m2, np.float64),
+                    vref.VAR_FLOOR,
+                )
+            else:
+                cnt = vref.frozen_count(
+                    cfg.samples_per_chain, cfg.vr_start_frac, cfg.burn_in,
+                    cfg.warmstart_frac,
+                )
+                var = np.asarray(
+                    vref.welford_variance(
+                        np.asarray(res.final_state.vr_m2, np.float64),
+                        cnt,
+                        cfg.vr_var_inflation,
+                    )
+                )
+            log_z0 = vref.log_z0(var, prior_dim, cfg.sigma_sq)
     return from_traces(res.traces, res.temperatures, cfg, window, log_z0)
 
 

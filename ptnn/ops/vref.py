@@ -191,3 +191,104 @@ def welford_update(
     mean_new = mean + upd * delta / jnp.maximum(count_new, 1.0)
     m2_new = m2 + upd * delta * (x - mean_new)
     return mean_new, m2_new
+
+
+# ---------------------------------------------------------------------------
+# Full-covariance reference family (PTConfig.vr_family="full_cov"; static
+# mode only — the round-based adaptation interface, ptnn/rounds.py). The
+# vref_transport.md forensics measured that a mean-field q leaves a ~10^4-nat
+# energy cliff on the d=61 reference net while an offline full-covariance
+# fit closes most of it (draw LL -9,402 -> -790 mean); the staleness problem
+# that blocked building it as a FROZEN in-run fit is solved by refitting
+# between rounds instead (each round's reference is constant, so each round
+# is exactly Markov — Surjanovic et al. 2022's actual adaptation schedule).
+# ---------------------------------------------------------------------------
+
+
+def log_q_chol(z: jax.Array, mu: jax.Array, chol: jax.Array) -> jax.Array:
+    """``log q(z)`` for ``q = N(mu, L L^T)`` up to its (state-independent)
+    normalizer, via one triangular solve.
+
+    ``z``: (..., Z); ``mu``: (Z,); ``chol``: (Z, Z) lower. Returns (...,).
+    """
+    dz = z - mu
+    # solve L r = dz^T  ->  r = L^{-1} dz^T, shape (Z, ...)
+    r = jax.scipy.linalg.solve_triangular(
+        chol, jnp.moveaxis(dz, -1, 0).reshape(chol.shape[0], -1), lower=True
+    )
+    return -0.5 * jnp.sum(jnp.square(r), axis=0).reshape(dz.shape[:-1])
+
+
+def grad_logq_chol(z: jax.Array, mu: jax.Array, chol: jax.Array) -> jax.Array:
+    """``d log q / d z`` for the full-covariance family: ``-Sigma^{-1}(z-mu)``
+    via two triangular solves. Shapes as in :func:`log_q_chol`; returns
+    (..., Z)."""
+    dz = z - mu
+    flat = jnp.moveaxis(dz, -1, 0).reshape(chol.shape[0], -1)
+    r = jax.scipy.linalg.solve_triangular(chol, flat, lower=True)
+    s = jax.scipy.linalg.solve_triangular(chol.T, r, lower=False)
+    return -jnp.moveaxis(s.reshape((chol.shape[0],) + dz.shape[:-1]), 0, -1)
+
+
+def sample_q_chol(key: jax.Array, mu: jax.Array, chol: jax.Array) -> jax.Array:
+    """One IID draw from ``q = N(mu, L L^T)``."""
+    eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
+    return mu + chol @ eps
+
+
+def log_z0_chol(chol, prior_dim: int, sigma_sq: float) -> float:
+    """Full-covariance analogue of :func:`log_z0`:
+    ``Z(0) = sigma_sq^(-prior_dim/2) * (2 pi)^(Z/2) * |L|``."""
+    import numpy as np
+
+    d = np.asarray(chol, np.float64).diagonal()
+    zdim = d.shape[0]
+    return float(
+        -0.5 * prior_dim * np.log(sigma_sq)
+        + 0.5 * zdim * np.log(2.0 * np.pi)
+        + np.sum(np.log(np.abs(d)))
+    )
+
+
+def fit_gaussian(
+    draws,
+    family: str = "full_cov",
+    shrinkage: float = 0.1,
+    inflation: float = 1.0,
+    var_floor: float = VAR_FLOOR,
+):
+    """Host-side moment fit for the static reference (rounds interface).
+
+    ``draws``: (n, Z) z-coordinate samples (cold-chain trace of the previous
+    round). Returns ``(mu, var, chol)`` with ``chol=None`` for the diagonal
+    family. The full-covariance estimate is shrunk toward its own diagonal —
+    ``S <- (1-shrinkage) S + shrinkage diag(S)`` — then inflated and floored,
+    which keeps the Cholesky well-posed on short, autocorrelated round
+    traces (the same failure mode the per-chain surrogate ridge fit hit).
+    """
+    import numpy as np
+
+    draws = np.asarray(draws, np.float64)
+    if draws.ndim != 2 or draws.shape[0] < 2:
+        raise ValueError(f"need (n>=2, Z) draws, got {draws.shape}")
+    mu = draws.mean(axis=0)
+    var = np.maximum(draws.var(axis=0) * inflation, var_floor)
+    if family == "diag":
+        return (
+            mu.astype(np.float32),
+            var.astype(np.float32),
+            None,
+        )
+    if family != "full_cov":
+        raise ValueError(f"unknown reference family {family!r}")
+    s = np.cov(draws, rowvar=False)
+    s = np.atleast_2d(s)
+    diag = np.diag(np.diag(s))
+    s = (1.0 - shrinkage) * s + shrinkage * diag
+    s = s * inflation + var_floor * np.eye(s.shape[0])
+    chol = np.linalg.cholesky(s)
+    return (
+        mu.astype(np.float32),
+        np.maximum(np.diag(s), var_floor).astype(np.float32),
+        chol.astype(np.float32),
+    )
