@@ -25,9 +25,12 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ptnn import PTConfig, sample
 from ptnn import rounds as rounds_mod
@@ -91,7 +94,8 @@ def transport_row(res, cfg):
     )
 
 
-def run_arm(arm: str, cfg: PTConfig, train, test, seed: int, n_rounds: int):
+def run_arm(arm: str, cfg: PTConfig, train, test, seed: int, n_rounds: int,
+            inflation: float = 1.0):
     if arm == "prior":
         c = dataclasses.replace(cfg, record_ll_state=True).validate()
         res = sample(c, train, test, seed=seed)
@@ -116,7 +120,8 @@ def run_arm(arm: str, cfg: PTConfig, train, test, seed: int, n_rounds: int):
         record_ll_state=True,
     ).validate()
     rr = rounds_mod.run_rounds(
-        c, train, test, seed=seed, n_rounds=n_rounds, verbose=True
+        c, train, test, seed=seed, n_rounds=n_rounds, verbose=True,
+        inflation=inflation,
     )
     return transport_row(rr.result, rr.config), rr.history
 
@@ -128,7 +133,12 @@ def main(argv=None):
     ap.add_argument("--chains", type=int, default=16)
     ap.add_argument("--maxtemp", type=float, default=20.0)
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--inflation", type=float, default=1.0,
+                    help="fit variance inflation for the rounds arms")
     ap.add_argument("--seeds", type=int, nargs="+", default=[4, 14])
+    ap.add_argument("--arms", nargs="+",
+                    default=["prior", "welford", "rounds-diag",
+                             "rounds-full"])
     ap.add_argument("--small", action="store_true",
                     help="d=13 control topology instead of d=61")
     ap.add_argument("--out", default="results/vref_rounds.md")
@@ -136,13 +146,14 @@ def main(argv=None):
 
     p = load_regression("Sunspot")
     cfg = base_cfg(args.samples, args.chains, args.maxtemp, not args.small)
-    arms = ["prior", "welford", "rounds-diag", "rounds-full"]
+    arms = args.arms
     rows = {a: [] for a in arms}
     hists = {}
     for seed in args.seeds:
         for arm in arms:
             print(f"== arm {arm} seed {seed}", flush=True)
-            row, hist = run_arm(arm, cfg, p.train, p.test, seed, args.rounds)
+            row, hist = run_arm(arm, cfg, p.train, p.test, seed,
+                                args.rounds, inflation=args.inflation)
             rows[arm].append(row)
             if hist is not None:
                 hists[(arm, seed)] = hist
@@ -155,7 +166,8 @@ def main(argv=None):
         f"Setup: topology {cfg.topology} (d={d}), {args.chains} chains, "
         f"maxtemp {args.maxtemp} (hot leg beta=0 for VR arms), DEO every 2 "
         f"steps, precond-MALA, final budget {args.samples} steps/chain, "
-        f"{args.rounds} adaptation rounds (doubling), seeds {args.seeds}. "
+        f"{args.rounds} adaptation rounds (doubling), fit inflation "
+        f"{args.inflation}, seeds {args.seeds}. "
         "Generated by scripts/vref_rounds_study.py.",
         "",
         "| arm | round trips/kstep | swap % | hot-pair acc % | "
