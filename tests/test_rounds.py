@@ -340,3 +340,29 @@ def test_run_rounds_gates(lazer):
         rounds.run_rounds(
             _static_cfg(vr_mode="welford", vr_family="diag"), *lazer
         )
+
+
+def test_static_fullcov_sharded_matches_unsharded(lazer):
+    """The static full-covariance reference under an 8-device chain mesh:
+    the (Z,) mean and (Z, Z) Cholesky replicate, the triangular-solve
+    log q enters MH/swap/drift on sharded chain blocks, and the beta=0
+    regen scatter crosses shard boundaries. Traces must match the
+    single-device run (the welford-mode analogue lives in test_vref.py)."""
+    from ptnn.parallel import mesh as mesh_mod
+
+    cfg = _static_cfg(num_samples=8 * 160, chunk_steps=40)
+    st = _fitted_state(cfg, *lazer)
+    r_plain = sample(cfg, *lazer, seed=6, init_state=st)
+    mesh = mesh_mod.make_mesh()
+    st_m = _fitted_state(cfg, *lazer)
+    r_mesh = sample(cfg, *lazer, seed=6, mesh=mesh, init_state=st_m)
+    np.testing.assert_allclose(
+        r_plain.traces["ll"], r_mesh.traces["ll"], rtol=1e-4, atol=1e-4
+    )
+    assert int(r_mesh.final_state.n_regen_proposed) == int(
+        r_plain.final_state.n_regen_proposed
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_plain.final_state.vr_chol),
+        np.asarray(r_mesh.final_state.vr_chol),
+    )
