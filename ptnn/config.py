@@ -270,6 +270,22 @@ class PTConfig:
     sg_vr: bool = False
     # Anchor refresh cadence in steps (required > 0 when sg_vr).
     sg_anchor_interval: int = 0
+    # Per-rung sgld step-size scaling (the accelerated-exploration half of
+    # the reSGLD line — Deng et al. 2020 run the high-temperature chain at
+    # a LARGER learning rate than the cold one; PAPERS.md arxiv 2301.01898):
+    # "none"        — every rung uses sg_step (the default; matches the
+    #                 committed sgld measurements).
+    # "temperature" — rung k uses eps_k = sg_step * T_k: the unadjusted
+    #                 Euler-Maruyama discretization bias is O(eps) per rung,
+    #                 and the hot rungs exist to EXPLORE, not to be sampled
+    #                 from — temperature-proportional steps buy transport
+    #                 where bias is cheap while the cold rung (T=1, the one
+    #                 that feeds the posterior) keeps the small exact-minded
+    #                 step. Swap energies are unaffected (full-data or
+    #                 corrected estimates, independent of eps). Requires a
+    #                 finite ladder (no beta=0 / vr_hot_infinite rung: an
+    #                 infinite temperature would mean an infinite step).
+    sg_lr_scale: str = "none"
     # Step at which M_c activates, as a fraction of samples_per_chain (before
     # that: identity preconditioner while Welford statistics accumulate).
     precond_start_frac: float = 0.125
@@ -664,6 +680,10 @@ class PTConfig:
             raise ValueError(
                 "sg_vr/sg_anchor_interval apply to proposal='sgld'"
             )
+        if self.sg_lr_scale not in ("none", "temperature"):
+            raise ValueError("sg_lr_scale must be 'none' or 'temperature'")
+        if self.sg_lr_scale != "none" and self.proposal != "sgld":
+            raise ValueError("sg_lr_scale applies to proposal='sgld'")
         if self.proposal == "sgld":
             if self.sg_batch <= 0:
                 raise ValueError(

@@ -133,6 +133,13 @@ def main(argv=None) -> None:
         "--sgld-swap corrected",
     )
     p.add_argument(
+        "--sgld-lr-scale", choices=("none", "temperature"), default="none",
+        help="per-rung sgld step scaling (PTConfig.sg_lr_scale): "
+        "'temperature' runs rung k at eps = sg_step * T_k — the reSGLD "
+        "accelerated-exploration recipe (hot rungs take big biased steps, "
+        "the cold rung keeps sg_step)",
+    )
+    p.add_argument(
         "--warmstart-frac", type=float, default=0.0,
         help="fraction of the run spent on normalized-gradient warm start "
         "before MALA sampling begins (PTConfig.warmstart_frac; ends inside "
@@ -224,6 +231,7 @@ def main(argv=None) -> None:
                 "sg_swap": args.sgld_swap,
                 "sg_vr": args.sgld_vr > 0,
                 "sg_anchor_interval": args.sgld_vr,
+                "sg_lr_scale": args.sgld_lr_scale,
                 "swap_payload": "untempered",
                 "swap_rule": "metropolis",
                 "pt_phase_frac": 2.0,

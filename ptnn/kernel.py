@@ -2171,7 +2171,17 @@ def make_step_fn(
         bsz = min(cfg.sg_batch, n_train_s)
         scale = n_train_s / bsz
         betas_run = 1.0 / temps  # canonical schedule (validated: no switch)
-        eps = cfg.sg_step
+        # Per-rung Euler step (cfg.sg_lr_scale; the reSGLD line runs hot
+        # chains at larger learning rates — Deng et al. 2020, PAPERS.md
+        # arxiv 2301.01898): "temperature" sets eps_k = sg_step * T_k (hot
+        # rungs explore, discretization bias is cheap there; the cold rung
+        # keeps sg_step). (C,) vector; swap energies are eps-independent so
+        # the exchange test is untouched.
+        if cfg.sg_lr_scale == "temperature":
+            eps_c = cfg.sg_step * temps
+        else:
+            eps_c = cfg.sg_step * jnp.ones_like(temps)
+        eps = eps_c[:, None]  # broadcast over the (C, W) weight plane
 
         if is_regression:
 
@@ -2327,8 +2337,9 @@ def make_step_fn(
                 dpr = -(1.0 + cfg.nu_1) + cfg.nu_2 * jnp.exp(-state.eta)
                 eta_new = (
                     state.eta
-                    + 0.5 * eps * (betas_run * dll + dpr)
-                    + jnp.sqrt(eps) * jax.random.normal(ke, (c,), jnp.float32)
+                    + 0.5 * eps_c * (betas_run * dll + dpr)
+                    + jnp.sqrt(eps_c)
+                    * jax.random.normal(ke, (c,), jnp.float32)
                 )
             else:
                 eta_new = state.eta

@@ -326,6 +326,77 @@ def test_vr_boosts_swap_acceptance_at_small_batch():
     assert np.isfinite(np.asarray(st.sg_anchor_full)).all()
 
 
+# ---------------------------------------------------------------------------
+# Per-rung step scaling (cfg.sg_lr_scale; the reSGLD accelerated-exploration
+# recipe — hot chains at larger learning rates, Deng et al. 2020 /
+# arxiv 2301.01898)
+
+
+def test_lr_scale_validation_gates():
+    with pytest.raises(ValueError, match="sg_lr_scale"):
+        _sgld_cfg(sg_lr_scale="bogus")
+    with pytest.raises(ValueError, match="applies to proposal='sgld'"):
+        ptnn.PTConfig(
+            task="regression", topology=(4, 10, 1), num_samples=800,
+            num_chains=8, maxtemp=5.0, swap_interval=20, swap_offset=0,
+            sg_lr_scale="temperature",
+        ).validate()
+
+
+def test_lr_scale_hot_rung_is_plain_run_at_scaled_step():
+    """Sharp degeneracy pin: with swaps disabled chains are independent,
+    and the SHARED rng draws (batch index + noise planes) are identical
+    across configs — so the T=2 rung under sg_lr_scale='temperature' at
+    sg_step=s must be BIT-IDENTICAL to the same rung under 'none' at
+    sg_step=2s. The cold rungs (eps s vs 2s) must differ."""
+    prob = load_regression("Sunspot")
+    kw = dict(
+        num_samples=2 * 150, num_chains=2, maxtemp=2.0,
+        custom_ladder=(1.0, 2.0), swap_interval=1000, record_w=True,
+        chunk_steps=150,
+    )
+    scaled = ptnn.sample(
+        _sgld_cfg(sg_lr_scale="temperature", sg_step=2e-5, **kw),
+        prob.train, prob.test, seed=2,
+    )
+    plain2x = ptnn.sample(
+        _sgld_cfg(sg_step=4e-5, **kw), prob.train, prob.test, seed=2
+    )
+    w_s = np.asarray(scaled.traces["w"])
+    w_p = np.asarray(plain2x.traces["w"])
+    np.testing.assert_array_equal(w_s[:, 1, :], w_p[:, 1, :])
+    assert np.any(w_s[1:, 0, :] != w_p[1:, 0, :])
+
+
+def test_lr_scale_hot_rungs_take_bigger_steps():
+    """The observable contract: per-step displacement scales like
+    sqrt(eps_k) (the injected noise dominates once the early descent
+    transient has passed), so the hottest rung must move ~sqrt(T_max)
+    farther per step than the cold rung under 'temperature' scaling — and
+    must NOT under 'none'. Swaps are disabled by cadence (interval > run
+    length) so displacement is purely the Langevin move; only the LATE
+    half of the run is measured (the early drift-dominated descent is
+    shared across rungs and dilutes the ratio)."""
+    prob = load_regression("Sunspot")
+    kw = dict(
+        num_samples=8 * 200, swap_interval=1000, record_w=True,
+        chunk_steps=200,
+    )
+    disp = {}
+    for mode in ("none", "temperature"):
+        res = ptnn.sample(
+            _sgld_cfg(sg_lr_scale=mode, **kw), prob.train, prob.test, seed=3
+        )
+        w = np.asarray(res.traces["w"])  # (S, C, W)
+        d = np.linalg.norm(np.diff(w, axis=0), axis=-1)  # (S-1, C)
+        disp[mode] = d[d.shape[0] // 2 :].mean(axis=0)  # late-half mean
+    ratio_scaled = disp["temperature"][-1] / disp["temperature"][0]
+    ratio_plain = disp["none"][-1] / disp["none"][0]
+    # maxtemp=5 geometric ladder: sqrt(5) ~ 2.24 expected (measured 2.22)
+    assert ratio_scaled > 1.8
+    assert ratio_plain < 1.2
+
+
 def test_vr_checkpoint_resume_identical(tmp_path):
     prob = load_regression("Sunspot")
     cfg = _sgld_cfg(
