@@ -684,6 +684,18 @@ class PTConfig:
             raise ValueError("sg_lr_scale must be 'none' or 'temperature'")
         if self.sg_lr_scale != "none" and self.proposal != "sgld":
             raise ValueError("sg_lr_scale applies to proposal='sgld'")
+        if self.sg_lr_scale != "none" and self.vr_hot_infinite:
+            # Explicit guard for the invariant the doc comment above
+            # sg_lr_scale promises: eps_c = sg_step * T_c is infinite at a
+            # beta=0 rung. Today sgld already excludes variational_reference
+            # (which vr_hot_infinite requires), but that exclusion is
+            # incidental — enforce the step-size invariant directly.
+            raise ValueError(
+                "sg_lr_scale='temperature' requires a finite ladder: "
+                "vr_hot_infinite pins the hottest rung at beta=0 "
+                "(T=infinity), where a temperature-proportional step is "
+                "infinite"
+            )
         if self.proposal == "sgld":
             if self.sg_batch <= 0:
                 raise ValueError(

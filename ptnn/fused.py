@@ -71,12 +71,28 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
         )
     if cfg.proposal in ("precond_mala", "hmc"):
         if cfg.proposal == "hmc" and cfg.hmc_adapt_traj:
-            if mesh is not None or (
-                ((cfg.num_chains + LANES - 1) // LANES) * LANES != LANES
-            ):
+            # The in-kernel rung-sum matmul couples lanes within one
+            # 128-lane block. One block always works; multi-block works
+            # when every block holds COMPLETE ladders (chain = ladder*K +
+            # rung layout), i.e. K | 128 and num_chains a multiple of 128
+            # — each block then adapts its trajectory length from its own
+            # 128/K replicas (statistically equivalent pooling, smaller
+            # panel). A mesh shards whole 128-lane blocks, so the same
+            # condition covers it (per-device divisibility is checked
+            # below).
+            one_block = (
+                ((cfg.num_chains + LANES - 1) // LANES) * LANES == LANES
+            )
+            multi_ok = (
+                cfg.num_chains % LANES == 0
+                and LANES % cfg.rungs_per_ladder == 0
+            )
+            if not (one_block and mesh is None) and not multi_ok:
                 return (
-                    "fused ChEES needs the chain axis in one 128-lane "
-                    "block on one device (its rung sums couple lanes)"
+                    "fused ChEES needs complete ladders per 128-lane "
+                    "block: either num_chains <= 128 on one device, or "
+                    "num_chains % 128 == 0 with rungs_per_ladder "
+                    "dividing 128"
                 )
     elif cfg.proposal != "reference":
         return (
@@ -395,13 +411,23 @@ class _Fused:
                 chees_rate=cfg.chees_rate,
                 n_ladders=cfg.n_ladders,
             )
-            self.rung_sum = (
-                ps.rung_sum_matrix(
+            if self.chees and self.c_pad > LANES:
+                # multi-block ensembles: every 128-lane block holds
+                # complete ladders (fused_reason guarantees K | 128 and
+                # 128 | num_chains), so the kernel's rung sums pool the
+                # block's own 128/K replicas; n_ladders becomes that
+                # per-block panel size and one (128, 128) matrix serves
+                # every block (rung of lane l within a block = l % K).
+                self.scal["n_ladders"] = LANES // cfg.rungs_per_ladder
+                self.rung_sum = ps.rung_sum_matrix(
+                    LANES, cfg.rungs_per_ladder, LANES
+                )
+            elif self.chees:
+                self.rung_sum = ps.rung_sum_matrix(
                     c, cfg.rungs_per_ladder, self.c_pad
                 )
-                if self.chees
-                else jnp.zeros((self.c_pad, self.c_pad), jnp.float32)
-            )
+            else:
+                self.rung_sum = jnp.zeros((LANES, LANES), jnp.float32)
         else:
             self.scal = dict(
                 step_w=cfg.step_w, step_eta=cfg.step_eta,
@@ -448,7 +474,14 @@ class _Fused:
         construction, so sharded == unsharded bit-for-bit (tested)."""
         if self.mesh is None:
             return fn(kstate, *arrs, start, length, self.kdata, adapttemp)
-        cs = lambda x: P(*([None] * (x.ndim - 1)), mesh_mod.CHAIN_AXIS)
+
+        # every chain-axis operand (last dim == c_pad) shards; the ChEES
+        # per-block (LANES, LANES) rung-sum matrix replicates — its lane
+        # coupling is internal to each 128-lane block
+        def cs(x):
+            if x.ndim >= 1 and x.shape[-1] == self.c_pad:
+                return P(*([None] * (x.ndim - 1)), mesh_mod.CHAIN_AXIS)
+            return P()
         sl = jnp.stack(
             [jnp.asarray(start, jnp.int32), jnp.asarray(length, jnp.int32)]
         )

@@ -981,8 +981,25 @@ def _hmc_block_kernel(
                 g_n = jnp.where(upd, g_n, g_c)
             return (w_n, p_n, g_n)
 
+        # Dynamic trip count — the dominant cost is the per-leapfrog
+        # gradient eval, so don't run iterations whose result is provably
+        # discarded: (a) under ChEES every lane masks updates past its own
+        # l_steps, so the block only needs max-over-lanes iterations (mean
+        # realized L ~ leapfrog/2 under the vdc jitter — this is the ~2x
+        # the per-step path cannot recover); (b) during the forced-accept
+        # warm start w_prop := w_warm and no adaptation reads the
+        # trajectory, so it is skipped outright, as it is for the dead
+        # padding steps past `length`. Bitwise-identical outputs to the
+        # static-bound loop (pinned in tests/test_pallas_step.py).
+        if chees:
+            n_leap = jnp.max(l_steps).astype(jnp.int32)
+        else:
+            n_leap = jnp.int32(leapfrog)
+        n_leap = jnp.where(
+            jnp.logical_and(live, i >= warm_end), n_leap, 0
+        )
         w_end, p_end, _g_end = jax.lax.fori_loop(
-            0, leapfrog, leap, (w, p0, g_cur)
+            0, n_leap, leap, (w, p0, g_cur)
         )
         k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
         # --- warm start (forced accept below) -------------------------------
@@ -1186,10 +1203,17 @@ def fused_hmc_block_impl(
     assert c_pad % LANES == 0 and p_pad % 8 == 0
     n_blocks = c_pad // LANES
     chees = bool(cfg_scalars["chees"])
-    if chees and n_blocks != 1:
+    if chees and rung_sum.shape != (LANES, LANES):
+        # The rung-sum matmul couples lanes WITHIN a 128-lane block only;
+        # multi-block ensembles work when every block holds complete
+        # ladders (layout chain = ladder*K + rung with K | 128, checked by
+        # fused.fused_reason) — each block then adapts from its own
+        # LANES/K replicas and cfg_scalars["n_ladders"] is that per-block
+        # replica count. The caller supplies the per-block (128, 128)
+        # matrix either way.
         raise ValueError(
-            "fused ChEES needs the chain axis in ONE 128-lane block (its "
-            "rung sums couple lanes); got c_pad=%d" % c_pad
+            "fused ChEES needs a per-block (%d, %d) rung-sum matrix; got "
+            "%s" % (LANES, LANES, rung_sum.shape)
         )
     i_dim, h_dim, o_dim = topo
     w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim
@@ -1622,8 +1646,19 @@ def _hmc_cls_block_kernel(
                 g_n = jnp.where(upd, g_n, g_c)
             return (w_n, p_n, g_n)
 
+        # Dynamic trip count (see the regression kernel): run only to the
+        # max-over-lanes realized ChEES length, and skip the trajectory
+        # outright on forced-accept warm-start steps and dead padding
+        # steps. Bitwise-identical outputs to the static-bound loop.
+        if chees:
+            n_leap = jnp.max(l_steps).astype(jnp.int32)
+        else:
+            n_leap = jnp.int32(leapfrog)
+        n_leap = jnp.where(
+            jnp.logical_and(live, i >= warm_end), n_leap, 0
+        )
         w_end, p_end, _g_end = jax.lax.fori_loop(
-            0, leapfrog, leap, (w, p0, g_cur)
+            0, n_leap, leap, (w, p0, g_cur)
         )
         k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
         # --- warm start (forced accept below) -------------------------------
@@ -1783,10 +1818,11 @@ def fused_hmc_cls_block_impl(
     assert c_pad % LANES == 0 and p_pad % 8 == 0
     n_blocks = c_pad // LANES
     chees = bool(cfg_scalars["chees"])
-    if chees and n_blocks != 1:
+    if chees and rung_sum.shape != (LANES, LANES):
+        # Per-block rung sums — see fused_hmc_block_impl.
         raise ValueError(
-            "fused ChEES needs the chain axis in ONE 128-lane block (its "
-            "rung sums couple lanes); got c_pad=%d" % c_pad
+            "fused ChEES needs a per-block (%d, %d) rung-sum matrix; got "
+            "%s" % (LANES, LANES, rung_sum.shape)
         )
     i_dim, h_dim, o_dim = topo
     w_size = i_dim * h_dim + h_dim * o_dim + h_dim + o_dim

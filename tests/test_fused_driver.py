@@ -264,7 +264,8 @@ def test_fused_hmc_chees_sample_matches_perstep_statistically():
     assert np.all(np.isfinite(lt)) and np.std(lt) > 0.0
 
 
-def test_fused_hmc_chees_needs_single_lane_block():
+def test_fused_hmc_chees_needs_complete_ladders_per_block():
+    # 160 chains split a ladder across the 128-lane block boundary
     cfg = _cfg(
         proposal="hmc", hmc_adapt_traj=True, n_ladders=40,
         num_chains=160, maxtemp=5.0, swap_interval=10,
@@ -272,6 +273,9 @@ def test_fused_hmc_chees_needs_single_lane_block():
         swap_rule="metropolis", fused_step=True,
     )
     assert "128-lane" in fused.fused_reason(cfg)
+    # 256 chains = 2 blocks of 32 complete 4-rung ladders: allowed
+    cfg2 = dataclasses.replace(cfg, num_chains=256, n_ladders=64).validate()
+    assert fused.fused_reason(cfg2) is None
 
 
 @pytest.mark.slow
@@ -361,13 +365,23 @@ def test_fused_mesh_divisibility_gate():
     cfg = dataclasses.replace(_cfg(num_chains=8), fused_step=True).validate()
     reason = fused.fused_reason(cfg, mesh=mesh)
     assert reason is not None and "divisible" in reason
-    # ChEES stays single-device even when divisibility holds
+    # ChEES shards when every 128-lane block holds complete ladders
+    # (num_chains % 128 == 0, rungs_per_ladder | 128) ...
     cfg2 = _cfg(
         proposal="hmc", hmc_adapt_traj=True, n_ladders=64, num_chains=256,
         swap_interval=10, swap_style="even_odd", swap_payload="untempered",
         swap_rule="metropolis", fused_step=True,
     )
-    assert "128-lane" in fused.fused_reason(cfg2, mesh=mesh)
+    assert fused.fused_reason(cfg2, mesh=mesh) is None
+    # ... and is rejected when blocks would split ladders
+    cfg3 = dataclasses.replace(
+        cfg2, num_chains=192, n_ladders=48
+    ).validate()
+    assert "128-lane" in fused.fused_reason(cfg3, mesh=mesh)
+    cfg4 = dataclasses.replace(
+        cfg2, num_chains=384, n_ladders=32
+    ).validate()  # 12 rungs/ladder does not divide 128
+    assert "128-lane" in fused.fused_reason(cfg4, mesh=mesh)
 
 
 @pytest.mark.slow

@@ -945,6 +945,67 @@ def test_fused_hmc_block_matches_oracle(rng, chees):
     assert np.all(np.asarray(new_state["g_like"])[W:, :] == 0.0)
 
 
+def test_fused_hmc_chees_multiblock_matches_per_block_oracle(rng):
+    """Multi-block ChEES: 256 chains = 2 grid blocks, each holding 32
+    complete 4-rung ladders. The kernel's rung-sum matmul pools each
+    block's OWN replicas, so the whole run must equal two independent
+    single-block oracle replays (one per 128-lane half)."""
+    chains, k_max, length, start = 256, 12, 12, 0
+    p_pad, c_pad = 64, 2 * LANES
+    rungs = 4  # 32 ladders per 128-lane block
+    raw = _mk_data(rng)
+    data = ps.prep_data(*[jnp.asarray(a) for a in raw])
+    scal = dict(_hmc_scal(), n_ladders=LANES // rungs)
+    state = _mk_state_hmc(rng, c_pad, p_pad, chains, raw, scal)
+    noise_w = np.zeros((k_max, p_pad, c_pad), np.float32)
+    noise_w[:, :W, :] = rng.normal(size=(k_max, W, chains))
+    noise_eta = rng.normal(size=(k_max, c_pad)).astype(np.float32)
+    u = rng.uniform(size=(k_max, c_pad)).astype(np.float32)
+    ue = rng.uniform(size=(k_max, c_pad)).astype(np.float32)
+    uj = np.broadcast_to(
+        rng.uniform(size=(k_max, 1)).astype(np.float32), (k_max, c_pad)
+    ).copy()
+    ut = np.broadcast_to(
+        rng.uniform(size=(k_max, 1)).astype(np.float32), (k_max, c_pad)
+    ).copy()
+    # temperature by rung within each ladder (chain = ladder*K + rung)
+    adapttemp = np.tile(
+        np.geomspace(1.0, 4.0, rungs).astype(np.float32), chains // rungs
+    )[None, :]
+    rs = ps.rung_sum_matrix(LANES, rungs, LANES)
+
+    new_state, _traces = ps.fused_hmc_block_impl(
+        state, jnp.asarray(noise_w), jnp.asarray(noise_eta), jnp.asarray(u),
+        jnp.asarray(ue), jnp.asarray(uj), jnp.asarray(ut), rs, start, length,
+        data, jnp.asarray(adapttemp), TOPO, scal, record_w=False,
+        interpret=True,
+    )
+    for b in range(2):
+        lo, hi = b * LANES, (b + 1) * LANES
+        st_b = {k: jnp.asarray(np.asarray(v)[..., lo:hi])
+                for k, v in state.items()}
+        ora_state, _ = _oracle_hmc(
+            st_b, noise_w[..., lo:hi], noise_eta[:, lo:hi], u[:, lo:hi],
+            ue[:, lo:hi], uj[:, lo:hi], ut[:, lo:hi], start, length, raw,
+            adapttemp[:, lo:hi], scal, LANES,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_state["n_accept"])[0, lo:hi],
+            np.asarray(ora_state["n_accept"]), err_msg=f"block {b}",
+        )
+        for k in ("log_traj", "chees_m1", "chees_v2", "ll", "eta"):
+            np.testing.assert_allclose(
+                np.asarray(new_state[k])[0, lo:hi],
+                np.asarray(ora_state[k]),
+                rtol=5e-4, atol=5e-5, err_msg=f"{k} block {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(new_state["w"])[:W, lo:hi].T,
+            np.asarray(ora_state["w"]), rtol=5e-4, atol=5e-5,
+            err_msg=f"w block {b}",
+        )
+
+
 # ---------------------------------------------------------------------------
 # Fused preconditioned-MALA block, classification task, vs oracle.
 
