@@ -36,8 +36,21 @@ REF_LG = {
 SEEDS = [0, 1, 2, 3, 4]
 
 
+BIG = ("Cancer", "bank-additional", "PenDigit", "chess")
+
+
 def band(name: str, legacy: bool) -> str:
     prob = load_classification(name, seed=0)
+    # Big sets + LG: the literal per-sample epoch as a lax.scan is a
+    # multi-10M-iteration serial scan (hours: per-iteration dispatch
+    # dominates), and r3's bands substituted batch drift (PARITY.md +).
+    # The Pallas drift kernel (ops/pallas_drift.py) runs the SAME
+    # sequential delta-rule epoch VMEM-resident — the strict-parity
+    # sampler at ~10-30x the scan — so the full-budget bands now use the
+    # reference's actual drift. Seeds run as separate chunked launches
+    # (not one vmapped sweep) to keep every XLA execution under the
+    # tunneled worker's 60-90 s cap.
+    pallas_cell = legacy and name in BIG
     cfg = dataclasses.replace(
         ptnn.classification_preset(
             prob.topology, num_samples=50_000, legacy_lg=legacy
@@ -45,19 +58,32 @@ def band(name: str, legacy: bool) -> str:
         record_w=False,
         # fewer chunk executables: each compile is ~35 s of 1-core host
         # lowering; 3000-step chunks split the run at just the temper switch
-        chunk_steps=int(next((a.split("=")[1] for a in sys.argv if a.startswith("--chunk=")), 3000)),
-        # big sets: one vmapped 5-seed launch of the per-sample sequential
-        # drift is a 45M-iteration serial scan (bank) — hours on this
-        # backend; the fused batch drift stays an exact sampler (MH
-        # q-ratio) and is the documented mode for these cells
-        drift_mode=(
-            "batch"
-            if (legacy and name in ("Cancer", "bank-additional", "PenDigit", "chess"))
-            else "sequential"
-        ),
+        chunk_steps=int(next(
+            (a.split("=")[1] for a in sys.argv if a.startswith("--chunk=")),
+            250 if pallas_cell else 3000,
+        )),
+        drift_mode="pallas" if pallas_cell else "sequential",
     )
     t0 = time.time()
-    out = sweeps.seed_sweep(cfg, SEEDS, prob.train, prob.test)
+    if pallas_cell:
+        import numpy as _np
+
+        # seed_sweep's accumulator keeps rows with i >= burnin - 1
+        cold = int(cfg.samples_per_chain * cfg.burn_in) - 1
+        accs_m, accs_b, swaps, accepts = [], [], [], []
+        for seed in SEEDS:
+            res = ptnn.sample(cfg, prob.train, prob.test, seed=seed)
+            post = res.traces["acc_test"][cold:, :]
+            accs_m.append(float(_np.mean(post)))
+            accs_b.append(float(_np.max(post)))
+            swaps.append(res.swap_percent)
+            accepts.append(float(_np.mean(res.accept_ratio_per_chain)))
+        out = dict(
+            test_mean=_np.asarray(accs_m), test_best=_np.asarray(accs_b),
+            swap_pct=_np.asarray(swaps), accept_pct=_np.asarray(accepts),
+        )
+    else:
+        out = sweeps.seed_sweep(cfg, SEEDS, prob.train, prob.test)
     wall = (time.time() - t0) / 60.0
     ref_m, ref_b = (REF_LG if legacy else REF_RW)[name]
     mm, ms = float(np.mean(out["test_mean"])), float(np.std(out["test_mean"]))
