@@ -33,8 +33,10 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   ptnn/fused.py). Statistically the same chain (tested);
                   RNG stream differs, so its quality figures are an
                   independent draw, not a paired comparison.
-  * rw_adaptive — rw + per-chain Robbins-Monro step-size adaptation
-                  (formerly reported as "adaptive")
+  * rw_adaptive — RETIRED in r4: per-chain Robbins-Monro acceptance
+                  targeting shrinks the cold step at every target and
+                  halves cold ESS on the d=61 ladder
+                  (results/rw_adaptive.md)
   * lg_pallas   — reference Langevin proposals via the Pallas drift kernel
                   (opt-in via --full: its compile+run time pushes the default
                   bench past the tunneled backend's comfort zone)
@@ -130,9 +132,9 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
     out = {
         "rw": cfg,
         "rw_fused": dataclasses.replace(cfg, fused_step=True).validate(),
-        "rw_adaptive": dataclasses.replace(
-            cfg, adapt_step_size=True, adapt_rate=0.1
-        ).validate(),
+        # rw_adaptive retired (r4): Robbins-Monro acceptance targeting
+        # shrinks the cold step at every target and halves cold ESS on the
+        # d=61 ladder — results/rw_adaptive.md has the sweep and mechanism
         "mala": dataclasses.replace(
             cfg,
             proposal="precond_mala",
