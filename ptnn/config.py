@@ -452,6 +452,18 @@ class PTConfig:
     # (ptnn/rounds.py) needs joint (w, eta) cold-chain draws to fit the
     # z-reference; regression task only.
     record_eta: bool = False
+    # Keep every k-th trace row (1 = every step, the reference layout).
+    # Device-side: each chunk's scan output is strided BEFORE the host
+    # fetch, so a 1M-step run with thin=64 ships 64x fewer trace bytes
+    # over the wire — the enabling knob for convergence studies at
+    # 10^6-step budgets. Rows retained are the steps where
+    # (index-within-chunk + 1) % thin == 0; the init row 0 is always
+    # kept. Counters (accept%, swap%, pair stats) are exact regardless.
+    # Round-trip/replica diagnostics need swap-resolution traces — with
+    # track_replicas, thin must divide into the swap cadence story or the
+    # crossing counts undercount (validate() rejects the combination).
+    # Per-step sampler only; fused_step falls back with a warning.
+    record_thin: int = 1
     record_fx: bool = False  # record posterior-predictive traces (ldmcmc mode)
     # Record the post-MH post-swap UNTEMPERED state log-likelihood per rung
     # each step (trace key "ll_cur") — the per-rung expectations that
@@ -530,6 +542,16 @@ class PTConfig:
             raise ValueError("metropolis swap rule requires untempered payloads")
         if self.swap_style not in ("bubbling", "even_odd"):
             raise ValueError(f"unknown swap_style {self.swap_style!r}")
+        if self.record_thin < 1:
+            raise ValueError(
+                f"record_thin must be >= 1, got {self.record_thin}"
+            )
+        if self.record_thin > 1 and self.track_replicas:
+            raise ValueError(
+                "record_thin > 1 strides the replica trace below swap "
+                "resolution, silently undercounting round trips — run "
+                "transport diagnostics unthinned"
+            )
         if self.n_ladders < 1:
             raise ValueError(f"n_ladders must be >=1, got {self.n_ladders}")
         if self.num_chains % self.n_ladders:

@@ -103,6 +103,8 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
         return "fused_step excludes surrogate/variational-reference modes"
     if cfg.record_fx or cfg.record_ll_state:
         return "fused_step does not record fx/ll_cur traces"
+    if cfg.record_thin > 1:
+        return "fused_step does not thin traces (record_thin)"
     if cfg.eval_dtype != "float32":
         return "fused_step is float32-only"
     if mesh is not None:

@@ -208,10 +208,20 @@ def sample(
                 jax.random.fold_in(k_close, done),
             )
 
+    thin = cfg.record_thin
+
     def _run_chunk(st, start, length):
         keys = _step_keys(k_run, start, length)
         idx = start + jnp.arange(length)
-        return jax.lax.scan(step, st, (idx, keys), unroll=cfg.scan_unroll)
+        st, traces = jax.lax.scan(
+            step, st, (idx, keys), unroll=cfg.scan_unroll
+        )
+        if thin > 1:
+            # device-side trace striding (cfg.record_thin): keep rows at
+            # local positions thin-1, 2*thin-1, ... BEFORE the host fetch,
+            # so long runs ship thin-x fewer trace bytes over the wire
+            traces = {k: v[thin - 1 :: thin] for k, v in traces.items()}
+        return st, traces
 
     if mesh is not None:
         run_chunk = jax.jit(

@@ -136,3 +136,45 @@ def test_record_w_off(sunspot):
     res = sample(cfg, *sunspot, seed=0)
     assert "w" not in res.traces
     assert res.traces["ll"].shape[0] == cfg.samples_per_chain
+
+
+def test_record_thin_strides_traces(sunspot):
+    """record_thin keeps every k-th row of the SAME chain: thinned traces
+    equal the unthinned run's rows at steps thin-1, 2*thin-1, ... and the
+    final state is bit-identical (thinning is pure trace selection)."""
+    from ptnn.sampler import _pick_chunk
+
+    cfg_full = small_reg_cfg()
+    cfg_thin = dataclasses.replace(cfg_full, record_thin=4).validate()
+    res_f = sample(cfg_full, *sunspot, seed=3)
+    res_t = sample(cfg_thin, *sunspot, seed=3)
+    # expected retained steps: local positions thin-1, 2*thin-1, ... within
+    # each executed chunk (replicate the sampler's segment/chunk plan)
+    n, switch = cfg_full.n_steps, cfg_full.temper_switch_step
+    segs = [(0, switch), (switch, n)] if 0 < switch < n else [(0, n)]
+    target = max(1, min(cfg_full.chunk_steps, n))
+    steps = []
+    for a, b in segs:
+        chunk = _pick_chunk(b - a, target)
+        done = a
+        while done < b:
+            length = min(chunk, b - done)
+            steps.extend(range(done + 3, done + length, 4))
+            done += length
+    rows = [s + 1 for s in steps]  # merged traces: row = step + 1
+    assert res_t.traces["ll"].shape[0] == len(rows) + 1  # + init row
+    for k in res_t.traces:
+        np.testing.assert_array_equal(
+            res_t.traces[k][1:], res_f.traces[k][rows], err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res_t.final_state.w), np.asarray(res_f.final_state.w)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_t.final_state.ll), np.asarray(res_f.final_state.ll)
+    )
+
+
+def test_record_thin_rejects_replica_tracking():
+    with pytest.raises(ValueError, match="record_thin"):
+        small_reg_cfg(record_thin=4, track_replicas=True)
