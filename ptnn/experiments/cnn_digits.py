@@ -266,10 +266,14 @@ def main(argv=None) -> None:
         # the statistically meaningful posterior summary: the R independent
         # cold (T=1) chains pooled, vs the whole-ladder pool above
         cold = results_mod.summarize(res, prob.name, cold_only=True)
-        print(
+        line = (
             f"[{prob.name}] cold chains x{args.ladders}: "
             f"test_acc mean={cold.test_mean:.2f} max={cold.test_best:.2f}"
         )
+        print(line)
+        # committed receipt for the cold-pooled headline (VERDICT r3 item 5)
+        with open(os.path.join(path, "cold_summary.txt"), "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
