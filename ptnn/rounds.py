@@ -37,6 +37,7 @@ is observable, in the spirit of the NRPT diagnostics.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, List, NamedTuple, Optional, Sequence
 
 import jax
@@ -174,6 +175,21 @@ def run_rounds(
     if cfg.fused_step:
         raise ValueError(
             "fused_step does not support the VR path (fused.runtime_reason)"
+        )
+    if cfg.w_size >= 40:
+        # Measured scope limit, not a guess: on the reference d=61 net the
+        # Gaussian families transport ZERO cold<->hot round trips at 16,
+        # 32 AND 64 rungs while retained cold states sit ~10^5 log-units
+        # outside every refit reference (results/vref_rounds.md, round-4
+        # extension) — the family cannot cover the weight posterior's mode
+        # structure, and adding rungs subdivides a path that is infeasible
+        # at its endpoint. Plain prior-anchored PT transports better on
+        # every ladder size tried.
+        warnings.warn(
+            f"rounds-VR with a Gaussian reference at w_size={cfg.w_size}: "
+            "measured transport value is NEGATIVE on d>=40 neural "
+            "posteriors (zero round trips, huge reference staleness — "
+            "results/vref_rounds.md); prefer plain prior-anchored PT here"
         )
     budgets = round_budgets(
         cfg.samples_per_chain, n_rounds, min_round_samples
