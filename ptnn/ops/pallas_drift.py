@@ -133,6 +133,17 @@ def _from_planes(w1, b1, w2, b2, topo: Tuple[int, int, int]):
     )
 
 
+# Per-call SMEM budget for the (N, I) inputs + (N, O) targets. Mosaic
+# rejects kernels whose scalar-memory operands exceed ~128-192 KB (measured
+# on v5e: PenDigit's 7494x16 inputs crash the compile helper; <=1000 rows
+# compile fine), so epochs over larger datasets split into row blocks at
+# the wrapper level — the sequential delta-rule semantics are unchanged
+# because the blocks run in dataset order with the weights threaded
+# through (one lax.scan over equal-size blocks + one remainder call, so
+# only two kernel shapes compile per dataset).
+_MAX_SMEM_ROW_BYTES = 96 * 1024
+
+
 def sgd_epoch_sequential_pallas_impl(
     w: jax.Array,
     x: jax.Array,
@@ -144,7 +155,57 @@ def sgd_epoch_sequential_pallas_impl(
 ) -> jax.Array:
     """Drop-in chain-batched replacement for
     ``vmap(drift.sgd_epoch_sequential)``: ``w`` (C, w_size) -> (C, w_size).
+
+    Epochs over datasets whose row inputs exceed the SMEM budget run as a
+    sequence of row-block kernel calls in dataset order (see
+    _MAX_SMEM_ROW_BYTES); ``depth`` repeats the full-epoch sequence.
     """
+    n_rows = x.shape[0]
+    row_bytes = 4 * (x.shape[1] + t.shape[1])
+    # Empirical Mosaic limits (v5e): the byte budget binds for wide rows
+    # (bank's 51-feature rows fail past ~460), and a row-count cliff near
+    # ~1020 binds for narrow rows regardless of bytes ((6,25,10) compiles
+    # at 1016 rows and crashes at 1020 with only 65 KB of SMEM operands).
+    # 768 keeps a wide margin under both; per-call overhead (~20-50 us)
+    # stays <10% of a 768-row block's work.
+    max_rows = max(64, min(768, _MAX_SMEM_ROW_BYTES // row_bytes))
+    if n_rows > max_rows:
+        q, r = divmod(n_rows, max_rows)
+        one = functools.partial(
+            _pallas_epoch_call, topo=topo, lrate=lrate, interpret=interpret
+        )
+        for _ in range(depth):
+            if q >= 2:
+                xb = x[: q * max_rows].reshape(q, max_rows, x.shape[1])
+                tb = t[: q * max_rows].reshape(q, max_rows, t.shape[1])
+                w = jax.lax.scan(
+                    lambda wc, blk: (one(wc, blk[0], blk[1]), None),
+                    w, (xb, tb),
+                )[0]
+            else:
+                for b in range(q):
+                    w = one(
+                        w,
+                        x[b * max_rows : (b + 1) * max_rows],
+                        t[b * max_rows : (b + 1) * max_rows],
+                    )
+            if r:
+                w = one(w, x[q * max_rows :], t[q * max_rows :])
+        return w
+    return _pallas_epoch_call(
+        w, x, t, topo=topo, lrate=lrate, depth=depth, interpret=interpret
+    )
+
+
+def _pallas_epoch_call(
+    w: jax.Array,
+    x: jax.Array,
+    t: jax.Array,
+    topo: Tuple[int, int, int],
+    lrate: float,
+    depth: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
     i, h, o = topo
     c = w.shape[0]
     n = x.shape[0]

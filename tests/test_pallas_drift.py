@@ -62,3 +62,33 @@ def test_sampler_with_pallas_drift_mode(monkeypatch):
         r_seq.final_state.n_accept.astype(int) - r_pal.final_state.n_accept.astype(int)
     )
     assert n_diff.max() <= 3
+
+
+def test_pallas_epoch_row_block_split_matches_scan(rng):
+    """Datasets past the SMEM row budget split into sequential row-block
+    kernel calls (plus a remainder); the epoch must equal the unsplit
+    scan bitwise-modulo-float-assoc, including depth > 1."""
+    import jax.numpy as jnp
+
+    from ptnn.ops import pallas_drift as pd
+
+    topo = (4, 6, 3)
+    n = 2000  # > the 768-row cap -> 2 full blocks + remainder
+    x = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    y = rng.integers(0, 3, size=(n,)).astype(np.float32)
+    t = drift.make_targets(jnp.asarray(y), 3, "classification")
+    from ptnn.models import fnn as fnn_mod
+    w = jnp.asarray(rng.normal(size=(5, fnn_mod.w_size(topo))), jnp.float32) * 0.2
+    for depth in (1, 2):
+        ref = w
+        for _ in range(depth):
+            ref = jax.vmap(
+                lambda wi: drift.sgd_epoch_sequential(wi, x, t, topo, 0.05)
+            )(ref)
+        got = pd.sgd_epoch_sequential_pallas(
+            w, x, t, topo, 0.05, depth=depth, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6,
+            err_msg=f"depth={depth}",
+        )
