@@ -224,6 +224,26 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
             step_w=0.01,
             fused_step=True,
         ).validate(),
+        # chip-saturating flagship: 1024 chains = 8 full lane blocks of 32
+        # ladders each. Blocks serialize on the single TensorCore, so total
+        # steps/s saturates (~3.4M) and pooled ESS/s gains taper: 41.7k
+        # (256 chains) -> ~46k here (results/ensemble_scaling_fused.md)
+        "chees16_fused_256x4": dataclasses.replace(
+            cfg,
+            proposal="hmc",
+            hmc_leapfrog=16,
+            hmc_adapt_traj=True,
+            n_ladders=256,
+            num_chains=1024,
+            num_samples=1024 * steps_per_chain,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            step_w=0.01,
+            fused_step=True,
+        ).validate(),
     }
     if full:
         out["lg_pallas"] = dataclasses.replace(
