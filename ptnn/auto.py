@@ -67,7 +67,11 @@ class AutoReport:
     config: PTConfig  # the production config actually run
     tune: tuning.TuneResult  # pilot history (per-round rejection profiles)
     decisions: Dict[str, str]  # choice -> the measurement/reason behind it
-    # Cross-seed replication gate (None when replicate < 2):
+    # Cross-seed replication gate (None when replicate < 2). For the
+    # default FNN this is the FUNCTION-SPACE R-hat (predictions at 16 test
+    # inputs across seeds) — w-space R-hat conflates weight symmetry with
+    # predictive disagreement (results/convergence_definitive.md); custom
+    # model specs fall back to the parameter-space statistic:
     rhat_cold_max: Optional[float]
     verdict: str  # "mixed" | "marginal" | "metastable" (convergence.md bands)
     # Quality (reference metric semantics, results.summarize):
@@ -454,15 +458,32 @@ def auto_sample(
         draws = colds[0].shape[0]
         ess_s = (ess / draws) * (sps_med / cfg.num_chains)
         if len(seeds) >= 2:
-            # the S seed runs stacked as chains of the same cold posterior —
-            # worst rank-normalized split R-hat over 8 sampled parameters
-            pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
-            rhat = max(
-                ess_mod.split_rhat(
-                    np.stack([c[:, 0, j] for c in colds], axis=1)
+            if model_spec is None:
+                # THE gate is function-space: forward every cold-rung-0
+                # draw at 16 spread test inputs and R-hat the predictions
+                # across seeds. w-space R-hat conflates weight-symmetry
+                # multimodality with predictive disagreement
+                # (results/convergence_definitive.md: w 1.4-2.5 vs
+                # function-space 1.004 on converged runs)
+                from ptnn.experiments.runner import _function_space_rhat
+
+                class _P:  # runner helper wants a .test matrix
+                    pass
+
+                _p = _P()
+                _p.test = test
+                rhat = _function_space_rhat(
+                    [c[:, 0, :] for c in colds], _p, cfg
                 )
-                for j in pidx
-            )
+            else:
+                # custom model specs keep the parameter-space gate
+                pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
+                rhat = max(
+                    ess_mod.split_rhat(
+                        np.stack([c[:, 0, j] for c in colds], axis=1)
+                    )
+                    for j in pidx
+                )
             verdict = (
                 "mixed" if rhat < 1.01
                 else ("marginal" if rhat < 1.1 else "metastable")

@@ -14,6 +14,39 @@ from ptnn.parallel import mesh as mesh_mod
 from ptnn import results as results_mod
 
 
+def _function_space_rhat(colds, prob, cfg, n_points: int = 16) -> float:
+    """Worst rank-normalized split R-hat over posterior-PREDICTIVE
+    coordinates: forward-pass every recorded cold draw at ``n_points``
+    test inputs (reference FNN forward) and stack the seed runs as chains.
+
+    This is THE replication gate: w-space R-hat conflates weight-symmetry
+    multimodality with predictive disagreement — on converged d=61 runs it
+    reads 1.4-2.5 while the predictive posterior agrees to 1.004
+    (results/convergence_definitive.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptnn.models import fnn
+    from ptnn.ops import ess as ess_mod
+
+    i_dim = cfg.topology[0]
+    xi = np.linspace(0, prob.test.shape[0] - 1, n_points).astype(int)
+    x_pts = jnp.asarray(prob.test[xi, :i_dim], jnp.float32)
+    fwd = jax.jit(
+        jax.vmap(lambda wi: fnn.forward(wi, x_pts, cfg.topology)[:, 0])
+    )
+    preds = []
+    for c in colds:  # (draws, w) per seed; thin to bound the fx cost
+        step = max(1, c.shape[0] // 2000)
+        preds.append(np.asarray(fwd(jnp.asarray(c[::step]))))
+    n = min(p.shape[0] for p in preds)
+    stack = np.stack([p[:n] for p in preds], axis=1)  # (n, seeds, points)
+    return max(
+        ess_mod.split_rhat(stack[:, :, j]) for j in range(stack.shape[2])
+    )
+
+
 def run_problem(
     prob: Problem,
     cfg: PTConfig,
@@ -167,15 +200,26 @@ def run_problem(
         # worst rank-normalized split R-hat over sampled parameters, the S
         # seed runs stacked as chains of the same cold posterior
         pidx = np.linspace(0, colds[0].shape[1] - 1, 8).astype(int)
-        rhat = max(
+        rhat_w = max(
             ess_mod.split_rhat(np.stack([c[:, j] for c in colds], axis=1))
             for j in pidx
         )
+        # THE gate is function-space: forward every cold draw at 16 spread
+        # test inputs and R-hat the predictions. w-space R-hat conflates
+        # weight-symmetry multimodality with predictive disagreement —
+        # results/convergence_definitive.md measured w-space 1.4-2.5 on
+        # runs whose predictive posterior agrees to R-hat 1.004
+        rhat = _function_space_rhat(colds, prob, cfg)
         with open(os.path.join(path, "replication.txt"), "w") as f:
             f.write(
                 f"# {replicate} independent replications, seeds "
                 f"{seed}..{seed + replicate - 1}; post-burn-in rows {b}..\n"
+                "# rhat_cold_max is the FUNCTION-SPACE gate (predictions at "
+                "16 test inputs);\n# rhat_w_max is the raw-parameter R-hat, "
+                "kept as a symmetry/metastability diagnostic\n"
                 f"rhat_cold_max {rhat:.4f}\n"
+                f"rhat_fn_max {rhat:.4f}\n"
+                f"rhat_w_max {rhat_w:.4f}\n"
                 f"test_pooled_mean {np.mean(pooled):.6f}\n"
                 f"test_pooled_std {np.std(pooled):.6f}\n"
                 f"test_cold_mean {np.mean(cold_m):.6f}\n"
