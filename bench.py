@@ -77,13 +77,18 @@ Variants (canonical names — COVERAGE/README cite this file's output):
                   kinetic-energy MH, in-kernel ChEES rung-sum adaptation;
                   one invocation per 10-step DEO interval). Same sampler
                   (oracle-pinned). Heavy one-time Mosaic compile.
-  * chees16_fused_64x4 — THE FLAGSHIP: the same fused ChEES-HMC sampler
-                  on 64 replicated 4-rung ladders (256 chains = two full
+  * chees16_fused_64x4 — the same fused ChEES-HMC sampler on 64
+                  replicated 4-rung ladders (256 chains = two full
                   128-lane kernel blocks, each holding 32 complete ladders
                   with per-block rung-sum adaptation). Full lanes ~double
                   total steps/s over the half-empty 64-chain block and 64
-                  independent cold chains pool ESS; wins the quality-gated
-                  selection on both axes at once.
+                  independent cold chains pool ESS.
+  * chees16_fused_256x4 — THE FLAGSHIP: the chip-saturating 1024-chain
+                  ensemble (8 lane blocks x 32 ladders; total steps/s
+                  saturates ~3.4M as grid blocks serialize on the single
+                  TensorCore) — ~46k pooled cold ESS/s at cold RMSE
+                  ~0.0102; wins the quality-gated selection on both axes
+                  at once (results/ensemble_scaling_fused.md).
 
 Flagship selection: highest pooled cold ESS/s SUBJECT TO cold-posterior
 RMSE <= the reference quality bar — committed Sunspot RW test RMSE 0.0239
