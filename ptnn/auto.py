@@ -459,10 +459,13 @@ def auto_sample(
         ess_s = (ess / draws) * (sps_med / cfg.num_chains)
         if len(seeds) >= 2:
             if model_spec is None:
-                # THE gate is function-space: forward every cold-rung-0
-                # draw at 16 spread test inputs and R-hat the predictions
-                # across seeds. w-space R-hat conflates weight-symmetry
-                # multimodality with predictive disagreement
+                # THE gate is function-space AND pooled: forward every
+                # recorded cold draw (ALL R cold replicas per seed,
+                # time-major so split halves = early-vs-late) at 16 test
+                # inputs and R-hat the predictions across seeds — the
+                # POOLED cold posterior is what auto serves, and w-space
+                # R-hat conflates weight-symmetry multimodality with
+                # predictive disagreement
                 # (results/convergence_definitive.md: w 1.4-2.5 vs
                 # function-space 1.004 on converged runs)
                 from ptnn.experiments.runner import _function_space_rhat
@@ -473,7 +476,7 @@ def auto_sample(
                 _p = _P()
                 _p.test = test
                 rhat = _function_space_rhat(
-                    [c[:, 0, :] for c in colds], _p, cfg
+                    [c.reshape(-1, c.shape[-1]) for c in colds], _p, cfg
                 )
             else:
                 # custom model specs keep the parameter-space gate

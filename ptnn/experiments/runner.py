@@ -185,16 +185,22 @@ def run_problem(
 
         from ptnn.ops import ess as ess_mod
 
-        # cold-chain-only pos_w traces keep the host fetch small at any
-        # chain count; everything else inherits the experiment config
+        # cold-chains-only pos_w traces keep the host fetch small at any
+        # chain count (ALL cold rungs under replicated ladders — the gate
+        # below scores the POOLED cold posterior the run serves);
+        # everything else inherits the experiment config
         rep_cfg = dataclasses.replace(
-            cfg, record_w=True, record_w_chains=1, record_fx=False
+            cfg, record_w=True,
+            record_w_chains=max(1, cfg.n_ladders), record_fx=False,
         ).validate()
         b = int(rep_cfg.samples_per_chain * rep_cfg.burn_in)
         colds, pooled, cold_m = [], [], []
         for s in range(replicate):
             r = sample(rep_cfg, prob.train, prob.test, seed=seed + s, mesh=mesh)
-            colds.append(np.asarray(r.traces["w"][b:, 0, :]))
+            # (draws, R, w) -> time-major pooled (draws*R, w): split
+            # halves stay early-vs-late
+            cw = np.asarray(r.traces["w"][b:, :, :])
+            colds.append(cw.reshape(-1, cw.shape[-1]))
             pooled.append(float(np.mean(r.traces["rmse_test"][b:, :])))
             cold_m.append(float(np.mean(r.traces["rmse_test"][b:, 0])))
         # worst rank-normalized split R-hat over sampled parameters, the S
