@@ -475,9 +475,7 @@ def auto_sample(
 
                 _p = _P()
                 _p.test = test
-                rhat = _function_space_rhat(
-                    [c.reshape(-1, c.shape[-1]) for c in colds], _p, cfg
-                )
+                rhat = _function_space_rhat(colds, _p, cfg)
             else:
                 # custom model specs keep the parameter-space gate
                 pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)

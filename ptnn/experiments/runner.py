@@ -37,9 +37,16 @@ def _function_space_rhat(colds, prob, cfg, n_points: int = 16) -> float:
         jax.vmap(lambda wi: fnn.forward(wi, x_pts, cfg.topology)[:, 0])
     )
     preds = []
-    for c in colds:  # (draws, w) per seed; thin to bound the fx cost
-        step = max(1, c.shape[0] // 2000)
-        preds.append(np.asarray(fwd(jnp.asarray(c[::step]))))
+    for c in colds:  # (draws, w) or (draws, R, w) per seed
+        if c.ndim == 3:
+            # thin along the DRAW axis before pooling the R replicas
+            # (thinning the pooled time-major rows with a stride that is a
+            # multiple of R silently selects one replica — aliasing)
+            step = max(1, c.shape[0] // max(1, 2000 // c.shape[1]))
+            c = c[::step].reshape(-1, c.shape[-1])
+        else:
+            c = c[:: max(1, c.shape[0] // 2000)]
+        preds.append(np.asarray(fwd(jnp.asarray(c))))
     n = min(p.shape[0] for p in preds)
     stack = np.stack([p[:n] for p in preds], axis=1)  # (n, seeds, points)
     return max(
@@ -197,17 +204,18 @@ def run_problem(
         colds, pooled, cold_m = [], [], []
         for s in range(replicate):
             r = sample(rep_cfg, prob.train, prob.test, seed=seed + s, mesh=mesh)
-            # (draws, R, w) -> time-major pooled (draws*R, w): split
-            # halves stay early-vs-late
-            cw = np.asarray(r.traces["w"][b:, :, :])
-            colds.append(cw.reshape(-1, cw.shape[-1]))
+            colds.append(np.asarray(r.traces["w"][b:, :, :]))
             pooled.append(float(np.mean(r.traces["rmse_test"][b:, :])))
             cold_m.append(float(np.mean(r.traces["rmse_test"][b:, 0])))
         # worst rank-normalized split R-hat over sampled parameters, the S
         # seed runs stacked as chains of the same cold posterior
-        pidx = np.linspace(0, colds[0].shape[1] - 1, 8).astype(int)
+        pidx = np.linspace(0, colds[0].shape[-1] - 1, 8).astype(int)
         rhat_w = max(
-            ess_mod.split_rhat(np.stack([c[:, j] for c in colds], axis=1))
+            ess_mod.split_rhat(
+                np.stack(
+                    [c.reshape(-1, c.shape[-1])[:, j] for c in colds], axis=1
+                )
+            )
             for j in pidx
         )
         # THE gate is function-space: forward every cold draw at 16 spread
