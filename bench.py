@@ -328,7 +328,7 @@ def main() -> None:
             )
             b = ess_cfg.samples_per_chain // 2
             cold = np.asarray(res.traces["w"][b:, :, :])  # recorded = cold
-            cold_seeds.append(cold[:, 0, :])
+            cold_seeds.append(cold)
             draws = cold.shape[0]
             e = ess_mod.pooled_multi_ess(cold, max_params=16)
             ess_draws.append(e)
@@ -346,18 +346,21 @@ def main() -> None:
             "value": round(e_med, 1),
             "iqr": [round(x, 1) for x in e_iqr],
         }
-        # cross-seed convergence gate: the 3 independent seed runs are 3
-        # chains of the same cold posterior — worst rank-normalized split
-        # R-hat over sampled parameters (ops/ess.split_rhat; ~1.00 = mixed)
-        pidx = np.linspace(0, cold_seeds[0].shape[1] - 1, 8).astype(int)
+        # cross-seed convergence gate, FUNCTION-SPACE and pooled (r4): the
+        # 3 seed runs are 3 chains of the same served cold posterior —
+        # worst rank-normalized split R-hat of the posterior predictions
+        # at 16 test inputs, all cold replicas pooled per seed (w-space
+        # R-hat conflates weight symmetry with predictive disagreement,
+        # results/convergence_definitive.md; runner._function_space_rhat)
+        from ptnn.experiments.runner import _function_space_rhat
+
+        class _P:
+            pass
+
+        _p = _P()
+        _p.test = prob.test
         rhat_cold[tag] = round(
-            max(
-                ess_mod.split_rhat(
-                    np.stack([c[:, j] for c in cold_seeds], axis=1)
-                )
-                for j in pidx
-            ),
-            3,
+            float(_function_space_rhat(cold_seeds, _p, ess_cfg)), 3
         )
         # replica round trips per 1k steps (ops/roundtrip.py): actual
         # cold<->hot transport, which swap% alone cannot certify
