@@ -41,8 +41,11 @@ def _function_space_rhat(colds, prob, cfg, n_points: int = 16) -> float:
         if c.ndim == 3:
             # thin along the DRAW axis before pooling the R replicas
             # (thinning the pooled time-major rows with a stride that is a
-            # multiple of R silently selects one replica — aliasing)
-            step = max(1, c.shape[0] // max(1, 2000 // c.shape[1]))
+            # multiple of R silently selects one replica — aliasing).
+            # Keep >=32 draws per replica: at R=256 a flat 2000-row target
+            # leaves 7 draws each, which reads as R-hat noise
+            target = max(2000, 32 * c.shape[1])
+            step = max(1, c.shape[0] // max(1, target // c.shape[1]))
             c = c[::step].reshape(-1, c.shape[-1])
         else:
             c = c[:: max(1, c.shape[0] // 2000)]
