@@ -576,3 +576,22 @@ def test_oracle_pt_classification_agrees_with_ptnn_stale_mode():
     assert abs(o["accept_pct"] - accept_p) < 15.0, (o["accept_pct"], accept_p)
     assert abs(o["swap_pct"] - res.swap_percent) < 25.0, (
         o["swap_pct"], res.swap_percent)
+
+
+def test_bench_flagship_quality_gate():
+    """The bench flagship maximizes ESS/s SUBJECT TO the cold-RMSE gate
+    (VERDICT r3 item 1a): throughput alone cannot win, and an empty
+    eligible set yields None rather than an ungated pick."""
+    import bench
+
+    ess = {
+        "fast_bad": {"value": 60_000.0},
+        "good": {"value": 40_000.0},
+        "slow_good": {"value": 10_000.0},
+    }
+    rmse = {"fast_bad": 0.0254, "good": 0.0102, "slow_good": 0.0110}
+    assert bench.pick_flagship(ess, rmse, 0.0239) == "good"
+    # gate tight enough to exclude everything -> None, not a fallback
+    assert bench.pick_flagship(ess, rmse, 0.005) is None
+    # gate wide open -> raw throughput wins
+    assert bench.pick_flagship(ess, rmse, 1.0) == "fast_bad"
