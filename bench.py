@@ -365,16 +365,12 @@ def main() -> None:
         # worst rank-normalized split R-hat of the posterior predictions
         # at 16 test inputs, all cold replicas pooled per seed (w-space
         # R-hat conflates weight symmetry with predictive disagreement,
-        # results/convergence_definitive.md; runner._function_space_rhat)
-        from ptnn.experiments.runner import _function_space_rhat
-
-        class _P:
-            pass
-
-        _p = _P()
-        _p.test = prob.test
+        # results/convergence_definitive.md; ops/ess.function_space_rhat)
         rhat_cold[tag] = round(
-            float(_function_space_rhat(cold_seeds, _p, ess_cfg)), 3
+            float(
+                ess_mod.function_space_rhat(cold_seeds, prob.test, ess_cfg)
+            ),
+            3,
         )
         # replica round trips per 1k steps (ops/roundtrip.py): actual
         # cold<->hot transport, which swap% alone cannot certify
@@ -397,6 +393,13 @@ def main() -> None:
     head_tag = max(("rw", "rw_fused"), key=lambda t: _median_iqr(reps[t])[0])
     value, iqr = _median_iqr(reps[head_tag])
     baseline = 370.0  # aggregate chain-steps/sec, 10-proc CPU reference
+    # per-variant notes FIRST (stderr), canonical JSON line LAST: the
+    # driver tails the combined output, so the machine-readable record
+    # must be the final thing printed (BENCH_r03/r04 carried parsed:null
+    # because the notes used to follow the JSON — VERDICT r4 item 6)
+    for n in notes:
+        print("# " + n, file=sys.stderr)
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -428,10 +431,9 @@ def main() -> None:
                     "basis": "ref Sunspot RW committed test RMSE",
                 },
             }
-        )
+        ),
+        flush=True,
     )
-    for n in notes:
-        print("# " + n, file=sys.stderr)
 
 
 def scaling() -> None:

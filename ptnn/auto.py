@@ -468,14 +468,7 @@ def auto_sample(
                 # predictive disagreement
                 # (results/convergence_definitive.md: w 1.4-2.5 vs
                 # function-space 1.004 on converged runs)
-                from ptnn.experiments.runner import _function_space_rhat
-
-                class _P:  # runner helper wants a .test matrix
-                    pass
-
-                _p = _P()
-                _p.test = test
-                rhat = _function_space_rhat(colds, _p, cfg)
+                rhat = ess_mod.function_space_rhat(colds, test, cfg)
             else:
                 # custom model specs keep the parameter-space gate
                 pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)

@@ -15,46 +15,12 @@ from ptnn import results as results_mod
 
 
 def _function_space_rhat(colds, prob, cfg, n_points: int = 16) -> float:
-    """Worst rank-normalized split R-hat over posterior-PREDICTIVE
-    coordinates: forward-pass every recorded cold draw at ``n_points``
-    test inputs (reference FNN forward) and stack the seed runs as chains.
-
-    This is THE replication gate: w-space R-hat conflates weight-symmetry
-    multimodality with predictive disagreement — on converged d=61 runs it
-    reads 1.4-2.5 while the predictive posterior agrees to 1.004
-    (results/convergence_definitive.md)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ptnn.models import fnn
+    """Back-compat shim: the replication gate lives at
+    ``ptnn.ops.ess.function_space_rhat`` (takes the test matrix directly,
+    gates ALL output dimensions)."""
     from ptnn.ops import ess as ess_mod
 
-    i_dim = cfg.topology[0]
-    xi = np.linspace(0, prob.test.shape[0] - 1, n_points).astype(int)
-    x_pts = jnp.asarray(prob.test[xi, :i_dim], jnp.float32)
-    fwd = jax.jit(
-        jax.vmap(lambda wi: fnn.forward(wi, x_pts, cfg.topology)[:, 0])
-    )
-    preds = []
-    for c in colds:  # (draws, w) or (draws, R, w) per seed
-        if c.ndim == 3:
-            # thin along the DRAW axis before pooling the R replicas
-            # (thinning the pooled time-major rows with a stride that is a
-            # multiple of R silently selects one replica — aliasing).
-            # Keep >=32 draws per replica: at R=256 a flat 2000-row target
-            # leaves 7 draws each, which reads as R-hat noise
-            target = max(2000, 32 * c.shape[1])
-            step = max(1, c.shape[0] // max(1, target // c.shape[1]))
-            c = c[::step].reshape(-1, c.shape[-1])
-        else:
-            c = c[:: max(1, c.shape[0] // 2000)]
-        preds.append(np.asarray(fwd(jnp.asarray(c))))
-    n = min(p.shape[0] for p in preds)
-    stack = np.stack([p[:n] for p in preds], axis=1)  # (n, seeds, points)
-    return max(
-        ess_mod.split_rhat(stack[:, :, j]) for j in range(stack.shape[2])
-    )
+    return ess_mod.function_space_rhat(colds, prob.test, cfg, n_points)
 
 
 def run_problem(

@@ -87,6 +87,59 @@ def split_rhat(x: np.ndarray, rank_normalize: bool = True) -> float:
     return max(bulk, folded)
 
 
+def function_space_rhat(
+    colds, test: np.ndarray, cfg, n_points: int = 16
+) -> float:
+    """Worst rank-normalized split R-hat over posterior-PREDICTIVE
+    coordinates: forward-pass every recorded cold draw at ``n_points``
+    test inputs (reference FNN forward) and stack the seed runs as chains.
+
+    This is THE replication gate: w-space R-hat conflates weight-symmetry
+    multimodality with predictive disagreement — on converged d=61 runs it
+    reads 1.4-2.5 while the predictive posterior agrees to 1.004
+    (results/convergence_definitive.md).
+
+    ``colds``: one array per seed run, (draws, W) or (draws, R, W) —
+    the R cold replicas of a replicated-ladder run are pooled per seed
+    (time-major, so split halves = early-vs-late draws).
+    ``test``: the (N, n_in + ...) test matrix; inputs are the first
+    ``cfg.topology[0]`` columns. ALL output dimensions are gated (max
+    over points x outputs): classification nets have n_classes sigmoid
+    outputs, and gating only column 0 would monitor a single class
+    logit rather than the predictive posterior.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ptnn.models import fnn
+
+    i_dim = cfg.topology[0]
+    test = np.asarray(test)
+    xi = np.linspace(0, test.shape[0] - 1, n_points).astype(int)
+    x_pts = jnp.asarray(test[xi, :i_dim], jnp.float32)
+    fwd = jax.jit(
+        jax.vmap(lambda wi: fnn.forward(wi, x_pts, cfg.topology).reshape(-1))
+    )
+    preds = []
+    for c in colds:  # (draws, w) or (draws, R, w) per seed
+        c = np.asarray(c)
+        if c.ndim == 3:
+            # thin along the DRAW axis before pooling the R replicas
+            # (thinning the pooled time-major rows with a stride that is a
+            # multiple of R silently selects one replica — aliasing).
+            # Keep >=32 draws per replica: at R=256 a flat 2000-row target
+            # leaves 7 draws each, which reads as R-hat noise
+            target = max(2000, 32 * c.shape[1])
+            step = max(1, c.shape[0] // max(1, target // c.shape[1]))
+            c = c[::step].reshape(-1, c.shape[-1])
+        else:
+            c = c[:: max(1, c.shape[0] // 2000)]
+        preds.append(np.asarray(fwd(jnp.asarray(c))))
+    n = min(p.shape[0] for p in preds)
+    stack = np.stack([p[:n] for p in preds], axis=1)  # (n, seeds, pts*out)
+    return max(split_rhat(stack[:, :, j]) for j in range(stack.shape[2]))
+
+
 def multi_ess(samples: np.ndarray, max_params: int = 64) -> float:
     """Mean ESS across (a subset of) parameter traces.
 

@@ -910,7 +910,7 @@ def _hmc_block_kernel(
     lsw_ref, lse_ref,  # (1, C) log w-scale / log eta-scale
     gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
     lt_ref, m1_ref, v2_ref,  # (1, C) log_traj / ChEES Adam m1 / v2
-    a_ref,  # (C, C) rung-sum matrix (zeros when not chees)
+    a_ref,  # (LANES, LANES) per-block rung-sum matrix (zeros when not chees)
     nw_ref,  # (K, P, C) momentum noise (pre-masked rows)
     ne_ref,  # (K, C) eta noise
     u_ref,  # (K, C) w-block MH uniforms
@@ -1185,7 +1185,7 @@ def fused_hmc_block_impl(
     u_eta: jax.Array,  # (K, C) eta-block uniforms
     u_jit: jax.Array,  # (K, C) eps-jitter uniforms
     u_traj: jax.Array,  # (K, C) van-der-Corput jitter, lane-replicated
-    rung_sum: jax.Array,  # (C, C) rung-sum matrix (zeros when not chees)
+    rung_sum: jax.Array,  # (LANES, LANES) per-block rung-sum matrix (zeros when not chees)
     start,
     length,
     data: dict,  # prep_data output (regression planes)
@@ -1579,7 +1579,7 @@ def _hmc_cls_block_kernel(
     ate_ref, na_ref, lsw_ref,
     gl_ref, pm_ref, p2_ref,  # (P, C) g_like / Welford mean / Welford M2
     lt_ref, m1_ref, v2_ref,  # (1, C) log_traj / ChEES Adam m1 / v2
-    a_ref,  # (C, C) rung-sum matrix (zeros when not chees)
+    a_ref,  # (LANES, LANES) per-block rung-sum matrix (zeros when not chees)
     nw_ref,  # (K, P, C) momentum noise (pre-masked rows)
     u_ref,  # (K, C) MH uniforms
     uj_ref,  # (K, C) eps-jitter uniforms
@@ -1801,7 +1801,7 @@ def fused_hmc_cls_block_impl(
     u_mh: jax.Array,  # (K, C) MH uniforms
     u_jit: jax.Array,  # (K, C) eps-jitter uniforms
     u_traj: jax.Array,  # (K, C) van-der-Corput jitter, lane-replicated
-    rung_sum: jax.Array,  # (C, C) rung-sum matrix (zeros when not chees)
+    rung_sum: jax.Array,  # (LANES, LANES) per-block rung-sum matrix (zeros when not chees)
     start,
     length,
     data: dict,  # prep_data output with one-hot planes

@@ -88,9 +88,14 @@ def summarize(res: SampleResult, problem: str, cold_only: bool = False) -> Summa
     indices {0, K, 2K, ...} — R independent cold chains pooled.
     """
     cfg: PTConfig = res.config
-    burnin = int(cfg.samples_per_chain * cfg.burn_in)
     is_reg = cfg.task == "regression"
     key = "rmse" if is_reg else "acc"
+    # burn-in from the ACTUAL trace row count, not samples_per_chain:
+    # record_thin > 1 strides the recorded rows device-side, so indexing
+    # with int(samples_per_chain * burn_in) would slice past the end
+    # (empty post-burn rows -> NaN means) on any thinned run
+    rows = res.traces[f"{key}_train"].shape[0]
+    burnin = int(rows * cfg.burn_in)
     if cold_only:
         sel = np.arange(0, cfg.num_chains, cfg.rungs_per_ladder)
     else:
@@ -128,7 +133,8 @@ def pooled_posterior(res: SampleResult) -> np.ndarray:
     """(num_param, chains * (samples - burnin)) pooled posterior
     (pt_classification.py:847)."""
     cfg = res.config
-    burnin = int(cfg.samples_per_chain * cfg.burn_in)
+    # burn-in from actual recorded rows (record_thin strides them)
+    burnin = int(res.traces["w"].shape[0] * cfg.burn_in)
     pos = res.traces["w"][burnin:]  # (S-b, C, W)
     return pos.transpose(2, 1, 0).reshape(pos.shape[2], -1)
 
@@ -161,7 +167,8 @@ def write_artifacts(
     ):
         os.makedirs(os.path.join(path, d), exist_ok=True)
 
-    samples = cfg.samples_per_chain
+    # recorded rows, not samples_per_chain: record_thin strides the traces
+    samples = res.traces["ll"].shape[0]
     temps = res.temperatures
     likeh = np.zeros((samples, 2))
 

@@ -178,3 +178,21 @@ def test_record_thin_strides_traces(sunspot):
 def test_record_thin_rejects_replica_tracking():
     with pytest.raises(ValueError, match="record_thin"):
         small_reg_cfg(record_thin=4, track_replicas=True)
+
+
+def test_summarize_on_thinned_run(sunspot):
+    """results.summarize derives burn-in from the RECORDED rows, not
+    samples_per_chain: on a record_thin run the old samples-based index
+    sliced past the end (empty post-burn rows -> NaN means). The thinned
+    summary must be finite and agree with the unthinned run's summary
+    (same chain, strided trace)."""
+    from ptnn import results as results_mod
+
+    cfg_full = small_reg_cfg()
+    cfg_thin = dataclasses.replace(cfg_full, record_thin=4).validate()
+    s_f = results_mod.summarize(sample(cfg_full, *sunspot, seed=3), "Sunspot")
+    s_t = results_mod.summarize(sample(cfg_thin, *sunspot, seed=3), "Sunspot")
+    for field in ("train_mean", "test_mean", "train_best", "test_best"):
+        vf, vt = getattr(s_f, field), getattr(s_t, field)
+        assert np.isfinite(vt), field
+        assert abs(vf - vt) < 0.05, (field, vf, vt)
