@@ -119,15 +119,20 @@ def _median_iqr(xs):
     )
 
 
-def pick_flagship(ess_per_sec, cold_rmse, gate):
+def pick_flagship(ess_per_sec, quality, gate, higher_is_better=False):
     """THE flagship: highest pooled cold ESS/s among variants whose
-    cold-posterior RMSE passes the quality gate (None if none pass).
+    cold-posterior quality passes the gate (None if none pass).
 
     BASELINE.json's "at matched posterior quality" clause as a hard
     constraint: raw within-mode ESS/s rewards mixing fast around the
     wrong posterior (results/mala_basins.md), so throughput alone cannot
-    win. Unit-tested in tests/test_components.py."""
-    eligible = [t for t in ess_per_sec if cold_rmse[t] <= gate]
+    win. ``higher_is_better=False`` gates quality <= gate (RMSE);
+    ``True`` gates quality >= gate (accuracy — the classification arm).
+    Unit-tested in tests/test_components.py."""
+    if higher_is_better:
+        eligible = [t for t in ess_per_sec if quality[t] >= gate]
+    else:
+        eligible = [t for t in ess_per_sec if quality[t] <= gate]
     if not eligible:
         return None
     return max(eligible, key=lambda t: ess_per_sec[t]["value"])
@@ -271,6 +276,166 @@ def _variants(chains: int, steps_per_chain: int, full: bool = False):
     return out
 
 
+CLS_GATE = {
+    # committed LG classification test means — the reference's second
+    # workload family (BASELINE.json config 2; iris + Ionosphere,
+    # multicore-pt-classification/PT_EvalSwapLG/master_result_file.txt:1-2)
+    "iris": 96.76,
+    "Ionosphere": 92.19,
+}
+
+
+def _cls_variants(topology, steps_per_chain):
+    import ptnn
+
+    def mk(chains, n_ladders, proposal, chees):
+        cfg = ptnn.classification_preset(
+            topology,
+            num_samples=chains * steps_per_chain,
+            num_chains=chains,
+            maxtemp=5.0,
+        )
+        extra = (
+            dict(hmc_leapfrog=16, hmc_adapt_traj=True, step_w=0.01)
+            if chees
+            else {}
+        )
+        return dataclasses.replace(
+            cfg,
+            proposal=proposal,
+            n_ladders=n_ladders,
+            adapt_rate=0.1,
+            swap_style="even_odd",
+            swap_interval=10,
+            swap_rule="metropolis",
+            swap_payload="untempered",
+            warmstart_frac=0.1,
+            precond_start_frac=0.3,
+            record_w=True,
+            record_w_chains=n_ladders,
+            track_replicas=True,
+            chunk_steps=1000,
+            fused_step=True,
+            **extra,
+        ).validate()
+
+    return {
+        "chees16_fused_16x4": mk(64, 16, "hmc", True),
+        "chees16_fused_64x4": mk(256, 64, "hmc", True),
+        "mala_fused_16x4": mk(64, 16, "precond_mala", False),
+    }
+
+
+def classification_arm(notes) -> dict:
+    """Quality-gated classification bench — the treatment the regression
+    arm gets, on the reference's second workload family (BASELINE config
+    2: iris + Ionosphere Langevin classification,
+    multicore-pt-classification/pt_classification.py:899-1224).
+
+    Per dataset: fused ChEES / MALA replicated-ladder ensembles, 3 seeded
+    8000-step runs each; pooled cold ESS/s (ESS over the recorded cold-w
+    draws x the run's own median chain-steps/s — the recording run's rate,
+    slightly conservative vs a record-free runner), the function-space
+    cross-seed R-hat over ALL class outputs, and round trips.
+
+    Quality gate: the COLD-POOLED POSTERIOR-PREDICTIVE test accuracy
+    (accuracy of the posterior-mean class probabilities over the pooled
+    cold draws — what ptnn.predict serves) >= the committed LG mean.
+    The per-draw accuracy trace mean is reported alongside but is NOT the
+    gate: the committed LG rows come from the legacy always-accept noisy
+    SGD (PARITY.md "classification Langevin"), so per-draw accuracy
+    compares an optimizer's iterates against a posterior's draws — a
+    correct sampler's served predictor is its quality surface
+    (results/auto_study.md: iris per-draw 88.3 vs served 97.78)."""
+    import numpy as np
+
+    import ptnn
+    from ptnn import predict as predict_mod
+    from ptnn.data import load_classification
+    from ptnn.ops import ess as ess_mod
+    from ptnn.ops import roundtrip as rt_mod
+
+    out = {}
+    for name, gate in CLS_GATE.items():
+        prob = load_classification(name, seed=0)
+        variants = _cls_variants(prob.topology, steps_per_chain=8000)
+        ess_per_sec, acc_post, acc_draw, rhat, trips_med = {}, {}, {}, {}, {}
+        for tag, vcfg in variants.items():
+            cold_idx = np.arange(
+                0, vcfg.num_chains, vcfg.rungs_per_ladder
+            )
+            colds, ess_s, a_post, a_draw, sps, trips = [], [], [], [], [], []
+            for seed in (1, 2, 3):
+                res = ptnn.sample(vcfg, prob.train, prob.test, seed=seed)
+                sps.append(res.chain_steps_per_sec)
+                trips.append(
+                    rt_mod.roundtrip_stats(
+                        res.traces["replica"], n_ladders=vcfg.n_ladders
+                    ).rate_per_kstep
+                )
+                b = vcfg.samples_per_chain // 2
+                cold = np.asarray(res.traces["w"][b:, :, :])
+                colds.append(cold)
+                a_draw.append(
+                    float(np.mean(res.traces["acc_test"][b:, cold_idx]))
+                )
+                # served quality: accuracy of the posterior-mean class
+                # probabilities over the pooled cold draws (ptnn.predict
+                # semantics), ~2000-draw subsample
+                pool = cold.reshape(-1, cold.shape[-1])
+                pool = pool[:: max(1, pool.shape[0] // 2000)]
+                nx = vcfg.topology[0]
+                pred = predict_mod.posterior_predict(
+                    vcfg, pool, prob.test[:, :nx]
+                )
+                y = prob.test[:, nx].astype(np.int64)
+                a_post.append(float(np.mean(pred["label"] == y)) * 100.0)
+            sps_med = float(np.median(sps))
+            for cold in colds:
+                e = ess_mod.pooled_multi_ess(cold, max_params=16)
+                ess_s.append(
+                    (e / cold.shape[0]) * (sps_med / vcfg.num_chains)
+                )
+            e_med, e_iqr = _median_iqr(ess_s)
+            ess_per_sec[tag] = {
+                "value": round(e_med, 1),
+                "iqr": [round(x, 1) for x in e_iqr],
+            }
+            acc_post[tag] = round(float(np.median(a_post)), 2)
+            acc_draw[tag] = round(float(np.median(a_draw)), 2)
+            rhat[tag] = round(
+                float(
+                    ess_mod.function_space_rhat(colds, prob.test, vcfg)
+                ),
+                3,
+            )
+            trips_med[tag] = round(float(np.median(trips)), 2)
+            notes.append(
+                f"cls/{name}/{tag}: {sps_med:,.0f} steps/s, "
+                f"{e_med:.0f} ESS/s (IQR {e_iqr[0]:.0f}-{e_iqr[1]:.0f}), "
+                f"acc(mean probs) {acc_post[tag]}, draw-mean "
+                f"{acc_draw[tag]}, rhat {rhat[tag]}, "
+                f"roundtrips/1k {trips_med[tag]}"
+            )
+        out[name] = {
+            "ess_per_sec": ess_per_sec,
+            "acc_test_cold_posterior": acc_post,
+            "acc_test_cold_draw_mean": acc_draw,
+            "rhat_cold_max": rhat,
+            "roundtrips_per_kstep": trips_med,
+            "ref_acc_test": gate,
+            "flagship": pick_flagship(
+                ess_per_sec, acc_post, gate, higher_is_better=True
+            ),
+            "flagship_gate": {
+                "acc_cold_posterior_min": gate,
+                "basis": "ref committed LG test mean "
+                "(PT_EvalSwapLG/master_result_file.txt)",
+            },
+        }
+    return out
+
+
 def main() -> None:
     import numpy as np
 
@@ -387,6 +552,12 @@ def main() -> None:
             f", roundtrips/1k {roundtrips[tag]}"
         )
 
+    # the reference's SECOND workload family, same quality-gated treatment
+    # (skippable for regression-only iteration via --no-cls)
+    cls = (
+        None if "--no-cls" in sys.argv[1:] else classification_arm(notes)
+    )
+
     # headline: the fastest execution of the reference RW sampler (the
     # fused-block path when it wins, the per-step scan otherwise — same
     # sampler, two execution strategies)
@@ -430,6 +601,10 @@ def main() -> None:
                     "cold_rmse_max": 0.0239,
                     "basis": "ref Sunspot RW committed test RMSE",
                 },
+                # the classification family (BASELINE config 2), quality
+                # gate = served posterior-predictive cold accuracy >= the
+                # committed LG mean (see classification_arm docstring)
+                "classification": cls,
             }
         ),
         flush=True,

@@ -879,10 +879,13 @@ def fused_mala_block_impl(
 # warm-start phase with forced accept, the dataset-free eta RW block, and
 # Robbins-Monro scale adaptation toward hmc_target_accept — all state
 # resident in VMEM across the block, gradients from the hand-written plane
-# backprop (_fwd_grad_reg). One deliberate deviation from the per-step path:
-# the proposal's (SSE, gradient) are recomputed once at the selected endpoint
-# instead of reusing the trajectory carry, which makes the warm-start branch
-# maskable (one extra gradient eval per step, ~1/L overhead) — the oracle in
+# backprop (_fwd_grad_reg). The proposal's (SSE, gradient) at the selected
+# endpoint REUSE the trajectory carry (the last leapfrog iteration already
+# evaluated them; under ChEES the per-lane masking keeps the carry at each
+# lane's own selected endpoint) — only live warm-start steps, whose proposal
+# w_warm never entered the trajectory, pay a fresh eval via a scalar
+# lax.cond. Bitwise-identical to an endpoint re-eval (same arithmetic at
+# the same w), worth ~1/(L+1) of the block's gradient FLOPs — the oracle in
 # tests/test_pallas_step.py pins exactly these semantics, and equivalence
 # with the per-step sampler is distributional (same-seed noise streams differ
 # by construction).
@@ -966,10 +969,10 @@ def _hmc_block_kernel(
         k_init = 0.5 * jnp.sum(m * p0 * p0, axis=0, keepdims=True)
 
         def leap(n, cr):
-            w_c, p_c, g_c = cr
+            w_c, p_c, g_c, sse_c, glr_c = cr
             p_half = p_c + 0.5 * eps * g_c
             w_n = w_c + eps * m * p_half
-            _sse, gl_n = _fwd_grad_reg(
+            sse_n, gl_n = _fwd_grad_reg(
                 w_n, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
             )
             g_n = gl_n / (tau * at) - w_n / sigma_sq
@@ -979,7 +982,12 @@ def _hmc_block_kernel(
                 w_n = jnp.where(upd, w_n, w_c)
                 p_n = jnp.where(upd, p_n, p_c)
                 g_n = jnp.where(upd, g_n, g_c)
-            return (w_n, p_n, g_n)
+                # carry (SSE, raw grad rows) at each lane's OWN selected
+                # endpoint — the masking keeps them in sync with w_n, so
+                # the post-trajectory MH eval can reuse them
+                sse_n = jnp.where(upd, sse_n, sse_c)
+                gl_n = jnp.where(upd, gl_n, glr_c)
+            return (w_n, p_n, g_n, sse_n, gl_n)
 
         # Dynamic trip count — the dominant cost is the per-leapfrog
         # gradient eval, so don't run iterations whose result is provably
@@ -998,8 +1006,8 @@ def _hmc_block_kernel(
         n_leap = jnp.where(
             jnp.logical_and(live, i >= warm_end), n_leap, 0
         )
-        w_end, p_end, _g_end = jax.lax.fori_loop(
-            0, n_leap, leap, (w, p0, g_cur)
+        w_end, p_end, _g_end, sse_end, gl_end = jax.lax.fori_loop(
+            0, n_leap, leap, (w, p0, g_cur, jnp.zeros_like(at), gl)
         )
         k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
         # --- warm start (forced accept below) -------------------------------
@@ -1008,7 +1016,15 @@ def _hmc_block_kernel(
         )
         w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
         w_prop = jnp.where(i < warm_end, w_warm, w_end)
-        # --- one eval at the selected endpoint ------------------------------
+        # --- endpoint (SSE, gradient): reuse the trajectory carry ----------
+        # The last leapfrog iteration already evaluated (SSE, grad) at
+        # w_end (per-lane masked under ChEES, so each lane's carry is at
+        # its OWN selected endpoint) — the re-eval is only needed on live
+        # warm-start steps, where w_prop = w_warm and no trajectory ran.
+        # Dead padding steps reuse the (fully masked-out) carry. Worth
+        # ~1/(L+1) of the block's gradient FLOPs; bitwise-identical to
+        # the former unconditional re-eval (same _fwd_grad_reg arithmetic
+        # at the same w — oracle-pinned in tests/test_pallas_step.py).
         ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
         pr_prop = (
             prior_const
@@ -1016,8 +1032,12 @@ def _hmc_block_kernel(
             - (1.0 + nu_1) * eta
             - nu_2 / tau
         )
-        sse_tr, g_rows = _fwd_grad_reg(
-            w_prop, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
+        sse_tr, g_rows = jax.lax.cond(
+            jnp.logical_and(live, i < warm_end),
+            lambda: _fwd_grad_reg(
+                w_prop, xtr_ref, ytr_ref, mtr_ref, topo, p_pad
+            ),
+            lambda: (sse_end, gl_end),
         )
         sse_te = _fwd_sse(w_prop, xte_ref, yte_ref, mte_ref, topo)
         ll_prop = -0.5 * n_tr * (_LOG_2PI + eta) - 0.5 * sse_tr / tau
@@ -1631,10 +1651,10 @@ def _hmc_cls_block_kernel(
         k_init = 0.5 * jnp.sum(m * p0 * p0, axis=0, keepdims=True)
 
         def leap(n, cr):
-            w_c, p_c, g_c = cr
+            w_c, p_c, g_c, ll_c, rtr_c, atr_c, glr_c = cr
             p_half = p_c + 0.5 * eps * g_c
             w_n = w_c + eps * m * p_half
-            _ll_n, _rtr_n, _atr_n, gl_n = _fwd_grad_cls(
+            ll_n, rtr_n, atr_n, gl_n = _fwd_grad_cls(
                 w_n, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr, p_pad
             )
             g_n = gl_n / at - w_n / sigma_sq
@@ -1644,7 +1664,12 @@ def _hmc_cls_block_kernel(
                 w_n = jnp.where(upd, w_n, w_c)
                 p_n = jnp.where(upd, p_n, p_c)
                 g_n = jnp.where(upd, g_n, g_c)
-            return (w_n, p_n, g_n)
+                # carry the endpoint eval per lane (see regression kernel)
+                ll_n = jnp.where(upd, ll_n, ll_c)
+                rtr_n = jnp.where(upd, rtr_n, rtr_c)
+                atr_n = jnp.where(upd, atr_n, atr_c)
+                gl_n = jnp.where(upd, gl_n, glr_c)
+            return (w_n, p_n, g_n, ll_n, rtr_n, atr_n, gl_n)
 
         # Dynamic trip count (see the regression kernel): run only to the
         # max-over-lanes realized ChEES length, and skip the trajectory
@@ -1657,8 +1682,14 @@ def _hmc_cls_block_kernel(
         n_leap = jnp.where(
             jnp.logical_and(live, i >= warm_end), n_leap, 0
         )
-        w_end, p_end, _g_end = jax.lax.fori_loop(
-            0, n_leap, leap, (w, p0, g_cur)
+        (w_end, p_end, _g_end, ll_end, rtr_end, atr_end, gl_end) = (
+            jax.lax.fori_loop(
+                0, n_leap, leap,
+                (
+                    w, p0, g_cur, jnp.zeros_like(at), jnp.zeros_like(at),
+                    jnp.zeros_like(at), gl,
+                ),
+            )
         )
         k_end = 0.5 * jnp.sum(m * p_end * p_end, axis=0, keepdims=True)
         # --- warm start (forced accept below) -------------------------------
@@ -1667,11 +1698,17 @@ def _hmc_cls_block_kernel(
         )
         w_warm = w + warmstart_step * g_cur / jnp.maximum(g_rms, 1e-12)
         w_prop = jnp.where(i < warm_end, w_warm, w_end)
-        # --- one eval at the selected endpoint ------------------------------
+        # --- endpoint eval: reuse the trajectory carry (see the regression
+        # kernel) — re-evaluate only on live warm-start steps --------------
         ssq = jnp.sum(w_prop * w_prop, axis=0, keepdims=True)
         pr_prop = prior_const - ssq / (2.0 * sigma_sq)
-        ll_prop, rtr_prop, atr_prop, g_rows = _fwd_grad_cls(
-            w_prop, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr, p_pad
+        ll_prop, rtr_prop, atr_prop, g_rows = jax.lax.cond(
+            jnp.logical_and(live, i < warm_end),
+            lambda: _fwd_grad_cls(
+                w_prop, xtr_ref, yhtr_ref, ytr_ref, mtr_ref, topo, n_tr,
+                p_pad,
+            ),
+            lambda: (ll_end, rtr_end, atr_end, gl_end),
         )
         _ll_te, rte_prop, ate_prop = _fwd_cls(
             w_prop, xte_ref, yhte_ref, yte_ref, mte_ref, topo, n_te

@@ -595,3 +595,15 @@ def test_bench_flagship_quality_gate():
     assert bench.pick_flagship(ess, rmse, 0.005) is None
     # gate wide open -> raw throughput wins
     assert bench.pick_flagship(ess, rmse, 1.0) == "fast_bad"
+    # classification arm: quality is accuracy, gate is a MINIMUM
+    acc = {"fast_bad": 88.1, "good": 97.2, "slow_good": 96.9}
+    assert (
+        bench.pick_flagship(ess, acc, 96.76, higher_is_better=True) == "good"
+    )
+    assert (
+        bench.pick_flagship(ess, acc, 99.0, higher_is_better=True) is None
+    )
+    assert (
+        bench.pick_flagship(ess, acc, 0.0, higher_is_better=True)
+        == "fast_bad"
+    )

@@ -354,6 +354,51 @@ def test_fused_sharded_equals_unsharded():
     assert res_m.swap_percent == res_1.swap_percent
 
 
+@pytest.mark.slow
+def test_fused_chees_256x4_sharded_equals_unsharded():
+    """The crowned bench flagship SHAPE (chees16_fused_256x4: 1024 chains
+    = 256 complete 4-rung ladders = eight 128-lane blocks) sharded 4
+    blocks per device over 2 shards == single-device, bit-for-bit — the
+    config being advertised is the config being validated (VERDICT r4
+    item 7). Leapfrog bound 4 keeps interpret-mode cost down; the
+    block/ladder/shard geometry is exactly the flagship's."""
+    import jax
+
+    from ptnn.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = mesh_mod.make_mesh(jax.devices()[:2])
+    prob = load_regression("Sunspot")
+    cfg = _cfg(
+        num_chains=1024,
+        num_samples=1024 * 20,
+        n_ladders=256,
+        proposal="hmc",
+        hmc_leapfrog=4,
+        hmc_adapt_traj=True,
+        adapt_rate=0.1,
+        warmstart_frac=0.1,
+        precond_start_frac=0.3,
+        step_w=0.01,
+        swap_interval=10,
+        swap_style="even_odd",
+        swap_payload="untempered",
+        swap_rule="metropolis",
+        chunk_steps=20,
+        fused_step=True,
+    )
+    assert fused.runtime_reason(cfg, prob.train, prob.test, mesh=mesh) is None
+    res_m = ptnn.sample(cfg, prob.train, prob.test, seed=3, mesh=mesh)
+    res_1 = ptnn.sample(cfg, prob.train, prob.test, seed=3)
+    for k in res_1.traces:
+        np.testing.assert_array_equal(
+            np.asarray(res_m.traces[k]), np.asarray(res_1.traces[k]),
+            err_msg=k,
+        )
+    assert res_m.swap_percent == res_1.swap_percent
+
+
 def test_fused_mesh_divisibility_gate():
     import jax
 
