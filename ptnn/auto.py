@@ -399,6 +399,7 @@ def auto_sample(
     model_spec=None,
     out: Optional[str] = None,
     name: str = "auto",
+    escalate: int = 0,
     **config_kw,
 ) -> AutoReport:
     """Auto-configure (``auto_config``), then run ``replicate`` independently
@@ -407,7 +408,18 @@ def auto_sample(
     gate. ``out`` additionally writes ``auto_report.txt`` plus the full
     reference artifact tree for the LAST seed's run (cold-rung pos_w +
     ``config.json``, so ``python -m ptnn.predict --run <out>/<name>_0``
-    serves the posterior directly)."""
+    serves the posterior directly).
+
+    ``escalate=K`` makes the pipeline ACT on its own convergence gate
+    (VERDICT r4 item 3): when the cross-seed function-space R-hat fails
+    the 1.01 bar, the step budget doubles (``record_thin`` doubles with
+    it, so recorded trace rows — and the host fetch — stay flat) and the
+    replications re-run, up to K doublings. Every escalation lands in the
+    decision trail with the R-hat that drove it, and a still-failing gate
+    after K doublings is reported as ``budget-capped`` rather than
+    blendable with a converged verdict. Escalated configs drop
+    ``track_replicas`` (``record_thin`` strides below swap resolution);
+    round trips are reported from the base-budget runs."""
     from ptnn import results as results_mod
     from ptnn import sampler as sampler_mod
 
@@ -417,71 +429,128 @@ def auto_sample(
     )
     is_reg = task == "regression"
     key = "rmse_test" if is_reg else "acc_test"
-    b = int(cfg.samples_per_chain * cfg.burn_in)
-    cold_idx = np.arange(0, cfg.num_chains, cfg.rungs_per_ladder)
-
     seeds = tuple(range(seed, seed + max(1, replicate)))
-    colds, pooled, cold_m, sps, trips = [], [], [], [], []
-    swap_pct, acc_pct, elapsed = [], [], 0.0
-    for s in seeds:
-        res = sampler_mod.sample(
-            cfg, train, test, seed=s, mesh=mesh, model_spec=model_spec
-        )
-        if cfg.record_w:
-            # traces["w"] carries exactly the R cold rungs (record_w_chains)
-            colds.append(np.asarray(res.traces["w"][b:, :, :]))
-        pooled.append(float(np.mean(res.traces[key][b:, :])))
-        cold_m.append(float(np.mean(res.traces[key][b:, cold_idx])))
-        sps.append(res.chain_steps_per_sec)
-        trips.append(
-            rt_mod.roundtrip_stats(
-                res.traces["replica"], n_ladders=cfg.n_ladders
-            ).rate_per_kstep
-        )
-        swap_pct.append(res.swap_percent)
-        acc_pct.append(
-            float(np.mean(res.accept_ratio_per_chain))
-        )
-        elapsed += res.elapsed_s
 
-    # pooled cold ESS x per-chain draw rate -> effective samples per second
-    # (bench.py convention: (ESS / draws) * (aggregate steps/s / chains))
+    def _replications(cfg):
+        cold_idx = np.arange(0, cfg.num_chains, cfg.rungs_per_ladder)
+        colds, pooled, cold_m, sps, trips = [], [], [], [], []
+        swap_pct, acc_pct, elapsed = [], [], 0.0
+        res = None
+        for s in seeds:
+            res = sampler_mod.sample(
+                cfg, train, test, seed=s, mesh=mesh, model_spec=model_spec
+            )
+            # burn-in from the RECORDED rows (record_thin strides them)
+            b = int(res.traces[key].shape[0] * cfg.burn_in)
+            if cfg.record_w:
+                # traces["w"] carries exactly the R cold rungs
+                # (record_w_chains)
+                colds.append(np.asarray(res.traces["w"][b:, :, :]))
+            pooled.append(float(np.mean(res.traces[key][b:, :])))
+            cold_m.append(float(np.mean(res.traces[key][b:, cold_idx])))
+            sps.append(res.chain_steps_per_sec)
+            if cfg.track_replicas:
+                trips.append(
+                    rt_mod.roundtrip_stats(
+                        res.traces["replica"], n_ladders=cfg.n_ladders
+                    ).rate_per_kstep
+                )
+            swap_pct.append(res.swap_percent)
+            acc_pct.append(
+                float(np.mean(res.accept_ratio_per_chain))
+            )
+            elapsed += res.elapsed_s
+        return dict(
+            colds=colds, pooled=pooled, cold_m=cold_m, sps=sps,
+            trips=trips, swap_pct=swap_pct, acc_pct=acc_pct,
+            elapsed=elapsed, res=res,
+        )
+
+    def _gate(colds, cfg):
+        if model_spec is None:
+            # THE gate is function-space AND pooled: forward every
+            # recorded cold draw (ALL R cold replicas per seed,
+            # time-major so split halves = early-vs-late) at 16 test
+            # inputs and R-hat the predictions across seeds — the
+            # POOLED cold posterior is what auto serves, and w-space
+            # R-hat conflates weight-symmetry multimodality with
+            # predictive disagreement
+            # (results/convergence_definitive.md: w 1.4-2.5 vs
+            # function-space 1.004 on converged runs)
+            return ess_mod.function_space_rhat(colds, test, cfg)
+        # custom model specs keep the parameter-space gate
+        pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
+        return max(
+            ess_mod.split_rhat(
+                np.stack([c[:, 0, j] for c in colds], axis=1)
+            )
+            for j in pidx
+        )
+
+    m = _replications(cfg)
+    rhat = None
+    if m["colds"] and len(seeds) >= 2:
+        rhat = _gate(m["colds"], cfg)
+    base_trips = list(m["trips"])
+    attempts = 0
+    capped = False
+    while (
+        rhat is not None
+        and rhat >= 1.01
+        and attempts < max(0, escalate)
+    ):
+        attempts += 1
+        new_cfg = dataclasses.replace(
+            cfg,
+            num_samples=cfg.num_samples * 2,
+            record_thin=cfg.record_thin * 2,
+            track_replicas=False,
+        ).validate()
+        decisions[f"escalation_{attempts}"] = (
+            f"fn-space R-hat {rhat:.3f} >= 1.01 at "
+            f"{cfg.samples_per_chain} steps/chain -> doubling to "
+            f"{new_cfg.samples_per_chain} (record_thin="
+            f"{new_cfg.record_thin} keeps trace rows and the host fetch "
+            "flat)"
+        )
+        cfg = new_cfg
+        m = _replications(cfg)
+        rhat = _gate(m["colds"], cfg) if m["colds"] else None
+    if rhat is not None and rhat >= 1.01 and escalate > 0:
+        capped = True
+    colds, pooled, cold_m = m["colds"], m["pooled"], m["cold_m"]
+    sps, swap_pct, acc_pct = m["sps"], m["swap_pct"], m["acc_pct"]
+    trips = base_trips if base_trips else m["trips"]
+    elapsed, res = m["elapsed"], m["res"]
+
+    # pooled cold ESS x per-chain STEP rate -> effective samples per second
+    # (bench.py convention; record_thin>1 means each recorded draw spent
+    # `thin` chain steps, so the denominator scales by it)
     sps_med = float(np.median(sps))
     ess_s = None
     draws = 0
-    rhat = None
     verdict = "unreplicated"
     if colds:
         ess = float(np.median([
             ess_mod.pooled_multi_ess(c, max_params=16) for c in colds
         ]))
         draws = colds[0].shape[0]
-        ess_s = (ess / draws) * (sps_med / cfg.num_chains)
+        ess_s = (ess / (draws * cfg.record_thin)) * (
+            sps_med / cfg.num_chains
+        )
         if len(seeds) >= 2:
-            if model_spec is None:
-                # THE gate is function-space AND pooled: forward every
-                # recorded cold draw (ALL R cold replicas per seed,
-                # time-major so split halves = early-vs-late) at 16 test
-                # inputs and R-hat the predictions across seeds — the
-                # POOLED cold posterior is what auto serves, and w-space
-                # R-hat conflates weight-symmetry multimodality with
-                # predictive disagreement
-                # (results/convergence_definitive.md: w 1.4-2.5 vs
-                # function-space 1.004 on converged runs)
-                rhat = ess_mod.function_space_rhat(colds, test, cfg)
-            else:
-                # custom model specs keep the parameter-space gate
-                pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
-                rhat = max(
-                    ess_mod.split_rhat(
-                        np.stack([c[:, 0, j] for c in colds], axis=1)
-                    )
-                    for j in pidx
-                )
             verdict = (
                 "mixed" if rhat < 1.01
                 else ("marginal" if rhat < 1.1 else "metastable")
             )
+            if capped:
+                verdict += (
+                    f" (budget-capped: gate still failing after "
+                    f"{attempts} escalation(s) to "
+                    f"{cfg.samples_per_chain} steps/chain)"
+                )
+            elif attempts:
+                verdict += f" (after {attempts} budget escalation(s))"
     elif len(seeds) >= 2:
         verdict = "unavailable (posterior trace skipped)"
 
@@ -535,7 +604,7 @@ def auto_sample(
         chain_steps_per_sec=sps_med,
         pooled_cold_ess_per_sec=None if ess_s is None else float(ess_s),
         ess_draws=draws,
-        roundtrips_per_kstep=float(np.mean(trips)),
+        roundtrips_per_kstep=float(np.mean(trips)) if trips else 0.0,
         swap_percent=float(np.mean(swap_pct)),
         accept_percent=float(np.mean(acc_pct)),
         elapsed_s=elapsed,
@@ -591,6 +660,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         "--mlp-hidden", type=int, nargs="+", default=[32, 16],
         help="hidden-layer sizes for --model mlp",
     )
+    p.add_argument(
+        "--escalate", type=int, default=0, metavar="K",
+        help="act on the convergence gate: when the cross-seed "
+        "function-space R-hat fails 1.01, double the step budget "
+        "(record_thin keeps trace rows flat) and re-run, up to K "
+        "doublings; a still-failing gate reports budget-capped",
+    )
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
 
@@ -624,6 +700,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         model_spec=spec,
         out=a.out,
         name=prob.name,
+        escalate=a.escalate,
     )
     print(report.describe())
     print(f"total wall-clock (pilot + {a.replicate} runs): "

@@ -103,8 +103,6 @@ def fused_reason(cfg: PTConfig, mesh=None, model_spec=None) -> Optional[str]:
         return "fused_step excludes surrogate/variational-reference modes"
     if cfg.record_fx or cfg.record_ll_state:
         return "fused_step does not record fx/ll_cur traces"
-    if cfg.record_thin > 1:
-        return "fused_step does not thin traces (record_thin)"
     if cfg.eval_dtype != "float32":
         return "fused_step is float32-only"
     if mesh is not None:
@@ -698,12 +696,67 @@ def sample_fused(
     # group each segment's blocks into fixed-size scan chunks (dummy blocks
     # of length 0 pad the tail so every chunk shares one compiled scan)
     group = max(1, int(np.ceil(cfg.chunk_steps / eng.k_max)))
+    thin = cfg.record_thin
 
     def run_group(st, xs):
         return jax.lax.scan(eng.block_body, st, xs)
 
+    def run_group_thin(st, xs, dest, bufs):
+        """Chunk-level record_thin (sampler.py semantics per executed
+        chunk): keep the chunk's executed-step rows at positions thin-1,
+        2*thin-1, ... DEVICE-SIDE, scattering each block's kept rows into
+        a small carried buffer as the scan runs — a long chunk (the whole
+        point of record_thin) never materializes its full traces in HBM.
+        ``dest`` is (n_blocks, k_max) int32: the buffer row for each
+        (block, local-row), with an out-of-range sentinel for dropped and
+        dead-padding rows (scatter mode="drop")."""
+
+        def body(carry, x):
+            st, bufs = carry
+            blk_xs, d = x
+            st, out = eng.block_body(st, blk_xs)
+            bufs = {
+                k: bufs[k].at[d].set(out[k], mode="drop") for k in bufs
+            }
+            return (st, bufs), None
+
+        (st, bufs), _ = jax.lax.scan(body, (st, bufs), (xs, dest))
+        return st, bufs
+
     run_group_j = jit_here(run_group)
+    run_group_thin_j = jit_here(run_group_thin)
     recompute = jit_here(eng.step.recompute_ll)
+
+    def _dest_rows(blocks) -> Tuple[np.ndarray, int]:
+        """(n_blocks, k_max) buffer destinations + kept-row count: chunk
+        executed steps in block order, strided thin-1::thin."""
+        n_keep = sum(ln for (_s, ln, _f) in blocks) // thin
+        sent = max(n_keep, 1)  # out of range -> dropped
+        dest = np.full((len(blocks), eng.k_max), sent, np.int32)
+        q = 0
+        for bi, (_s, ln, _f) in enumerate(blocks):
+            for p in range(ln):
+                if q % thin == thin - 1:
+                    dest[bi, p] = q // thin
+                q += 1
+        return dest, n_keep
+
+    out_struct = None
+    if thin > 1:  # trace block_body once for the buffer shapes
+        out_struct = jax.eval_shape(
+            lambda s: eng.block_body(s, (
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            ))[1],
+            state,
+        )
+
+    def _trace_bufs(n_rows: int):
+        """Zero buffers shaped like one chunk's kept trace rows."""
+        return {
+            k: jnp.zeros((max(n_rows, 1),) + v.shape[1:], v.dtype)
+            for k, v in out_struct.items()
+        }
 
     host_chunks: List[Dict[str, np.ndarray]] = []
     pending = None  # (device traces, lengths) fetched lazily
@@ -716,7 +769,17 @@ def sample_fused(
             lengths = [b[1] for b in blocks]
             while len(blocks) < group:
                 blocks = blocks + [(0, 0, False)]
-            state, traces = run_group_j(state, _pack_xs(blocks))
+            if thin > 1:
+                dest, n_keep = _dest_rows(blocks)
+                state, traces = run_group_thin_j(
+                    state, _pack_xs(blocks), jnp.asarray(dest),
+                    _trace_bufs(n_keep),
+                )
+                # rows already selected: fetch cuts to the kept count
+                lengths = [n_keep]
+                traces = {k: v[None] for k, v in traces.items()}
+            else:
+                state, traces = run_group_j(state, _pack_xs(blocks))
             if pending is not None:
                 host_chunks.append(_fetch(*pending))
             pending = (traces, lengths)

@@ -173,21 +173,29 @@ def main():
             f"| {label} | {mo:,.0f} | {mn:,.0f} | {mn / mo:.3f}x |"
         )
         print(rows[-1], flush=True)
+        path = "results/hmc_endpoint_ab.md"
+        import os
 
-    with open("results/hmc_endpoint_ab.md", "w") as f:
-        f.write(
-            "# Fused-HMC endpoint-gradient reuse: A/B on the real chip\n\n"
-            f"Old = `{old_ref}` kernel (unconditional endpoint re-eval); "
-            "new = trajectory-carry reuse\n"
-            "(re-eval only on warm-start steps). Interleaved 5-rep medians, "
-            "40 x 10-step blocks per rep,\nsteady-state (post-burn) inputs, "
-            "d=61 topology, 4-rung ladders. Expected gain ~1/(L+1)\n"
-            "on fixed-L (L=16 -> ~5.9%); smaller on ChEES (the block pays "
-            "max-over-lanes realized L,\nso the saved eval is a smaller "
-            "fraction). Generated by scripts/hmc_endpoint_ab.py.\n\n"
-            "| config | old chain-steps/s | new chain-steps/s | ratio |\n"
-            "|---|---|---|---|\n" + "\n".join(rows) + "\n"
-        )
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(
+                    "# Fused-HMC endpoint-gradient reuse: A/B on the "
+                    "real chip\n\n"
+                    f"Old = `{old_ref}` kernel (unconditional endpoint "
+                    "re-eval); new = trajectory-carry reuse\n"
+                    "(re-eval only on warm-start steps). Interleaved "
+                    "5-rep medians, 40 x 10-step blocks per rep,\n"
+                    "steady-state (post-burn) inputs, d=61 topology, "
+                    "4-rung ladders. Expected gain ~1/(L+1)\n"
+                    "on fixed-L (L=16 -> ~5.9%); smaller on ChEES (the "
+                    "block pays max-over-lanes realized L,\nso the saved "
+                    "eval is a smaller fraction). Generated by "
+                    "scripts/hmc_endpoint_ab.py.\n\n"
+                    "| config | old chain-steps/s | new chain-steps/s "
+                    "| ratio |\n|---|---|---|---|\n"
+                )
+        with open(path, "a") as f:
+            f.write(rows[-1] + "\n")
     print("wrote results/hmc_endpoint_ab.md")
 
 

@@ -149,6 +149,33 @@ def test_auto_sample_report_regression():
     assert "predictive score: elpd_loo" in text and "CRPS" in text
 
 
+def test_auto_sample_budget_escalation():
+    """escalate=K acts on the convergence gate: a tiny metastable budget
+    must trigger doublings (recorded in the decision trail, with
+    record_thin keeping trace rows flat) and a still-failing gate after
+    the cap must report budget-capped — never blendable with
+    converged."""
+    prob = load_regression("Sunspot")
+    rep = auto.auto_sample(
+        prob.train, prob.test, "regression", replicate=2, target="speed",
+        escalate=2, **_tiny_kw()
+    )
+    esc = [k for k in rep.decisions if k.startswith("escalation_")]
+    if rep.rhat_cold_max is not None and rep.rhat_cold_max >= 1.01:
+        # gate failed at the final budget: the cap must be visible
+        assert "budget-capped" in rep.verdict
+        assert len(esc) == 2
+    if esc:
+        # escalated config doubled per escalation; thin kept rows flat
+        assert rep.config.samples_per_chain == 240 * 2 ** len(esc)
+        assert rep.config.record_thin == 2 ** len(esc)
+        assert "R-hat" in rep.decisions["escalation_1"]
+        # escalated runs drop replica tracking; base-run trips reported
+        assert not rep.config.track_replicas
+    assert np.isfinite(rep.test_cold_mean)
+    assert rep.pooled_cold_ess_per_sec > 0
+
+
 @pytest.mark.slow
 def test_auto_sample_quality_chees_end_to_end():
     prob = load_regression("Sunspot")

@@ -354,6 +354,42 @@ def test_fused_sharded_equals_unsharded():
     assert res_m.swap_percent == res_1.swap_percent
 
 
+def test_fused_record_thin_strides_traces():
+    """record_thin on the FUSED path keeps every k-th executed row per
+    scan CHUNK of the SAME chain (scattered into a small device buffer
+    before the host fetch): thinned traces equal the unthinned fused
+    run's rows at chunk-local executed positions thin-1, 2*thin-1, ...
+    and the final state is bit-identical (thinning is pure trace
+    selection)."""
+    from ptnn.fused import _Fused
+
+    prob = load_regression("Sunspot")
+    cfg_full = _cfg(num_samples=8 * 400, swap_interval=25, chunk_steps=120)
+    cfg_full = dataclasses.replace(cfg_full, fused_step=True).validate()
+    cfg_thin = dataclasses.replace(cfg_full, record_thin=4).validate()
+    res_f = ptnn.sample(cfg_full, prob.train, prob.test, seed=3)
+    res_t = ptnn.sample(cfg_thin, prob.train, prob.test, seed=3)
+    eng = _Fused(cfg_full, prob.train, prob.test, 3, record_w=True)
+    group = max(1, int(np.ceil(cfg_full.chunk_steps / eng.k_max)))
+    rows = []  # merged traces: row = global step + 1 (init row 0)
+    for seg in eng.plan:
+        for gi in range(0, len(seg), group):
+            steps = [
+                start + p
+                for (start, length, _f) in seg[gi : gi + group]
+                for p in range(length)
+            ]
+            rows += [s + 1 for s in steps[3::4]]
+    assert res_t.traces["ll"].shape[0] == len(rows) + 1
+    for k in res_t.traces:
+        np.testing.assert_array_equal(
+            res_t.traces[k][1:], res_f.traces[k][rows], err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res_t.final_state.w), np.asarray(res_f.final_state.w)
+    )
+
+
 @pytest.mark.slow
 def test_fused_chees_256x4_sharded_equals_unsharded():
     """The crowned bench flagship SHAPE (chees16_fused_256x4: 1024 chains
