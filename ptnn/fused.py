@@ -701,45 +701,75 @@ def sample_fused(
     def run_group(st, xs):
         return jax.lax.scan(eng.block_body, st, xs)
 
-    def run_group_thin(st, xs, dest, bufs):
-        """Chunk-level record_thin (sampler.py semantics per executed
-        chunk): keep the chunk's executed-step rows at positions thin-1,
-        2*thin-1, ... DEVICE-SIDE, scattering each block's kept rows into
-        a small carried buffer as the scan runs — a long chunk (the whole
-        point of record_thin) never materializes its full traces in HBM.
-        ``dest`` is (n_blocks, k_max) int32: the buffer row for each
-        (block, local-row), with an out-of-range sentinel for dropped and
-        dead-padding rows (scatter mode="drop")."""
+    def run_group_gather(st, xs, keep):
+        """record_thin < block length: stride the chunk's executed-step
+        rows at positions thin-1, 2*thin-1, ... via one device gather of
+        the scanned traces before the host fetch. ``keep`` holds the
+        (block*k_max + local) flat indices of the kept rows (dead
+        padding rows are never selected)."""
+        st, traces = jax.lax.scan(eng.block_body, st, xs)
+        traces = {
+            k: v.reshape((-1,) + v.shape[2:])[keep]
+            for k, v in traces.items()
+        }
+        return st, traces
+
+    def run_group_sparse(st, xs, posdest, bufs):
+        """record_thin >= block length: each block keeps AT MOST ONE row,
+        written into a small carried buffer with a conditional
+        dynamic_update_slice (TPU scatter is slow; a cond that is false
+        on ~(1 - k_max/thin) of blocks costs ~nothing) — a long chunk
+        (the whole point of record_thin) never materializes its full
+        traces in HBM. ``posdest`` is (n_blocks, 2) int32
+        [local_row, buffer_row], buffer_row = -1 when the block keeps
+        nothing."""
 
         def body(carry, x):
             st, bufs = carry
-            blk_xs, d = x
+            blk_xs, pd = x
             st, out = eng.block_body(st, blk_xs)
-            bufs = {
-                k: bufs[k].at[d].set(out[k], mode="drop") for k in bufs
-            }
+
+            def write(b):
+                return {
+                    k: jax.lax.dynamic_update_slice(
+                        b[k],
+                        jax.lax.dynamic_slice_in_dim(out[k], pd[0], 1, 0),
+                        (pd[1],) + (0,) * (b[k].ndim - 1),
+                    )
+                    for k in b
+                }
+
+            bufs = jax.lax.cond(pd[1] >= 0, write, lambda b: b, bufs)
             return (st, bufs), None
 
-        (st, bufs), _ = jax.lax.scan(body, (st, bufs), (xs, dest))
+        (st, bufs), _ = jax.lax.scan(body, (st, bufs), (xs, posdest))
         return st, bufs
 
     run_group_j = jit_here(run_group)
-    run_group_thin_j = jit_here(run_group_thin)
+    run_group_gather_j = jit_here(run_group_gather)
+    run_group_sparse_j = jit_here(run_group_sparse)
     recompute = jit_here(eng.step.recompute_ll)
 
-    def _dest_rows(blocks) -> Tuple[np.ndarray, int]:
-        """(n_blocks, k_max) buffer destinations + kept-row count: chunk
-        executed steps in block order, strided thin-1::thin."""
-        n_keep = sum(ln for (_s, ln, _f) in blocks) // thin
-        sent = max(n_keep, 1)  # out of range -> dropped
-        dest = np.full((len(blocks), eng.k_max), sent, np.int32)
+    def _keep_flat(blocks) -> np.ndarray:
+        """Flat (block*k_max + local) indices of kept rows."""
+        flat = [
+            bi * eng.k_max + p
+            for bi, (_s, ln, _f) in enumerate(blocks)
+            for p in range(ln)
+        ]
+        return np.asarray(flat[thin - 1 :: thin], np.int32)
+
+    def _posdest(blocks) -> Tuple[np.ndarray, int]:
+        """(n_blocks, 2) [local_row, buffer_row] (-1 = keep nothing) +
+        kept count; valid when thin >= k_max (<= 1 kept row/block)."""
+        pd = np.full((len(blocks), 2), -1, np.int32)
         q = 0
         for bi, (_s, ln, _f) in enumerate(blocks):
             for p in range(ln):
                 if q % thin == thin - 1:
-                    dest[bi, p] = q // thin
+                    pd[bi] = (p, q // thin)
                 q += 1
-        return dest, n_keep
+        return pd, q // thin
 
     out_struct = None
     if thin > 1:  # trace block_body once for the buffer shapes
@@ -769,14 +799,21 @@ def sample_fused(
             lengths = [b[1] for b in blocks]
             while len(blocks) < group:
                 blocks = blocks + [(0, 0, False)]
-            if thin > 1:
-                dest, n_keep = _dest_rows(blocks)
-                state, traces = run_group_thin_j(
-                    state, _pack_xs(blocks), jnp.asarray(dest),
+            if thin > 1 and thin >= eng.k_max:
+                pd, n_keep = _posdest(blocks)
+                state, traces = run_group_sparse_j(
+                    state, _pack_xs(blocks), jnp.asarray(pd),
                     _trace_bufs(n_keep),
                 )
                 # rows already selected: fetch cuts to the kept count
                 lengths = [n_keep]
+                traces = {k: v[None] for k, v in traces.items()}
+            elif thin > 1:
+                keep = _keep_flat(blocks)
+                state, traces = run_group_gather_j(
+                    state, _pack_xs(blocks), jnp.asarray(keep)
+                )
+                lengths = [len(keep)]
                 traces = {k: v[None] for k, v in traces.items()}
             else:
                 state, traces = run_group_j(state, _pack_xs(blocks))
@@ -823,12 +860,21 @@ def sample_fused(
 
 
 def _fetch(traces, lengths) -> Dict[str, np.ndarray]:
-    """Device (B, K_max, ...) traces -> host rows, dummy/masked rows cut."""
+    """Device (B, K_max, ...) traces -> host rows, dummy/masked rows cut.
+
+    A chunk can legitimately keep ZERO rows (record_thin larger than the
+    chunk's executed-step count, e.g. a short segment tail) — it still
+    contributes an empty block so the cross-chunk concatenate stays
+    shape-consistent."""
     host = jax.device_get(traces)
     out = {}
     for name, arr in host.items():
         rows = [arr[b, :ln] for b, ln in enumerate(lengths) if ln > 0]
-        out[name] = np.concatenate(rows, axis=0)
+        out[name] = (
+            np.concatenate(rows, axis=0)
+            if rows
+            else np.zeros((0,) + arr.shape[2:], arr.dtype)
+        )
     return out
 
 

@@ -69,6 +69,14 @@ def greedy_clusters(means: np.ndarray, tol: float):
 
 
 def main() -> None:
+    import jax
+
+    # persistent XLA-executable cache: the campaign re-invokes identical
+    # HLO across seeds/budgets/processes; without this every ptnn.sample
+    # call recompiles its scan variants (minutes each on the 1-core host)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcomp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import ptnn
     from bench import _variants
     from ptnn.data import load_regression
@@ -81,6 +89,22 @@ def main() -> None:
     )
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     ap.add_argument("--out", default="results/convergence_definitive.md")
+    ap.add_argument(
+        "--config", choices=("64x4", "256x4"), default="64x4",
+        help="256x4 = the crowned bench flagship chees16_fused_256x4 "
+        "(1024 chains, 256 cold replicas) through the same protocol",
+    )
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="fused Pallas execution (record_thin rides the chunk-level "
+        "device stride since r5; same sampler distributionally, ~2-3x "
+        "the per-step rate — the enabler for the 16M/50M strict-gate "
+        "budgets)",
+    )
+    ap.add_argument(
+        "--append", action="store_true",
+        help="append rows to an existing report instead of rewriting",
+    )
     args = ap.parse_args()
 
     prob = load_regression("Sunspot")
@@ -92,18 +116,31 @@ def main() -> None:
     x_all = prob.test[:, :4].astype(np.float32)
     y_all = prob.test[:, 4].astype(np.float32)
 
-    base = _variants(64, steps_per_chain=5000)["chees16_fused_64x4"]
+    tag = (
+        "chees16_fused_64x4" if args.config == "64x4"
+        else "chees16_fused_256x4"
+    )
+    base = _variants(64, steps_per_chain=5000)[tag]
+    n_rep = base.n_ladders
     rows = []
     for steps in args.budgets:
         thin = max(1, steps // 8000)
         cfg = dataclasses.replace(
             base,
-            fused_step=False,  # record_thin is a per-step feature
+            fused_step=args.fused,
             num_samples=base.num_chains * steps,
             record_w=True,
-            record_w_chains=64,
+            record_w_chains=n_rep,
             record_thin=thin,
-            chunk_steps=min(4000, max(1000, thin * 100)),
+            # fused: bounded chunks — single executions >60-90 s crash the
+            # tunneled worker, and very large scan groups are fresh
+            # multi-minute XLA compiles (16k-step chunks are the measured
+            # sweet spot: ~2.2M steps/s steady at 256 chains with the
+            # persistent compile cache warm)
+            chunk_steps=min(30_000_000 // base.num_chains, 16_000,
+                            max(1000, thin * 100))
+            if args.fused
+            else min(4000, max(1000, thin * 100)),
         ).validate()
         n_rows = None
         chains_fx = []  # (seed, replica) prediction chains
@@ -180,28 +217,41 @@ def main() -> None:
         )
         print(rows[-1], flush=True)
 
+    mode = "fused" if args.fused else "per-step"
     lines = [
         "# Definitive Sunspot d=61 convergence study",
         "",
-        "ChEES-HMC, 64 replicated 4-rung ladders (256 chains), seeds "
+        f"ChEES-HMC, {n_rep} replicated 4-rung ladders "
+        f"({base.num_chains} chains), seeds "
         f"{args.seeds}; function-space gate at 48 test points over "
-        "192 (seed, replica) chains. Generated by "
+        f"{n_rep * len(args.seeds)} (seed, replica) chains. Generated by "
         "`python scripts/convergence_definitive.py`.",
         "",
-        "| steps/chain | retained rows | fs R-hat max | fs R-hat median |"
+        "| config | steps/chain | retained rows | fs R-hat max |"
+        " fs R-hat median |"
         " seed-only R-hat max | pooled-mean RMSE | replica RMSE min/med/max |"
         " fn clusters (top sizes) |",
-        "|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+    if args.append:
+        # r5 extension rows land as their own block under the r4 table
+        lines = [
+            "",
+            f"## {args.config} {mode}, seeds {args.seeds} (r5 extension)",
+            "",
+            lines[-2],
+            lines[-1],
+        ]
     for r in rows:
         lines.append(
-            f"| {r['steps']:,} (thin {r['thin']}) | {r['rows']} | "
+            f"| {args.config} {mode} x{len(args.seeds)} seeds | "
+            f"{r['steps']:,} (thin {r['thin']}) | {r['rows']} | "
             f"{r['rhat_max']:.3f} | {r['rhat_med']:.3f} | "
             f"{r['rhat_seed_max']:.3f} | {r['rmse_pooled']:.4f} | "
             f"{r['rep_min']:.4f}/{r['rep_med']:.4f}/{r['rep_max']:.4f} | "
             f"{r['clusters']} ({r['top']}) |"
         )
-    with open(args.out, "w") as f:
+    with open(args.out, "a" if args.append else "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out} (append verdict)")
 

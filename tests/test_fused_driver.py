@@ -354,22 +354,26 @@ def test_fused_sharded_equals_unsharded():
     assert res_m.swap_percent == res_1.swap_percent
 
 
-def test_fused_record_thin_strides_traces():
+@pytest.mark.parametrize("thin", [4, 50])
+def test_fused_record_thin_strides_traces(thin):
     """record_thin on the FUSED path keeps every k-th executed row per
-    scan CHUNK of the SAME chain (scattered into a small device buffer
-    before the host fetch): thinned traces equal the unthinned fused
-    run's rows at chunk-local executed positions thin-1, 2*thin-1, ...
-    and the final state is bit-identical (thinning is pure trace
-    selection)."""
+    scan CHUNK of the SAME chain, selected device-side before the host
+    fetch: thinned traces equal the unthinned fused run's rows at
+    chunk-local executed positions thin-1, 2*thin-1, ... and the final
+    state is bit-identical (thinning is pure trace selection). thin=4
+    exercises the gather regime (thin < block length), thin=50 the
+    sparse conditional-write regime (thin >= block length, the long-run
+    convergence-study path)."""
     from ptnn.fused import _Fused
 
     prob = load_regression("Sunspot")
     cfg_full = _cfg(num_samples=8 * 400, swap_interval=25, chunk_steps=120)
     cfg_full = dataclasses.replace(cfg_full, fused_step=True).validate()
-    cfg_thin = dataclasses.replace(cfg_full, record_thin=4).validate()
+    cfg_thin = dataclasses.replace(cfg_full, record_thin=thin).validate()
     res_f = ptnn.sample(cfg_full, prob.train, prob.test, seed=3)
     res_t = ptnn.sample(cfg_thin, prob.train, prob.test, seed=3)
     eng = _Fused(cfg_full, prob.train, prob.test, 3, record_w=True)
+    assert (thin >= eng.k_max) == (thin == 50)  # both regimes covered
     group = max(1, int(np.ceil(cfg_full.chunk_steps / eng.k_max)))
     rows = []  # merged traces: row = global step + 1 (init row 0)
     for seg in eng.plan:
@@ -379,7 +383,7 @@ def test_fused_record_thin_strides_traces():
                 for (start, length, _f) in seg[gi : gi + group]
                 for p in range(length)
             ]
-            rows += [s + 1 for s in steps[3::4]]
+            rows += [s + 1 for s in steps[thin - 1 :: thin]]
     assert res_t.traces["ll"].shape[0] == len(rows) + 1
     for k in res_t.traces:
         np.testing.assert_array_equal(
