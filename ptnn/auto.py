@@ -467,24 +467,18 @@ def auto_sample(
         )
 
     def _gate(colds, cfg):
-        if model_spec is None:
-            # THE gate is function-space AND pooled: forward every
-            # recorded cold draw (ALL R cold replicas per seed,
-            # time-major so split halves = early-vs-late) at 16 test
-            # inputs and R-hat the predictions across seeds — the
-            # POOLED cold posterior is what auto serves, and w-space
-            # R-hat conflates weight-symmetry multimodality with
-            # predictive disagreement
-            # (results/convergence_definitive.md: w 1.4-2.5 vs
-            # function-space 1.004 on converged runs)
-            return ess_mod.function_space_rhat(colds, test, cfg)
-        # custom model specs keep the parameter-space gate
-        pidx = np.linspace(0, colds[0].shape[2] - 1, 8).astype(int)
-        return max(
-            ess_mod.split_rhat(
-                np.stack([c[:, 0, j] for c in colds], axis=1)
-            )
-            for j in pidx
+        # THE gate is function-space AND pooled: forward every recorded
+        # cold draw (ALL R cold replicas per seed, time-major so split
+        # halves = early-vs-late) at 16 test inputs and R-hat the
+        # predictions across seeds — the POOLED cold posterior is what
+        # auto serves, and w-space R-hat conflates weight-symmetry
+        # multimodality with predictive disagreement
+        # (results/convergence_definitive.md: w 1.4-2.5 vs function-space
+        # 1.004 on converged runs). Custom model specs (CNN/MLP) ride the
+        # same gate via spec.forward (r5 — the CNN's parameter-space 2.85
+        # was the same weight-symmetry pessimism).
+        return ess_mod.function_space_rhat(
+            colds, test, cfg, spec=model_spec
         )
 
     m = _replications(cfg)

@@ -88,7 +88,7 @@ def split_rhat(x: np.ndarray, rank_normalize: bool = True) -> float:
 
 
 def function_space_rhat(
-    colds, test: np.ndarray, cfg, n_points: int = 16
+    colds, test: np.ndarray, cfg, n_points: int = 16, spec=None
 ) -> float:
     """Worst rank-normalized split R-hat over posterior-PREDICTIVE
     coordinates: forward-pass every recorded cold draw at ``n_points``
@@ -107,6 +107,10 @@ def function_space_rhat(
     over points x outputs): classification nets have n_classes sigmoid
     outputs, and gating only column 0 would monitor a single class
     logit rather than the predictive posterior.
+
+    ``spec``: optional ModelSpec for non-FNN families (e.g. the Bayesian
+    CNN) — the gate then monitors ``spec.forward`` outputs (predictive
+    class probabilities for classification) at the same test points.
     """
     import jax
     import jax.numpy as jnp
@@ -117,9 +121,24 @@ def function_space_rhat(
     test = np.asarray(test)
     xi = np.linspace(0, test.shape[0] - 1, n_points).astype(int)
     x_pts = jnp.asarray(test[xi, :i_dim], jnp.float32)
-    fwd = jax.jit(
-        jax.vmap(lambda wi: fnn.forward(wi, x_pts, cfg.topology).reshape(-1))
-    )
+    if spec is None:
+        fwd = jax.jit(
+            jax.vmap(
+                lambda wi: fnn.forward(wi, x_pts, cfg.topology).reshape(-1)
+            )
+        )
+    elif cfg.task == "classification":
+        fwd = jax.jit(
+            jax.vmap(
+                lambda wi: jnp.exp(
+                    spec.log_probs(spec.forward(wi, x_pts))
+                ).reshape(-1)
+            )
+        )
+    else:
+        fwd = jax.jit(
+            jax.vmap(lambda wi: spec.forward(wi, x_pts).reshape(-1))
+        )
     preds = []
     for c in colds:  # (draws, w) or (draws, R, w) per seed
         c = np.asarray(c)

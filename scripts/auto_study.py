@@ -23,7 +23,21 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--quick", action="store_true")
     p.add_argument("--replicate", type=int, default=3)
+    p.add_argument(
+        "--escalate", type=int, default=0,
+        help="auto_sample budget-escalation cap (doublings when the "
+        "fn-space gate fails; VERDICT r4 item 3)",
+    )
+    p.add_argument(
+        "--only", nargs="+", default=None,
+        help="subset of case names (Sunspot Lazer iris digits)",
+    )
     args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcomp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from ptnn import auto
     from ptnn.data import load
@@ -40,6 +54,8 @@ def main() -> None:
     ]
     rows = []
     for name, target, spec, n in cases:
+        if args.only and name not in args.only:
+            continue
         prob = load(name)
         t0 = time.time()
         rep = auto.auto_sample(
@@ -53,6 +69,7 @@ def main() -> None:
             replicate=args.replicate,
             model_spec=spec,
             name=prob.name,
+            escalate=args.escalate,
         )
         wall = time.time() - t0
         cfg = rep.config
@@ -69,6 +86,9 @@ def main() -> None:
         )
         rows.append((name, target, shape, metric, wall, rep))
         print(f"[{name}] {shape} -> {metric} ({wall:.1f} s)", file=sys.stderr)
+        for k in sorted(rep.decisions):
+            if k.startswith("escalation_"):
+                print(f"  {k}: {rep.decisions[k]}", file=sys.stderr)
 
     print("| dataset (target) | auto-chosen shape | cold test metric "
           f"({args.replicate} seeds) | wall |")

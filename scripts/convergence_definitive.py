@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -105,7 +106,14 @@ def main() -> None:
         "--append", action="store_true",
         help="append rows to an existing report instead of rewriting",
     )
+    ap.add_argument(
+        "--fx-dir", default=None,
+        help="cache per-seed prediction chains as .npz here; finished "
+        "seeds reload instead of resampling (wedged-tunnel resilience)",
+    )
     args = ap.parse_args()
+    if args.fx_dir:
+        os.makedirs(args.fx_dir, exist_ok=True)
 
     prob = load_regression("Sunspot")
     topo = (4, 10, 1)
@@ -147,19 +155,35 @@ def main() -> None:
         rep_rmse = []  # per-replica posterior-mean RMSE (full test set)
         pooled_rmse = []
         for seed in args.seeds:
-            res = ptnn.sample(cfg, prob.train, prob.test, seed=seed)
-            w = np.asarray(res.traces["w"])  # (rows+1, 64, d)
-            b = (w.shape[0] - 1) // 2 + 1  # post-burn half of retained rows
-            w = w[b:]
-            n_rows = w.shape[0]
-            flat = w.reshape(-1, w.shape[-1])
-            fx = fx_draws(flat, x_pts, topo).reshape(
-                w.shape[0], w.shape[1], -1
+            fx_path = (
+                os.path.join(
+                    args.fx_dir, f"{args.config}_{steps}_{seed}.npz"
+                )
+                if args.fx_dir
+                else None
             )
-            fx_full = fx_draws(flat, x_all, topo).reshape(
-                w.shape[0], w.shape[1], -1
-            )
-            for r in range(w.shape[1]):
+            if fx_path and os.path.exists(fx_path):
+                # resumable campaign: a wedged tunnel loses at most one
+                # seed — finished seeds reload their prediction chains
+                z = np.load(fx_path)
+                fx, fx_full = z["fx"], z["fx_full"]
+                n_rows = fx.shape[0]
+            else:
+                res = ptnn.sample(cfg, prob.train, prob.test, seed=seed)
+                w = np.asarray(res.traces["w"])  # (rows+1, R, d)
+                b = (w.shape[0] - 1) // 2 + 1  # post-burn retained rows
+                w = w[b:]
+                n_rows = w.shape[0]
+                flat = w.reshape(-1, w.shape[-1])
+                fx = fx_draws(flat, x_pts, topo).reshape(
+                    w.shape[0], w.shape[1], -1
+                )
+                fx_full = fx_draws(flat, x_all, topo).reshape(
+                    w.shape[0], w.shape[1], -1
+                )
+                if fx_path:
+                    np.savez_compressed(fx_path, fx=fx, fx_full=fx_full)
+            for r in range(fx.shape[1]):
                 chains_fx.append(fx[:, r, :])
                 mu = fx_full[:, r, :].mean(axis=0)
                 rep_rmse.append(
@@ -216,6 +240,9 @@ def main() -> None:
             )
         )
         print(rows[-1], flush=True)
+        # incremental receipt: a crashed later budget must not lose this one
+        with open(args.out + ".partial", "a") as f:
+            f.write(repr(rows[-1]) + "\n")
 
     mode = "fused" if args.fused else "per-step"
     lines = [
