@@ -712,7 +712,19 @@ def scaling() -> None:
     print(f"wrote {path} (+{len(rows)} rows)")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA-executable cache: the bench re-invokes identical
+    HLO across variants/seeds/processes; without it every ptnn.sample
+    builds fresh jitted closures and recompiles (minutes each on a
+    1-core host)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcomp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 if __name__ == "__main__":
+    _enable_compile_cache()
     if "--scaling" in sys.argv[1:]:
         scaling()
     else:
