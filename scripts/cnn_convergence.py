@@ -54,6 +54,7 @@ def main() -> None:
         choices=["chees", "mala"],
     )
     ap.add_argument("--chains", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=150)
     ap.add_argument("--rungs", type=int, default=4)
     ap.add_argument("--out", default="results/cnn_convergence.md")
     ap.add_argument("--append", action="store_true")
@@ -91,7 +92,7 @@ def main() -> None:
             record_w=True,
             record_w_chains=rec,
             record_thin=max(1, steps // 512),
-            chunk_steps=500,  # one compiled scan length for every budget
+            chunk_steps=args.chunk,  # ~20 s device per ChEES chunk (60-90 s crashes the worker)
             **extra,
         ).validate()
 
@@ -154,6 +155,8 @@ def main() -> None:
                 f"{float(np.median(ess_s)):.1f} |"
             )
             print(rows[-1], flush=True)
+            with open(args.out + ".partial", "a") as f:
+                f.write(rows[-1] + "\n")
 
     header = (
         "# Digits Bayesian-CNN convergence in function space\n\n"
